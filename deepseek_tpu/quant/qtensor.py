@@ -1,0 +1,172 @@
+"""Quantized-tensor pytree nodes.
+
+The model parameter tree holds these instead of raw arrays. Each node knows
+how to dequantize itself to a compute dtype; the fused matmul paths in
+deepseek_tpu.ops consume the packed fields directly without materializing the
+dequantized weight in HBM.
+
+Weight convention follows the checkpoint: a projection is stored as
+``W (out_features, in_features)`` and applied as ``y = x @ W.T``
+(reference matmul: W (d,n) @ x (n,) -> (d,), infer.cpp:381-417).
+
+K-quant tensors are stored in the TPU *plane* layout produced by
+deepseek_tpu.quant.repack: 2-bit/1-bit planes are packed so that unpacking is
+a shift-and-mask followed by a lane-dimension concatenation (no in-register
+shuffles), with per-16-column scale bytes and per-256-column f32 super scales.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deepseek_tpu.config import QuantKind
+
+
+def _register(cls, data_fields, meta_fields):
+    jax.tree_util.register_dataclass(cls, data_fields=data_fields, meta_fields=meta_fields)
+    return cls
+
+
+@dataclasses.dataclass
+class PlainTensor:
+    """Unquantized weight (fp32 / fp16 / bf16)."""
+
+    data: jax.Array  # (..., out, in)
+
+    @property
+    def shape(self) -> Tuple[int, ...]:
+        return tuple(self.data.shape)
+
+    @property
+    def nbytes_active(self) -> int:
+        return int(np.prod(self.shape)) * self.data.dtype.itemsize
+
+    def dequant(self, dtype=jnp.float32) -> jax.Array:
+        return self.data.astype(dtype)
+
+
+_register(PlainTensor, ["data"], [])
+
+
+@dataclasses.dataclass
+class Fp8Tensor:
+    """F8E5M2 weight with a blockwise (or per-tensor) inverse-scale grid."""
+
+    data: jax.Array     # (..., out, in) float8_e5m2
+    scale: jax.Array    # (..., ceil(out/b0), ceil(in/b1)) f32, or scalar
+    block_size: Tuple[int, int] = dataclasses.field(default=(0, 0))  # (0,0) = per-tensor
+
+    @property
+    def shape(self) -> Tuple[int, ...]:
+        return tuple(self.data.shape)
+
+    @property
+    def nbytes_active(self) -> int:
+        return int(np.prod(self.shape)) + self.scale.size * 4
+
+    def dequant(self, dtype=jnp.float32) -> jax.Array:
+        w = self.data.astype(dtype)
+        if self.block_size == (0, 0):
+            return w * self.scale.astype(dtype)
+        b0, b1 = self.block_size
+        d, n = self.shape[-2:]
+        s = jnp.repeat(self.scale, b0, axis=-2)[..., :d, :]
+        s = jnp.repeat(s, b1, axis=-1)[..., :n]
+        return w * s.astype(dtype)
+
+
+_register(Fp8Tensor, ["data", "scale"], ["block_size"])
+
+
+def _unpack_2bit_planes(qs: jax.Array) -> jax.Array:
+    """(..., d, n//4) uint8 -> (..., d, n) int values in [0,3], original order."""
+    return jnp.concatenate(
+        [(qs >> s) & 3 for s in (0, 2, 4, 6)], axis=-1)
+
+
+def _unpack_1bit_planes(hm: jax.Array) -> jax.Array:
+    """(..., d, n//8) uint8 -> (..., d, n) values in {0,1}, original order."""
+    return jnp.concatenate([(hm >> b) & 1 for b in range(8)], axis=-1)
+
+
+@dataclasses.dataclass
+class Q2KTensor:
+    """Q2_K weight in TPU plane layout. x = d*sc*q - dmin*mn."""
+
+    qs: jax.Array    # (..., out, in//4)  uint8: 4 plane-packed 2-bit quants
+    sm: jax.Array    # (..., out, in//16) uint8: sc | mn << 4 (4-bit each)
+    d: jax.Array     # (..., out, in//256) f32 super scale
+    dmin: jax.Array  # (..., out, in//256) f32 super min scale
+
+    @property
+    def shape(self) -> Tuple[int, ...]:
+        return tuple(self.qs.shape[:-1]) + (self.qs.shape[-1] * 4,)
+
+    @property
+    def nbytes_active(self) -> int:
+        return self.qs.size + self.sm.size + self.d.size * 4 + self.dmin.size * 4
+
+    def dequant(self, dtype=jnp.float32) -> jax.Array:
+        q = _unpack_2bit_planes(self.qs).astype(dtype)
+        sc = (self.sm & 0xF).astype(dtype)
+        mn = (self.sm >> 4).astype(dtype)
+        scale = jnp.repeat(self.d.astype(dtype), 16, axis=-1) * sc
+        minv = jnp.repeat(self.dmin.astype(dtype), 16, axis=-1) * mn
+        return jnp.repeat(scale, 16, axis=-1) * q - jnp.repeat(minv, 16, axis=-1)
+
+
+_register(Q2KTensor, ["qs", "sm", "d", "dmin"], [])
+
+
+@dataclasses.dataclass
+class Q3KTensor:
+    """Q3_K weight in TPU plane layout. x = d*sc*(qlow + 4*hbit - 4)."""
+
+    qs: jax.Array  # (..., out, in//4)  uint8: low 2 bits, plane-packed
+    hm: jax.Array  # (..., out, in//8)  uint8: high bit, plane-packed
+    sc: jax.Array  # (..., out, in//16) int8: signed 6-bit scale (already -32)
+    d: jax.Array   # (..., out, in//256) f32 super scale
+
+    @property
+    def shape(self) -> Tuple[int, ...]:
+        return tuple(self.qs.shape[:-1]) + (self.qs.shape[-1] * 4,)
+
+    @property
+    def nbytes_active(self) -> int:
+        return self.qs.size + self.hm.size + self.sc.size + self.d.size * 4
+
+    def dequant(self, dtype=jnp.float32) -> jax.Array:
+        qlow = _unpack_2bit_planes(self.qs).astype(jnp.int8)
+        hbit = _unpack_1bit_planes(self.hm).astype(jnp.int8)
+        q = (qlow + (hbit << 2) - 4).astype(dtype)
+        scale = jnp.repeat(self.d.astype(dtype), 16, axis=-1) * self.sc.astype(dtype)
+        return jnp.repeat(scale, 16, axis=-1) * q
+
+
+_register(Q3KTensor, ["qs", "hm", "sc", "d"], [])
+
+
+QTensorLike = (PlainTensor, Fp8Tensor, Q2KTensor, Q3KTensor)
+
+
+def bits_per_weight(quant: QuantKind, block_size: Tuple[int, int] = (0, 0)) -> float:
+    """Storage-truth bits per weight (BASELINE.md: storage wins over the
+    reference's inconsistent bits_per_weight())."""
+    if quant == QuantKind.F32:
+        return 32.0
+    if quant == QuantKind.F16:
+        return 16.0
+    if quant == QuantKind.F8E5M2:
+        if block_size == (0, 0):
+            return 8.0
+        return 8.0 + 32.0 / (block_size[0] * block_size[1])
+    if quant == QuantKind.Q2_K:
+        return 84 * 8 / 256
+    if quant == QuantKind.Q3_K:
+        return 110 * 8 / 256
+    raise ValueError(quant)

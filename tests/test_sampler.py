@@ -1,0 +1,45 @@
+import numpy as np
+
+from deepseek_tpu.sampler import Sampler
+
+
+def test_argmax_when_temperature_zero():
+    s = Sampler(vocab_size=5, seed=0)
+    logits = np.array([0.1, 3.0, -1.0, 2.9, 0.0], dtype=np.float32)
+    for _ in range(5):
+        assert s.sample(logits, temperature=0.0) == 1
+
+
+def test_sample_prob_is_softmax():
+    s = Sampler(vocab_size=4, seed=0)
+    logits = np.array([1.0, 2.0, 3.0, 4.0], dtype=np.float32)
+    e = np.exp(logits - logits.max())
+    p = e / e.sum()
+    for i in range(4):
+        np.testing.assert_allclose(s.sample_prob(i, logits), p[i], rtol=1e-6)
+
+
+def test_nucleus_restricts_to_top_mass():
+    s = Sampler(vocab_size=4, seed=123)
+    # token 0 has ~97% of the mass; top_p=0.5 must always return it
+    logits = np.array([10.0, 6.0, 0.0, 0.0], dtype=np.float32)
+    for _ in range(50):
+        assert s.sample(logits, temperature=1.0, top_p=0.5) == 0
+
+
+def test_full_distribution_sampling_frequencies():
+    s = Sampler(vocab_size=3, seed=7)
+    logits = np.log(np.array([0.6, 0.3, 0.1], dtype=np.float32))
+    counts = np.zeros(3)
+    n = 4000
+    for _ in range(n):
+        counts[s.sample(logits, temperature=1.0, top_p=1.0)] += 1
+    freq = counts / n
+    np.testing.assert_allclose(freq, [0.6, 0.3, 0.1], atol=0.05)
+
+
+def test_temperature_sharpens():
+    s = Sampler(vocab_size=3, seed=11)
+    logits = np.array([2.0, 1.0, 0.0], dtype=np.float32)
+    cold = [s.sample(logits, temperature=0.1, top_p=1.0) for _ in range(200)]
+    assert np.mean(np.array(cold) == 0) > 0.95
