@@ -1,0 +1,106 @@
+"""Attention kernels over the ring-buffer KV cache.
+
+Decode-step attention for both paths of the reference
+(infer.cpp:728-804): the decompressed **MHA** path (per-head K/V caches)
+and the absorbed **MLA** path, where scores and mixing happen in the shared
+compressed-latent space — MQA-style: one (kv_lora_rank + rope) cache serves
+all heads, which is exactly the memory-bandwidth win of MLA.
+
+These are batched einsum formulations that XLA fuses well on TPU; the masked
+softmax runs in float32. `kv_len` masks the valid prefix of the static-shape
+ring buffer (no dynamic shapes under jit). Prefill variants take a causal
+band mask instead.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_NEG_INF = -1e30
+
+
+def _masked_softmax(scores: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    scores = jnp.where(mask, scores, _NEG_INF)
+    m = scores.max(axis=-1, keepdims=True)
+    e = jnp.exp(scores - m)
+    e = jnp.where(mask, e, 0.0)
+    return e / e.sum(axis=-1, keepdims=True)
+
+
+def _len_mask(kv_len, B: int, S: int) -> jnp.ndarray:
+    """(B, 1, S) bool mask of valid cache slots; kv_len scalar or (B,)."""
+    s = jnp.arange(S, dtype=jnp.int32)
+    kv_len = jnp.broadcast_to(jnp.asarray(kv_len, jnp.int32), (B,))
+    return s[None, None, :] < kv_len[:, None, None]
+
+
+def decode_attn_mha(
+    q: jnp.ndarray,        # (B, H, head_dim)
+    k_cache: jnp.ndarray,  # (B, S, H, head_dim)
+    v_cache: jnp.ndarray,  # (B, S, H, v_head_dim)
+    kv_len,                # scalar or (B,) number of valid cache slots
+) -> jnp.ndarray:          # (B, H, v_head_dim)
+    B, S = k_cache.shape[0], k_cache.shape[1]
+    head_dim = q.shape[-1]
+    scale = 1.0 / jnp.sqrt(jnp.float32(head_dim))
+    scores = jnp.einsum(
+        "bhd,bshd->bhs", q.astype(jnp.float32), k_cache.astype(jnp.float32)) * scale
+    w = _masked_softmax(scores, _len_mask(kv_len, B, S))
+    out = jnp.einsum("bhs,bshv->bhv", w, v_cache.astype(jnp.float32))
+    return out
+
+
+def decode_attn_mla(
+    q_c: jnp.ndarray,       # (B, H, kv_lora_rank) — absorbed latent query
+    q_rope: jnp.ndarray,    # (B, H, qk_rope_head_dim)
+    ckv_cache: jnp.ndarray, # (B, S, kv_lora_rank) — shared latent cache
+    krope_cache: jnp.ndarray,  # (B, S, qk_rope_head_dim)
+    kv_len,
+    head_dim: int,          # softmax scale uses the *full* head_dim (attn_mla)
+) -> jnp.ndarray:           # (B, H, kv_lora_rank) — attended latents
+    B, S = ckv_cache.shape[0], ckv_cache.shape[1]
+    scale = 1.0 / jnp.sqrt(jnp.float32(head_dim))
+    scores = (
+        jnp.einsum("bhr,bsr->bhs", q_c.astype(jnp.float32), ckv_cache.astype(jnp.float32))
+        + jnp.einsum("bhp,bsp->bhs", q_rope.astype(jnp.float32), krope_cache.astype(jnp.float32))
+    ) * scale
+    w = _masked_softmax(scores, _len_mask(kv_len, B, S))
+    return jnp.einsum("bhs,bsr->bhr", w, ckv_cache.astype(jnp.float32))
+
+
+def prefill_attn_mha(
+    q: jnp.ndarray,        # (B, T, H, head_dim) — query chunk
+    k_cache: jnp.ndarray,  # (B, S, H, head_dim)
+    v_cache: jnp.ndarray,  # (B, S, H, v_head_dim)
+    q_pos: jnp.ndarray,    # (T,) absolute positions of the queries
+    cache_pos: jnp.ndarray,  # (S,) absolute position stored in each cache slot (-1 = empty)
+) -> jnp.ndarray:          # (B, T, H, v_head_dim)
+    """Chunked causal attention: query t attends to cache slots whose stored
+    position <= q_pos[t]. Slot positions handle the ring buffer generically."""
+    head_dim = q.shape[-1]
+    scale = 1.0 / jnp.sqrt(jnp.float32(head_dim))
+    scores = jnp.einsum(
+        "bthd,bshd->bhts", q.astype(jnp.float32), k_cache.astype(jnp.float32)) * scale
+    mask = (cache_pos[None, :] <= q_pos[:, None]) & (cache_pos[None, :] >= 0)
+    w = _masked_softmax(scores, mask[None, None])
+    return jnp.einsum("bhts,bshv->bthv", w, v_cache.astype(jnp.float32))
+
+
+def prefill_attn_mla(
+    q_c: jnp.ndarray,       # (B, T, H, kv_lora_rank)
+    q_rope: jnp.ndarray,    # (B, T, H, qk_rope_head_dim)
+    ckv_cache: jnp.ndarray,  # (B, S, kv_lora_rank)
+    krope_cache: jnp.ndarray,  # (B, S, qk_rope_head_dim)
+    q_pos: jnp.ndarray,     # (T,)
+    cache_pos: jnp.ndarray,  # (S,)
+    head_dim: int,
+) -> jnp.ndarray:           # (B, T, H, kv_lora_rank)
+    scale = 1.0 / jnp.sqrt(jnp.float32(head_dim))
+    scores = (
+        jnp.einsum("bthr,bsr->bhts", q_c.astype(jnp.float32), ckv_cache.astype(jnp.float32))
+        + jnp.einsum("bthp,bsp->bhts", q_rope.astype(jnp.float32), krope_cache.astype(jnp.float32))
+    ) * scale
+    mask = (cache_pos[None, :] <= q_pos[:, None]) & (cache_pos[None, :] >= 0)
+    w = _masked_softmax(scores, mask[None, None])
+    return jnp.einsum("bhts,bsr->bthr", w, ckv_cache.astype(jnp.float32))
