@@ -1,0 +1,231 @@
+"""DeepSeek forward pass: one pure function, two modes.
+
+The reference's per-token ``Model::forward`` (infer.cpp:1265-1317) becomes a
+jitted ``forward(params, cache, tokens, pos0)`` with a static mode:
+
+- **decode** (T == 1): ring/sink position math, cache write at ``kv_pos``,
+  sink re-rotation, masked decode attention. One fused XLA program per step,
+  cache donated — zero allocations per token.
+- **prefill** (T >= 1): the reference has no prefill (README.md:94 — strictly
+  one token per forward); on TPU, chunked causal prefill over the MXU is the
+  natural hydrate path and a capability superset. Valid while pos0 + T <=
+  kv_window (the engine falls back to decode steps past the window).
+
+MoE uses two formulations: decode gathers the k active experts' (quantized)
+weights per token; prefill runs dense-over-experts einsums with a routing
+weight matrix — reading every expert once per chunk amortizes expert HBM
+traffic and keeps the MXU on large matmuls.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from deepseek_tpu.config import KV_SINKS, ModelConfig
+from deepseek_tpu.models.kvcache import KVCache, ring_positions
+from deepseek_tpu.models.params import LayerParams, ModelParams, embed_lookup
+from deepseek_tpu.ops import (
+    apply_rope, decode_attn_mha, decode_attn_mla, glu_act, moe_gate, qmatmul,
+    rmsnorm,
+)
+from deepseek_tpu.ops.attention import prefill_attn_mha, prefill_attn_mla
+from deepseek_tpu.ops.matmul import gather_experts
+
+
+def _attention(lp: LayerParams, cfg: ModelConfig, xb: jnp.ndarray,
+               cache: KVCache, layer: int, pos_vec: jnp.ndarray,
+               cache_start, kv_len, kv_sink, prefill: bool
+               ) -> Tuple[jnp.ndarray, KVCache]:
+    """Runs either attention path; returns (attn_out (B,T,dim), cache)."""
+    B, T, _ = xb.shape
+    H = cfg.n_heads
+    R, P = cfg.kv_lora_rank, cfg.qk_rope_head_dim
+    nope, Dv = cfg.qk_nope_head_dim, cfg.v_head_dim
+    is_v3 = cfg.has_moegate_bias
+    theta = cfg.rope_theta
+    posb = pos_vec[None, :, None]  # broadcasts over (B, T, H)
+
+    kv_a = qmatmul(lp.wkv_a, xb)                       # (B, T, R + P)
+    k_rope = apply_rope(
+        kv_a[..., R:].astype(jnp.float32), pos_vec[None, :], theta, is_v3)
+    ckv = rmsnorm(kv_a[..., :R], lp.kv_a_norm, cfg.norm_eps)
+
+    if cfg.use_mla:
+        # absorbed path (BlockMLA, infer.cpp:1052-1141)
+        q_a = rmsnorm(qmatmul(lp.wq_a, xb), lp.q_a_norm, cfg.norm_eps)
+        q_rope = qmatmul(lp.wq_rope_b, q_a).reshape(B, T, H, P)
+        q_rope = apply_rope(q_rope.astype(jnp.float32), posb, theta, is_v3)
+        q_c = qmatmul(lp.wc, q_a).reshape(B, T, H, R).astype(jnp.float32)
+
+        cdt = cache.ckv.dtype
+        ckv_l = jax.lax.dynamic_update_slice(
+            cache.ckv[layer], ckv.astype(cdt), (0, cache_start, 0))
+        krope_l = jax.lax.dynamic_update_slice(
+            cache.krope[layer], k_rope.astype(cdt), (0, cache_start, 0))
+
+        if prefill:
+            S = ckv_l.shape[1]
+            lat = prefill_attn_mla(
+                q_c, q_rope, ckv_l, krope_l, pos_vec,
+                jnp.arange(S, dtype=jnp.int32), cfg.head_dim)       # (B,T,H,R)
+        else:
+            # sink re-rotation by +1 (StreamingLLM; infer.cpp:1103-1110)
+            sink = krope_l[:, :KV_SINKS]
+            rot = apply_rope(sink.astype(jnp.float32), 1, theta, is_v3).astype(cdt)
+            krope_l = krope_l.at[:, :KV_SINKS].set(
+                jnp.where(kv_sink > 0, rot, sink))
+            lat = decode_attn_mla(
+                q_c[:, 0], q_rope[:, 0], ckv_l, krope_l, kv_len,
+                cfg.head_dim)[:, None]                              # (B,1,H,R)
+
+        # per-head up-projection of attended latents (wv_b, infer.cpp:1134-1137)
+        wv_b = lp.wv_b.dequant(jnp.float32).reshape(H, Dv, R)
+        v = jnp.einsum("bthr,hvr->bthv", lat, wv_b,
+                       preferred_element_type=jnp.float32)
+        attn = qmatmul(lp.wo, v.reshape(B, T, H * Dv).astype(xb.dtype))
+        cache = KVCache(k=None, v=None,
+                        ckv=cache.ckv.at[layer].set(ckv_l),
+                        krope=cache.krope.at[layer].set(krope_l))
+        return attn, cache
+
+    # decompressed path (BlockMHA, infer.cpp:935-1049)
+    if cfg.q_lora_rank > 0:
+        q_a = rmsnorm(qmatmul(lp.wq_a, xb), lp.q_a_norm, cfg.norm_eps)
+        q = qmatmul(lp.wq_b, q_a)
+    else:
+        q = qmatmul(lp.wq, xb)
+    q = q.reshape(B, T, H, cfg.head_dim).astype(jnp.float32)
+    q_pe = apply_rope(q[..., nope:], posb, theta, is_v3)
+    q = jnp.concatenate([q[..., :nope], q_pe], axis=-1)
+
+    kv_b = qmatmul(lp.wkv_b, ckv).reshape(B, T, H, nope + Dv)
+    k = jnp.concatenate(
+        [kv_b[..., :nope].astype(jnp.float32),
+         jnp.broadcast_to(k_rope[:, :, None, :], (B, T, H, P))], axis=-1)
+    vv = kv_b[..., nope:]
+
+    cdt = cache.k.dtype
+    k_l = jax.lax.dynamic_update_slice(
+        cache.k[layer], k.astype(cdt), (0, cache_start, 0, 0))
+    v_l = jax.lax.dynamic_update_slice(
+        cache.v[layer], vv.astype(cdt), (0, cache_start, 0, 0))
+
+    if prefill:
+        S = k_l.shape[1]
+        out = prefill_attn_mha(q, k_l, v_l, pos_vec,
+                               jnp.arange(S, dtype=jnp.int32))      # (B,T,H,Dv)
+    else:
+        sink = k_l[:, :KV_SINKS, :, nope:]
+        rot = apply_rope(sink.astype(jnp.float32), 1, theta, is_v3).astype(cdt)
+        k_l = k_l.at[:, :KV_SINKS, :, nope:].set(
+            jnp.where(kv_sink > 0, rot, sink))
+        out = decode_attn_mha(q[:, 0], k_l, v_l, kv_len)[:, None]   # (B,1,H,Dv)
+
+    attn = qmatmul(lp.wo, out.reshape(B, T, H * Dv).astype(xb.dtype))
+    cache = KVCache(k=cache.k.at[layer].set(k_l),
+                    v=cache.v.at[layer].set(v_l),
+                    ckv=None, krope=None)
+    return attn, cache
+
+
+def _dense_glu(w1, w2, w3, xb: jnp.ndarray, cfg: ModelConfig) -> jnp.ndarray:
+    h = glu_act(qmatmul(w1, xb), qmatmul(w3, xb), cfg.act)
+    return qmatmul(w2, h)
+
+
+def _ffn(lp: LayerParams, cfg: ModelConfig, xb: jnp.ndarray, layer: int,
+         prefill: bool) -> jnp.ndarray:
+    if not cfg.is_moe_layer(layer):
+        return _dense_glu(lp.w1, lp.w2, lp.w3, xb, cfg)
+
+    router_logits = jnp.einsum(
+        "btd,ed->bte", xb.astype(jnp.float32), lp.moegate,
+        preferred_element_type=jnp.float32)
+    weights, idx = moe_gate(router_logits, lp.moegate_bias, cfg)  # (B,T,k)
+
+    dtype = xb.dtype
+    if prefill:
+        # dense-over-experts: every expert read once per chunk; routing
+        # weights scatter-combined through a (B,T,E) matrix
+        E = cfg.n_routed_experts
+        wmat = jax.nn.one_hot(idx, E, dtype=jnp.float32) * weights[..., None]
+        wmat = wmat.sum(axis=-2)                                  # (B,T,E)
+        d1 = lp.w1.dequant(dtype)                                 # (E,m,dim)
+        d3 = lp.w3.dequant(dtype)
+        h = glu_act(
+            jnp.einsum("btn,emn->btem", xb, d1, preferred_element_type=jnp.float32).astype(dtype),
+            jnp.einsum("btn,emn->btem", xb, d3, preferred_element_type=jnp.float32).astype(dtype),
+            cfg.act)
+        d2 = lp.w2.dequant(dtype)                                 # (E,dim,m)
+        per_e = jnp.einsum("btem,edm->bted", h, d2, preferred_element_type=jnp.float32)
+        out = jnp.einsum("bted,bte->btd", per_e, wmat).astype(dtype)
+    else:
+        # decode: gather only the k active experts' quantized weights
+        w1k = gather_experts(lp.w1, idx).dequant(dtype)           # (B,T,k,m,dim)
+        w3k = gather_experts(lp.w3, idx).dequant(dtype)
+        h = glu_act(
+            jnp.einsum("btn,btkmn->btkm", xb, w1k, preferred_element_type=jnp.float32).astype(dtype),
+            jnp.einsum("btn,btkmn->btkm", xb, w3k, preferred_element_type=jnp.float32).astype(dtype),
+            cfg.act)
+        w2k = gather_experts(lp.w2, idx).dequant(dtype)           # (B,T,k,dim,m)
+        per_k = jnp.einsum("btkm,btkdm->btkd", h, w2k, preferred_element_type=jnp.float32)
+        out = (per_k * weights[..., None]).sum(axis=2).astype(dtype)
+
+    if cfg.n_shared_experts > 0 and lp.shared_w1 is not None:
+        out = out + _dense_glu(lp.shared_w1, lp.shared_w2, lp.shared_w3, xb, cfg)
+    return out
+
+
+def _forward_impl(params: ModelParams, cache: KVCache, tokens: jnp.ndarray,
+                  pos0, cfg: ModelConfig, prefill: bool, logits_mode: str
+                  ) -> Tuple[Optional[jnp.ndarray], KVCache]:
+    B, T = tokens.shape
+    dtype = jnp.dtype(cfg.compute_dtype)
+    x = embed_lookup(params.embed, tokens, jnp.float32).astype(dtype)
+
+    pos0 = jnp.asarray(pos0, jnp.int32)
+    if prefill:
+        pos_vec = pos0 + jnp.arange(T, dtype=jnp.int32)
+        cache_start, kv_len, kv_sink = pos0, None, None
+    else:
+        assert T == 1, "decode mode processes one token per call"
+        kv_sink, kv_pos, kv_len = ring_positions(cfg, pos0)
+        pos_vec = pos0[None]
+        cache_start = kv_pos
+
+    for layer, lp in enumerate(params.layers):
+        xb = rmsnorm(x, lp.attn_norm, cfg.norm_eps)
+        attn, cache = _attention(
+            lp, cfg, xb, cache, layer, pos_vec, cache_start, kv_len, kv_sink, prefill)
+        x = x + attn
+        xb = rmsnorm(x, lp.ffn_norm, cfg.norm_eps)
+        x = x + _ffn(lp, cfg, xb, layer, prefill)
+
+    if logits_mode == "none":
+        return None, cache
+    if logits_mode == "last":
+        x = x[:, -1:]
+    x = rmsnorm(x, params.final_norm, cfg.norm_eps)
+    logits = qmatmul(params.lm_head, x.astype(jnp.float32))
+    if logits_mode == "last":
+        logits = logits[:, 0]
+    return logits, cache
+
+
+def make_forward(cfg: ModelConfig, *, prefill: bool = False,
+                 logits_mode: str = "last", jit: bool = True):
+    """Build (and jit) a forward function for a fixed mode.
+
+    Returns ``fn(params, cache, tokens (B,T) int32, pos0) -> (logits, cache)``
+    with the cache donated, so decode is allocation-free steady-state.
+    """
+    assert logits_mode in ("all", "last", "none")
+    fn = functools.partial(
+        _forward_impl, cfg=cfg, prefill=prefill, logits_mode=logits_mode)
+    if jit:
+        fn = jax.jit(fn, donate_argnums=(1,))
+    return fn

@@ -1,0 +1,82 @@
+"""Ring-buffer + attention-sink KV cache.
+
+Static-shape cache of ``kv_window`` slots per layer (the reference windows at
+``rs_original_max_position_embeddings``, NOT max_seq_len —
+infer.cpp:1271-1277). Past the window, slots are replaced in ring order while
+the first ``KV_SINKS`` slots hold StreamingLLM attention sinks whose rope
+chunk is re-rotated by +1 every step (infer.cpp:1004-1020).
+
+MLA caches only the shared compressed latent + rope key — the whole point of
+absorbed MLA: cache bytes per token are (kv_lora_rank + qk_rope_head_dim)
+instead of n_heads * (head_dim + v_head_dim).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from deepseek_tpu.config import KV_SINKS, ModelConfig
+
+
+@dataclasses.dataclass
+class KVCache:
+    # MHA (decompressed) path
+    k: Optional[jax.Array]      # (L, B, S, H, head_dim)
+    v: Optional[jax.Array]      # (L, B, S, H, v_head_dim)
+    # MLA (absorbed) path
+    ckv: Optional[jax.Array]    # (L, B, S, kv_lora_rank)
+    krope: Optional[jax.Array]  # (L, B, S, qk_rope_head_dim)
+
+    @property
+    def batch(self) -> int:
+        arr = self.k if self.k is not None else self.ckv
+        return arr.shape[1]
+
+    @property
+    def window(self) -> int:
+        arr = self.k if self.k is not None else self.ckv
+        return arr.shape[2]
+
+    @property
+    def nbytes(self) -> int:
+        return sum(a.nbytes for a in (self.k, self.v, self.ckv, self.krope) if a is not None)
+
+
+jax.tree_util.register_dataclass(
+    KVCache, data_fields=["k", "v", "ckv", "krope"], meta_fields=[])
+
+
+def init_cache(cfg: ModelConfig, batch: int = 1) -> KVCache:
+    L, S = cfg.n_layers, cfg.kv_window
+    dt = jnp.dtype(cfg.kv_cache_dtype)
+    if cfg.use_mla:
+        return KVCache(
+            k=None, v=None,
+            ckv=jnp.zeros((L, batch, S, cfg.kv_lora_rank), dt),
+            krope=jnp.zeros((L, batch, S, cfg.qk_rope_head_dim), dt),
+        )
+    return KVCache(
+        k=jnp.zeros((L, batch, S, cfg.n_heads, cfg.head_dim), dt),
+        v=jnp.zeros((L, batch, S, cfg.n_heads, cfg.v_head_dim), dt),
+        ckv=None, krope=None,
+    )
+
+
+def ring_positions(cfg: ModelConfig, pos) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """(kv_sink, kv_pos, kv_len) for decode position ``pos`` (traced scalar).
+
+    Mirrors infer.cpp:1271-1277:
+      kv_sink = pos >= window ? KV_SINKS : 0
+      kv_pos  = kv_sink + (pos - kv_sink) % (window - kv_sink)
+      kv_len  = min(pos + 1, window)
+    """
+    window = cfg.kv_window
+    pos = jnp.asarray(pos, jnp.int32)
+    kv_sink = jnp.where(pos >= window, KV_SINKS, 0).astype(jnp.int32)
+    kv_pos = kv_sink + (pos - kv_sink) % (window - kv_sink)
+    kv_len = jnp.minimum(pos + 1, window)
+    return kv_sink, kv_pos, kv_len

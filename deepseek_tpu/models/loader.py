@@ -1,0 +1,172 @@
+"""Checkpoint -> ModelParams.
+
+Replaces the reference's Model constructor tensor wiring
+(model.cpp:756-872): reads the `.dseek` tensor map, constructs the right
+QTensor variant per stored dtype (with K-quant repacking into TPU planes),
+and assembles the parameter pytree. Tied-embedding checkpoints reuse the
+embedding as lm_head (model.cpp:846-871).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deepseek_tpu.config import ModelConfig, QuantKind
+from deepseek_tpu.models.params import LayerParams, ModelParams
+from deepseek_tpu.quant.kquant import Q2K_BLOCK_BYTES, Q3K_BLOCK_BYTES, QK_K
+from deepseek_tpu.quant.qtensor import Fp8Tensor, PlainTensor, Q2KTensor, Q3KTensor
+from deepseek_tpu.quant.repack import repack_q2k, repack_q3k
+from deepseek_tpu.utils.codec import CheckpointData
+
+# hook: (tensor_name, array) -> device/sharding placement (parallel layer
+# installs one; default = single default device)
+PutFn = Callable[[str, np.ndarray], jax.Array]
+
+
+def _default_put(name: str, arr: np.ndarray) -> jax.Array:
+    return jnp.asarray(arr)
+
+
+def load_params(
+    data: CheckpointData,
+    cfg: ModelConfig,
+    *,
+    runtime_dtype: Optional[str] = None,
+    put: PutFn = _default_put,
+) -> ModelParams:
+    """runtime_dtype: optionally cast f32/f16 weights at load (e.g. "bfloat16"
+    keeps decode matmuls native on the MXU)."""
+
+    def norm(name: str) -> Optional[jax.Array]:
+        arr = data.get(name + ".weight")
+        if arr is None:
+            return None
+        return put(name, np.asarray(arr, dtype=np.float32))
+
+    def qt(name: str, expert: bool = False):
+        w = data.get(name + ".weight")
+        if w is None:
+            return None
+        scale = data.get(name + ".scale")
+        dt = data.tensors[name + ".weight"].dtype_str
+
+        if dt in ("F32", "F16", "BF16"):
+            arr = np.asarray(w)
+            if runtime_dtype is not None:
+                arr = arr.astype(jnp.dtype(runtime_dtype))
+            return PlainTensor(data=put(name, arr))
+
+        if dt == "F8_E5M2":
+            block = cfg.block_size if (scale is not None and scale.ndim >= 2) else (0, 0)
+            s = np.asarray(scale, np.float32) if scale is not None else np.float32(1.0).reshape(())
+            return Fp8Tensor(data=put(name, np.asarray(w)),
+                             scale=put(name + ".scale", s),
+                             block_size=tuple(block))
+
+        if dt == "U8":  # K-quant raw blocks: (..., rows, blocks_per_row * block_bytes)
+            raw = np.asarray(w)
+            rows = raw.shape[-2]
+            if cfg.weight_quant == QuantKind.Q2_K:
+                cols = raw.shape[-1] // Q2K_BLOCK_BYTES * QK_K
+                qs, sm, d, dmin = repack_q2k(raw, rows, cols)
+                return Q2KTensor(qs=put(name + ".qs", qs), sm=put(name + ".sm", sm),
+                                 d=put(name + ".d", d), dmin=put(name + ".dmin", dmin))
+            if cfg.weight_quant == QuantKind.Q3_K:
+                cols = raw.shape[-1] // Q3K_BLOCK_BYTES * QK_K
+                qs, hm, sc, d = repack_q3k(raw, rows, cols)
+                return Q3KTensor(qs=put(name + ".qs", qs), hm=put(name + ".hm", hm),
+                                 sc=put(name + ".sc", sc), d=put(name + ".d", d))
+            raise ValueError(
+                f"U8 tensor {name} but weight_quant={cfg.weight_quant}")
+
+        raise ValueError(f"unsupported stored dtype {dt} for {name}")
+
+    layers = []
+    for l in range(cfg.n_layers):
+        p = f"model.layers.{l}"
+        moegate = norm(f"{p}.moegate")
+        moegate_bias = None
+        if moegate is not None:
+            bias = data.get(f"{p}.moegate.bias")
+            if bias is not None:
+                moegate_bias = put(f"{p}.moegate.bias", np.asarray(bias, np.float32))
+        layers.append(LayerParams(
+            attn_norm=norm(f"{p}.attn.norm"),
+            ffn_norm=norm(f"{p}.mlp.norm"),
+            kv_a_norm=norm(f"{p}.attn.kv_a_norm"),
+            q_a_norm=norm(f"{p}.attn.q_a_norm"),
+            wkv_a=qt(f"{p}.attn.wkv_a"),
+            wo=qt(f"{p}.attn.wo"),
+            wq=qt(f"{p}.attn.wq"),
+            wq_a=qt(f"{p}.attn.wq_a"),
+            wq_b=qt(f"{p}.attn.wq_b"),
+            wkv_b=qt(f"{p}.attn.wkv_b"),
+            wc=qt(f"{p}.attn.wc"),
+            wq_rope_b=qt(f"{p}.attn.wq_rope_b"),
+            wv_b=qt(f"{p}.attn.wv_b"),
+            w1=qt(f"{p}.mlp.w1", expert=True),
+            w2=qt(f"{p}.mlp.w2", expert=True),
+            w3=qt(f"{p}.mlp.w3", expert=True),
+            shared_w1=qt(f"{p}.shared_mlp.w1"),
+            shared_w2=qt(f"{p}.shared_mlp.w2"),
+            shared_w3=qt(f"{p}.shared_mlp.w3"),
+            moegate=moegate,
+            moegate_bias=moegate_bias,
+        ))
+
+    embed = qt("model.embed")
+    lm_head = qt("model.output")
+    if lm_head is None:
+        lm_head = embed  # tied embeddings
+
+    return ModelParams(
+        embed=embed,
+        layers=layers,
+        final_norm=norm("model.norm"),
+        lm_head=lm_head,
+    )
+
+
+def params_active_bytes(params: ModelParams, cfg: ModelConfig, pos: int = 0) -> float:
+    """Analytical bytes touched per decode token (reference active_bytes,
+    model.cpp:324-352,885-901): full dense weights + only n_active_routed
+    experts per MoE layer + KV cache up to kv_len."""
+    total = params.embed.nbytes_active / params.embed.shape[0]  # one embed row
+    kv_len = min(pos + 1, cfg.kv_window)
+    for l, lp in enumerate(params.layers):
+        for name in ("wkv_a", "wo", "wq", "wq_a", "wq_b", "wkv_b",
+                     "wc", "wq_rope_b", "wv_b"):
+            t = getattr(lp, name)
+            if t is not None:
+                total += t.nbytes_active
+        for name in ("attn_norm", "ffn_norm", "kv_a_norm", "q_a_norm"):
+            a = getattr(lp, name)
+            if a is not None:
+                total += a.nbytes
+        if cfg.is_moe_layer(l):
+            frac = cfg.n_active_routed / cfg.n_routed_experts
+            for name in ("w1", "w2", "w3"):
+                total += getattr(lp, name).nbytes_active * frac
+            for name in ("shared_w1", "shared_w2", "shared_w3"):
+                t = getattr(lp, name)
+                if t is not None:
+                    total += t.nbytes_active
+            total += lp.moegate.nbytes
+            if lp.moegate_bias is not None:
+                total += lp.moegate_bias.nbytes
+        else:
+            for name in ("w1", "w2", "w3"):
+                total += getattr(lp, name).nbytes_active
+        # KV cache traffic for this layer
+        itemsize = jnp.dtype(cfg.kv_cache_dtype).itemsize
+        if cfg.use_mla:
+            total += kv_len * (cfg.kv_lora_rank + cfg.qk_rope_head_dim) * itemsize
+        else:
+            total += kv_len * cfg.n_heads * (cfg.head_dim + cfg.v_head_dim) * itemsize
+    total += params.final_norm.nbytes
+    total += params.lm_head.nbytes_active
+    return float(total)
