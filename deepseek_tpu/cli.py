@@ -1,0 +1,356 @@
+"""CLI workloads: completion | perplexity | passkey | interactive.
+
+Flag surface mirrors the reference (main.cpp:18-43):
+
+    python -m deepseek_tpu <checkpoint_dir> [options]
+      -h            help
+      -L            lock/eagerly materialize weights
+      -m <mode>     completion|passkey|perplexity|interactive (default completion)
+      -T <int>      sliding window context length (0 = max)
+    completion: -i <str> | -f <path>, -t <float>, -p <float>, -n <int>
+    perplexity: -i <str> | -f <path> | -w (embedded wikitext fixture)
+    passkey:    -n <int> junk lines, -l <int> passkey position (-1 random)
+
+TPU extras (long options): --dtype {float32,bfloat16} activation compute
+dtype, --chunk <int> prefill chunk, --seed <int>.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import shlex
+import sys
+import time
+from typing import List, Optional
+
+import numpy as np
+
+from deepseek_tpu.engine import Engine
+
+USAGE = """Usage:   python -m deepseek_tpu <checkpoint_dir> [options]
+Example: python -m deepseek_tpu model_weights_dir/ -i "Q: What is the meaning of life?"
+Options:
+  -h Display this help message
+  -L Locks model weights to RAM (eagerly materializes mmaps)
+  -m [completion,passkey,perplexity,interactive] which mode to run in (default - completion)
+  -T <int> sliding window context length (0 - max)
+
+Perplexity mode options:
+  Choose one:
+    -i <string> input prompt
+    -f <filepath> input file with prompt
+    -w use embedded wikitext fixture as input
+Completion mode options:
+  -n <int>    number of steps to run for in completion mode, default 256. 0 = max_seq_len, -1 = infinite
+  -t <float> temperature (default - 1.0)
+  -p <float> p for top-p sampling (default - 0.95)
+  Choose one:
+    -i <string> input prompt
+    -f <filepath> input file with prompt
+Passkey mode options:
+  -n <int>    number of junk lines to insert (default - 250)
+  -l <int>    passkey position (-1 - random)
+TPU options:
+  --dtype <float32|bfloat16>  activation compute dtype
+  --chunk <int>               prefill chunk size (default 64)
+  --seed <int>                sampler seed
+"""
+
+
+def _die(msg: str = ""):
+    if msg:
+        print(f"Error: {msg}", file=sys.stderr)
+    print(USAGE, file=sys.stderr)
+    raise SystemExit(1)
+
+
+class Args:
+    def __init__(self):
+        self.mode = "completion"
+        self.checkpoint = None
+        self.lock = False
+        self.context = 0
+        self.prompt: Optional[str] = None
+        self.prompt_path: Optional[str] = None
+        self.use_wikitext = False
+        self.num_steps: Optional[int] = None
+        self.temperature = 1.0
+        self.top_p = 0.95
+        self.n_junk = 250
+        self.passkey_pos = -1
+        self.dtype: Optional[str] = None
+        self.chunk = 64
+        self.seed: Optional[int] = None
+
+
+def parse_mode_flags(args: Args, argv: List[str]) -> Args:
+    """Per-mode flags (reference arg structs, main.cpp:85-255)."""
+    i = 0
+
+    def val():
+        nonlocal i
+        if i + 1 >= len(argv):
+            _die(f"flag {argv[i]} needs a value")
+        i += 1
+        return argv[i]
+
+    while i < len(argv):
+        a = argv[i]
+        if a == "-h":
+            _die()
+        elif a == "-i":
+            args.prompt = val()
+        elif a == "-f":
+            args.prompt_path = val()
+        elif a == "-t":
+            args.temperature = float(val())
+        elif a == "-p":
+            args.top_p = float(val())
+        elif a == "-n":
+            v = int(val())
+            if args.mode == "passkey":
+                args.n_junk = v
+            else:
+                args.num_steps = v
+        elif a == "-l":
+            args.passkey_pos = int(val())
+        elif a == "-w":
+            args.use_wikitext = True
+        elif a == "--dtype":
+            args.dtype = val()
+        elif a == "--chunk":
+            args.chunk = int(val())
+        elif a == "--seed":
+            args.seed = int(val())
+        else:
+            _die(f"unknown flag {a}")
+        i += 1
+    return args
+
+
+def resolve_prompt(args: Args, need: bool = True) -> Optional[str]:
+    sources = sum([args.prompt is not None, args.prompt_path is not None,
+                   args.use_wikitext])
+    if args.mode == "perplexity":
+        if sources != 1:
+            _die("must provide exactly one of -i, -f, -w")
+    elif need and sources != 1:
+        _die("must provide exactly one of -i, -f")
+    if args.prompt_path:
+        with open(args.prompt_path) as f:
+            return f.read()
+    return args.prompt
+
+
+def wikitext_tokens(engine: Engine) -> List[int]:
+    """Embedded pre-tokenized wikitext fixture, selected by arch
+    (main.cpp:363-369,672-678). Data provenance: the reference repo's
+    wikitest.cat.1chunk.{v2,v3}-encoded fixtures."""
+    name = "v3" if engine.cfg.arch == "DeepseekV3ForCausalLM" else "v2"
+    path = os.path.join(os.path.dirname(__file__), "fixtures", f"wikitext_{name}.npy")
+    return np.load(path).tolist()
+
+
+def run_completion(engine: Engine, args: Args):
+    prompt = resolve_prompt(args)
+    t0 = time.perf_counter()
+    encoding = engine.tokenizer.encode(prompt, bos=True)
+    enc_s = max(time.perf_counter() - t0, 1e-9)
+    print(engine.tokenizer.encoding_to_debug_string(encoding))
+    print(f"Encoding stats: ({len(encoding)} tokens, throughput: "
+          f"{len(encoding)/enc_s:.5g}tok/s, latency: {enc_s/len(encoding):.5g}s/tok, "
+          f"total: {enc_s:.5g}s)\n")
+    print(f"Model active bytes per token: {engine.active_bytes(0):.0f}")
+
+    def emit(token, piece: bytes):
+        sys.stdout.write(piece.decode("utf-8", errors="replace"))
+        sys.stdout.flush()
+
+    steps = 256 if args.num_steps is None else args.num_steps
+    out, st = engine.generate(
+        encoding, steps, temperature=args.temperature, top_p=args.top_p,
+        on_token=emit)
+    print()
+    print(f"Generation stats:\n"
+          f"  {st.generated_tokens} tokens\n"
+          f"  throughput: {st.tok_per_s:.5g} tok/s\n"
+          f"  latency: {st.generate_s/max(st.generated_tokens,1):.5g} s/tok\n"
+          f"  hydrate: {st.hydrate_s:.5g} s\n"
+          f"  bandwidth: {st.gb_per_s:.5g} GB/s\n"
+          f"  total: {st.hydrate_s + st.generate_s:.5g} s")
+
+
+def run_perplexity(engine: Engine, args: Args):
+    prompt = resolve_prompt(args)  # validates exactly one of -i/-f/-w
+    if args.use_wikitext:
+        tokens = wikitext_tokens(engine)
+        tokens = tokens[:engine.cfg.max_seq_len]
+    else:
+        tokens = engine.tokenizer.encode(prompt, bos=True)
+    if len(tokens) < 2:
+        _die("need at least 2 tokens for perplexity")
+
+    def prog(i, n):
+        print(f"\rComputing perplexity...{i}/{n}", end="", flush=True)
+
+    t0 = time.perf_counter()
+    ppl, err, n = engine.perplexity(tokens, progress=prog)
+    dt = time.perf_counter() - t0
+    print()
+    print(f"Stats:\n  {n + 1} tokens\n  perplexity: {ppl:.5g} ± {err:.5g}\n"
+          f"  throughput: {(n + 1)/dt:.5g} tok/s\n  total: {dt:.5g} s")
+
+
+def run_passkey(engine: Engine, args: Args):
+    """Long-context retrieval eval over the ring+sink cache
+    (run_passkey, main.cpp:433-512)."""
+    prefix = ("There is an important info hidden inside a lot of irrelevant "
+              "text. Find it and memorize them. I will quiz you about the "
+              "important information there.")
+    suffix = " What is the pass key? The pass key is"
+    junk = (" The grass is green. The sky is blue. The sun is yellow. "
+            "Here we go. There and back again.")
+
+    passkey = random.randint(1, 50000)
+    pos = args.passkey_pos if args.passkey_pos != -1 else random.randrange(args.n_junk)
+    if not (0 <= pos < args.n_junk):
+        _die(f"passkey position must be between 0 and {args.n_junk - 1}")
+
+    parts = [prefix]
+    for i in range(args.n_junk):
+        if i == pos:
+            parts.append(f" The pass key is {passkey}. Remember it. "
+                         f"{passkey} is the pass key.")
+        parts.append(junk)
+    parts.append(suffix)
+    prompt = "".join(parts)
+
+    encoding = engine.tokenizer.encode(prompt, bos=True)
+    print(f"Passkey test:\n  prompt: {len(encoding)} tokens\n  passkey: {passkey}\n"
+          f"  passkey token index: ~{int(pos / args.n_junk * len(encoding))}\n")
+
+    cache = engine.new_cache()
+
+    def prog(i, n):
+        print(f"\r Running passkey test...{i}/{n}", end="", flush=True)
+
+    cache, logits, _, p = engine.hydrate(cache, encoding, 0, progress=prog)
+    print()
+    print(suffix, end="", flush=True)
+    step = engine.fwd(False, "last")
+    import jax.numpy as jnp
+    prev = encoding[-1]
+    for _ in range(16):
+        token = engine.sampler.sample(logits, 1.0, 0.95)
+        sys.stdout.write(
+            engine.tokenizer.decode_one(prev, token).decode("utf-8", errors="replace"))
+        sys.stdout.flush()
+        prev = token
+        if engine.tokenizer.is_eos_or_eot(token):
+            break
+        out, cache = step(engine.params, cache, jnp.asarray([[token]], jnp.int32), p)
+        logits = np.asarray(out[0])
+        p += 1
+    print()
+
+
+INTERACTIVE_USAGE = """Usage:   <mode> [options]
+Example: c -i "Q: What is the meaning of life?"
+Modes:
+  h Display this help message
+  c Completion - complete a single prompt
+  p Perplexity - compute perplexity of a single prompt
+  k Passkey - test passkey extraction
+  q Quit
+(flags as in the main CLI)
+"""
+
+
+def run_interactive(engine: Engine, args: Args):
+    while True:
+        try:
+            line = input("> ").strip()
+        except EOFError:
+            break
+        if not line:
+            continue
+        mode, *rest = shlex.split(line)
+        sub = Args()
+        sub.checkpoint = args.checkpoint
+        sub.chunk = args.chunk
+        if mode == "q":
+            break
+        if mode == "h":
+            print(INTERACTIVE_USAGE, file=sys.stderr)
+            continue
+        try:
+            if mode == "c":
+                sub.mode = "completion"
+                parse_mode_flags(sub, rest)
+                run_completion(engine, sub)
+            elif mode == "p":
+                sub.mode = "perplexity"
+                parse_mode_flags(sub, rest)
+                run_perplexity(engine, sub)
+            elif mode == "k":
+                sub.mode = "passkey"
+                parse_mode_flags(sub, rest)
+                run_passkey(engine, sub)
+            else:
+                print(INTERACTIVE_USAGE, file=sys.stderr)
+        except SystemExit:
+            pass
+
+
+def main(argv: Optional[List[str]] = None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv or argv[0] in ("-h", "--help"):
+        _die()
+    args = Args()
+    args.checkpoint = argv[0]
+    rest = []
+    i = 1
+    while i < len(argv):
+        a = argv[i]
+        if a == "-m":
+            i += 1
+            args.mode = argv[i]
+            if args.mode not in ("completion", "perplexity", "passkey", "interactive"):
+                _die(f"unknown mode {args.mode}")
+        elif a == "-T":
+            i += 1
+            args.context = int(argv[i])
+        elif a == "-L":
+            args.lock = True
+        else:
+            rest.append(a)
+        i += 1
+    parse_mode_flags(args, rest)
+
+    engine = Engine(
+        args.checkpoint,
+        context=args.context,
+        lock_weights=args.lock,
+        compute_dtype=args.dtype,
+        seed=args.seed if args.seed is not None else int(time.time() * 1000) % (1 << 31),
+        prefill_chunk=args.chunk,
+    )
+    md = engine.data.metadata
+    print(f"Loaded model: arch={md.get('arch')} quant={md.get('quant')} "
+          f"n_layers={engine.cfg.n_layers} dim={engine.cfg.dim} "
+          f"use_mla={int(engine.cfg.use_mla)} "
+          f"max_seq_len={engine.cfg.max_seq_len} kv_window={engine.cfg.kv_window}")
+
+    if args.mode == "completion":
+        run_completion(engine, args)
+    elif args.mode == "perplexity":
+        run_perplexity(engine, args)
+    elif args.mode == "passkey":
+        run_passkey(engine, args)
+    else:
+        run_interactive(engine, args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,225 @@
+"""Inference engine: the reference ``Session`` (main.cpp:71-83) as a class
+owning checkpoint data, config, params, tokenizer, sampler, and a cache of
+jitted forward functions.
+
+Hydration strategy (TPU-first): the reference forwards prompts strictly one
+token at a time (README.md:94). Here prompts are hydrated with chunked causal
+prefill on the MXU while positions fit inside the KV window, falling back to
+ring-buffer decode steps beyond it — identical results (tests prove
+prefill == stepwise decode), order-of-magnitude faster hydration.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Callable, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deepseek_tpu.config import ModelConfig
+from deepseek_tpu.models import init_cache, make_forward
+from deepseek_tpu.models.loader import load_params, params_active_bytes
+from deepseek_tpu.sampler import Sampler
+from deepseek_tpu.tokenizer import Tokenizer
+from deepseek_tpu.utils.codec import load_checkpoint
+
+
+@dataclass
+class GenerationStats:
+    prompt_tokens: int = 0
+    generated_tokens: int = 0
+    hydrate_s: float = 0.0
+    generate_s: float = 0.0
+    active_bytes_per_token: float = 0.0
+
+    @property
+    def tok_per_s(self) -> float:
+        return self.generated_tokens / self.generate_s if self.generate_s > 0 else 0.0
+
+    @property
+    def gb_per_s(self) -> float:
+        if self.generate_s <= 0:
+            return 0.0
+        return self.active_bytes_per_token * self.generated_tokens / self.generate_s / 1e9
+
+
+class Engine:
+    def __init__(
+        self,
+        checkpoint_dir: str,
+        *,
+        context: int = 0,
+        lock_weights: bool = False,
+        compute_dtype: Optional[str] = None,
+        runtime_dtype: Optional[str] = None,
+        seed: Optional[int] = None,
+        prefill_chunk: int = 64,
+    ):
+        self.data = load_checkpoint(checkpoint_dir)
+        overrides = {}
+        if compute_dtype:
+            overrides["compute_dtype"] = compute_dtype
+        self.cfg = ModelConfig.from_metadata(self.data.metadata, context=context, **overrides)
+        # `-L` parity: device_put already copies each tensor HBM-resident; on
+        # CPU backends eagerly materialize the memmaps instead of lazy faults.
+        self.lock_weights = lock_weights
+        self.params = load_params(self.data, self.cfg, runtime_dtype=runtime_dtype)
+        self.tokenizer = Tokenizer.from_checkpoint(self.data)
+        self.sampler = Sampler(self.cfg.vocab_size, seed)
+        self.prefill_chunk = max(1, prefill_chunk)
+        self._fns = {}
+
+    # ------------------------------------------------------------------
+    def fwd(self, prefill: bool, logits_mode: str):
+        key = (prefill, logits_mode)
+        if key not in self._fns:
+            self._fns[key] = make_forward(
+                self.cfg, prefill=prefill, logits_mode=logits_mode)
+        return self._fns[key]
+
+    def new_cache(self, batch: int = 1):
+        return init_cache(self.cfg, batch=batch)
+
+    def active_bytes(self, pos: int = 0) -> float:
+        return params_active_bytes(self.params, self.cfg, pos)
+
+    # ------------------------------------------------------------------
+    def hydrate(self, cache, tokens: List[int], pos0: int = 0,
+                want_last_logits: bool = True,
+                collect_all_logits: bool = False,
+                progress: Optional[Callable[[int, int], None]] = None):
+        """Feed ``tokens`` at positions pos0.. into the cache.
+
+        Returns (cache, last_logits | None, all_log_softmax | None, end_pos).
+        ``collect_all_logits`` returns per-position log-softmax rows gathered
+        for perplexity (computed on device per chunk).
+        """
+        cfg = self.cfg
+        window = cfg.kv_window
+        C = self.prefill_chunk
+        N = len(tokens)
+        last_logits = None
+        chunk_logits: List[np.ndarray] = []  # log_softmax (r, V) per chunk
+
+        i = 0
+        while i < N:
+            pos = pos0 + i
+            n_left = N - i
+            if pos + C <= window:
+                r = min(C, n_left)
+                chunk = list(tokens[i:i + r]) + [0] * (C - r)
+                is_last = i + r == N
+                need_all = collect_all_logits
+                need_last = is_last and want_last_logits
+                mode = "all" if (need_all or (need_last and r < C)) else (
+                    "last" if need_last else "none")
+                out, cache = self.fwd(True, mode)(
+                    self.params, cache, jnp.asarray([chunk], jnp.int32), pos)
+                if mode == "all":
+                    if collect_all_logits:
+                        lsm = jax.nn.log_softmax(out[0, :r], axis=-1)
+                        chunk_logits.append(np.asarray(lsm))
+                    if need_last:
+                        last_logits = np.asarray(out[0, r - 1])
+                elif mode == "last":
+                    last_logits = np.asarray(out[0])
+                i += r
+            else:
+                tok = tokens[i]
+                is_last = i + 1 == N
+                mode = "all" if collect_all_logits else (
+                    "last" if (is_last and want_last_logits) else "none")
+                if mode == "all":
+                    out, cache = self.fwd(False, "last")(
+                        self.params, cache, jnp.asarray([[tok]], jnp.int32), pos)
+                    lsm = jax.nn.log_softmax(out[0], axis=-1)
+                    chunk_logits.append(np.asarray(lsm)[None])
+                    if is_last and want_last_logits:
+                        last_logits = np.asarray(out[0])
+                else:
+                    out, cache = self.fwd(False, mode)(
+                        self.params, cache, jnp.asarray([[tok]], jnp.int32), pos)
+                    if mode == "last":
+                        last_logits = np.asarray(out[0])
+                i += 1
+            if progress is not None:
+                progress(i, N)
+
+        all_lsm = np.concatenate(chunk_logits, axis=0) if chunk_logits else None
+        return cache, last_logits, all_lsm, pos0 + N
+
+    # ------------------------------------------------------------------
+    def generate(
+        self,
+        prompt_tokens: List[int],
+        num_steps: int = 256,
+        temperature: float = 1.0,
+        top_p: float = 0.95,
+        on_token: Optional[Callable[[int, bytes], None]] = None,
+    ) -> Tuple[List[int], GenerationStats]:
+        """Completion loop (run_completion, main.cpp:277-361).
+
+        num_steps: 0 = up to max_seq_len, -1 = until eos.
+        """
+        cfg = self.cfg
+        stats = GenerationStats(prompt_tokens=len(prompt_tokens))
+        cache = self.new_cache()
+
+        t0 = time.perf_counter()
+        cache, logits, _, pos = self.hydrate(cache, prompt_tokens, 0)
+        stats.hydrate_s = time.perf_counter() - t0
+
+        if num_steps == 0:
+            max_new = cfg.max_seq_len - len(prompt_tokens)
+        elif num_steps < 0:
+            max_new = 1 << 62
+        else:
+            max_new = num_steps
+
+        step_fn = self.fwd(False, "last")
+        out_tokens: List[int] = []
+        prev = prompt_tokens[-1] if prompt_tokens else self.tokenizer.bos_id
+        t0 = time.perf_counter()
+        while len(out_tokens) < max_new:
+            token = self.sampler.sample(logits, temperature, top_p)
+            out_tokens.append(token)
+            if on_token is not None:
+                on_token(token, self.tokenizer.decode_one(prev, token))
+            prev = token
+            if self.tokenizer.is_eos_or_eot(token):
+                break
+            logits_dev, cache = step_fn(
+                self.params, cache, jnp.asarray([[token]], jnp.int32), pos)
+            logits = np.asarray(logits_dev[0])
+            pos += 1
+        stats.generate_s = time.perf_counter() - t0
+        stats.generated_tokens = len(out_tokens)
+        stats.active_bytes_per_token = self.active_bytes(pos)
+        return out_tokens, stats
+
+    # ------------------------------------------------------------------
+    def perplexity(self, tokens: List[int],
+                   progress: Optional[Callable[[int, int], None]] = None):
+        """ppl over tokens[1:] given prefixes (run_perplexity, main.cpp:371-431).
+
+        Returns (ppl, stderr, n_scored). Matches the reference estimator:
+        ppl = exp(-sum/N), err = ppl * sqrt((ss - sum^2/N) / N^2).
+        """
+        N = len(tokens)
+        assert N >= 2, "perplexity needs at least 2 tokens"
+        cache = self.new_cache()
+        cache, _, lsm, _ = self.hydrate(
+            cache, tokens, 0, want_last_logits=False, collect_all_logits=True,
+            progress=progress)
+        # lsm[i] = log_softmax of logits after feeding tokens[i]
+        targets = np.asarray(tokens[1:])
+        logprobs = lsm[np.arange(N - 1), targets]
+        n = N - 1
+        s = float(-logprobs.sum())
+        ss = float((logprobs ** 2).sum())
+        ppl = float(np.exp(s / n))
+        err = ppl * float(np.sqrt(max(ss - s * s / n, 0.0) / n / n))
+        return ppl, err, n

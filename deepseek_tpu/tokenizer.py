@@ -29,7 +29,7 @@ class Tokenizer:
         self.eot_id = -1
         self.byte_fallback_start = -1
         for i, piece in enumerate(self.vocab):
-            if piece == b"<0x00>":
+            if piece == b"<0x00>" and i + 256 <= len(self.vocab):
                 self.byte_fallback_start = i
             elif piece in _EOT_STRINGS:
                 self.eot_id = i

@@ -1,0 +1,114 @@
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from deepseek_tpu.engine import Engine
+from deepseek_tpu.utils import codec
+from tests.util_tinymodel import (
+    tiny_checkpoint_tensors, tiny_config, tiny_metadata, tiny_weights,
+)
+
+
+@pytest.fixture(scope="module")
+def ckpt_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("ckpt")
+    cfg = tiny_config(use_mla=True, vocab_size=300, max_seq_len=128,
+                      rs_original_max_position_embeddings=24)
+    codec.save_checkpoint(
+        str(d), [tiny_checkpoint_tensors(cfg, tiny_weights(cfg, 42))],
+        tiny_metadata(cfg))
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def engine(ckpt_dir):
+    return Engine(ckpt_dir, seed=0, prefill_chunk=8)
+
+
+def test_generate_greedy_deterministic(engine):
+    toks = engine.tokenizer.encode("hello", bos=True)
+    out1, st = engine.generate(toks, num_steps=6, temperature=0.0)
+    out2, _ = engine.generate(toks, num_steps=6, temperature=0.0)
+    assert out1 == out2
+    assert st.prompt_tokens == len(toks)
+    assert 0 < st.generated_tokens <= 6
+    assert st.active_bytes_per_token > 0
+
+
+def test_hydrate_chunked_equals_stepwise(engine):
+    """Chunked/padded hydrate must produce the same logits as pure decode."""
+    rng = np.random.default_rng(0)
+    tokens = rng.integers(3, 250, size=11).tolist()  # 11 = chunk(8) + partial(3)
+    cache = engine.new_cache()
+    cache, logits, _, pos = engine.hydrate(cache, tokens, 0)
+    assert pos == len(tokens)
+
+    step = engine.fwd(False, "last")
+    cache2 = engine.new_cache()
+    want = None
+    for p, t in enumerate(tokens):
+        out, cache2 = step(engine.params, cache2, jnp.asarray([[t]], jnp.int32), p)
+        want = np.asarray(out[0])
+    np.testing.assert_allclose(logits, want, rtol=1e-4, atol=1e-4)
+
+
+def test_hydrate_past_window_equals_stepwise(engine):
+    """Prompt longer than the 24-slot window: prefill + ring decode fallback."""
+    rng = np.random.default_rng(1)
+    tokens = rng.integers(3, 250, size=40).tolist()
+    cache = engine.new_cache()
+    cache, logits, _, _ = engine.hydrate(cache, tokens, 0)
+
+    step = engine.fwd(False, "last")
+    cache2 = engine.new_cache()
+    want = None
+    for p, t in enumerate(tokens):
+        out, cache2 = step(engine.params, cache2, jnp.asarray([[t]], jnp.int32), p)
+        want = np.asarray(out[0])
+    np.testing.assert_allclose(logits, want, rtol=2e-3, atol=2e-3)
+
+
+def test_perplexity_matches_stepwise(engine):
+    rng = np.random.default_rng(2)
+    tokens = rng.integers(3, 250, size=13).tolist()
+    ppl, err, n = engine.perplexity(tokens)
+    assert n == len(tokens) - 1
+
+    # independent computation via raw decode steps + numpy softmax
+    step = engine.fwd(False, "last")
+    cache = engine.new_cache()
+    s = 0.0
+    for p in range(len(tokens) - 1):
+        out, cache = step(engine.params, cache, jnp.asarray([[tokens[p]]], jnp.int32), p)
+        logits = np.asarray(out[0], np.float64)
+        e = np.exp(logits - logits.max())
+        prob = e[tokens[p + 1]] / e.sum()
+        s += -np.log(prob)
+    want_ppl = np.exp(s / n)
+    np.testing.assert_allclose(ppl, want_ppl, rtol=1e-3)
+    assert err > 0
+
+
+def test_cli_completion_smoke(ckpt_dir, capsys):
+    from deepseek_tpu.cli import main
+    main([ckpt_dir, "-m", "completion", "-i", "hi", "-n", "3", "-t", "0",
+          "--chunk", "8", "--seed", "1"])
+    out = capsys.readouterr().out
+    assert "Generation stats" in out and "throughput" in out
+
+
+def test_cli_perplexity_smoke(ckpt_dir, capsys):
+    from deepseek_tpu.cli import main
+    main([ckpt_dir, "-m", "perplexity", "-i", "hello world test", "--chunk", "8"])
+    out = capsys.readouterr().out
+    assert "perplexity:" in out
+
+
+def test_cli_rejects_bad_flags(ckpt_dir):
+    from deepseek_tpu.cli import main
+    with pytest.raises(SystemExit):
+        main([ckpt_dir, "-m", "completion"])  # no prompt
+    with pytest.raises(SystemExit):
+        main([ckpt_dir, "-m", "nope"])
+    with pytest.raises(SystemExit):
+        main([ckpt_dir, "-m", "perplexity", "-i", "a", "-w"])  # two sources
