@@ -1,0 +1,106 @@
+"""Decode-throughput benchmark (driver-run on real TPU hardware).
+
+Measures steady-state single-batch decode tokens/s on a DeepSeek-V2-Lite-
+proportioned model (absorbed MLA + 64-expert MoE, bf16 weights) sized to fit
+one chip's HBM. The loop keeps sampling on device (argmax feedback) so it
+measures the serving decode step, not host round-trips.
+
+vs_baseline compares against the reference's headline decode number
+(4.02 tok/s, DeepSeek-V3 Q2_K on a 48-core CPU — BASELINE.md); hardware and
+model scale differ, it is the only published number.
+
+Prints exactly one JSON line.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+from deepseek_tpu.config import (
+    ActivationType, ModelConfig, QuantKind, ScoringFunc, TopKMethod,
+)
+from deepseek_tpu.models import init_cache, make_forward
+from deepseek_tpu.models.loader import params_active_bytes
+from deepseek_tpu.models.testing import random_params
+
+BASELINE_TOK_S = 4.02
+
+
+def bench_config(layers: int = 8) -> ModelConfig:
+    """V2-Lite proportions (dim 2048, 16 heads, MLA r512, 64 experts, 6
+    active, m=1408), depth trimmed to fit one v5e's HBM in bf16."""
+    return ModelConfig(
+        dim=2048, hidden_dim=10944, n_layers=layers, n_heads=16,
+        vocab_size=102400, max_seq_len=4096, rope_theta=10000.0,
+        norm_eps=1e-6, act=ActivationType.SILU, first_k_dense_replace=1,
+        n_shared_experts=2, n_routed_experts=64, n_active_routed=6,
+        moe_intermediate_size=1408, routed_scaling_factor=1.0, n_group=8,
+        norm_topk_prob=False, scoring_func=ScoringFunc.SOFTMAX,
+        topk_group=3, topk_method=TopKMethod.GREEDY, has_moegate_bias=False,
+        use_mla=True, kv_lora_rank=512, q_lora_rank=1536,
+        qk_nope_head_dim=128, qk_rope_head_dim=64, v_head_dim=128,
+        weight_quant=QuantKind.F16,
+        rs_original_max_position_embeddings=4096,
+        compute_dtype="bfloat16", kv_cache_dtype="bfloat16",
+    )
+
+
+def main():
+    import numpy as np
+
+    backend = jax.default_backend()
+    layers = 8 if backend != "cpu" else 2
+    cfg = bench_config(layers)
+
+    params = random_params(cfg, seed=0)
+    jax.block_until_ready(jax.tree.leaves(params))
+    cache = init_cache(cfg, batch=1)
+
+    # fused on-device rollout: one dispatch = `block` decode+sample steps
+    # (lax.scan with greedy feedback), the production serving shape
+    from deepseek_tpu.models.deepseek import make_decode_loop
+
+    block = 32 if backend != "cpu" else 4
+    loop = make_decode_loop(cfg, block)
+    key = jax.random.PRNGKey(0)
+    temp = jnp.float32(0.0)
+    topp = jnp.float32(1.0)
+
+    tok = jnp.zeros((1, 1), jnp.int32)
+    # warmup / compile; NOTE: under remote execution block_until_ready can
+    # return before the computation really finishes — a host transfer is the
+    # only reliable sync, so every timing boundary fetches data.
+    toks, _, cache = loop(params, cache, tok, jnp.int32(0), key, temp, topp)
+    tok = toks[:, -1:]
+    _ = int(np.asarray(tok)[0, 0])
+
+    n_blocks = 8 if backend != "cpu" else 2
+    n_steps = n_blocks * block
+    pos0 = block
+    t0 = time.perf_counter()
+    for i in range(n_blocks):
+        toks, _, cache = loop(params, cache, tok, jnp.int32(pos0 + i * block),
+                              key, temp, topp)
+        tok = toks[:, -1:]
+    _ = int(np.asarray(tok)[0, 0])  # real sync
+    dt = time.perf_counter() - t0
+
+    tok_s = n_steps / dt
+    gb_s = params_active_bytes(params, cfg, pos0 + n_steps) * tok_s / 1e9
+    print(json.dumps({
+        "metric": f"decode_tok_per_s_1chip_{backend}_v2lite8L_bf16",
+        "value": round(tok_s, 3),
+        "unit": "tok/s",
+        "vs_baseline": round(tok_s / BASELINE_TOK_S, 3),
+        "extra": {
+            "layers": layers,
+            "active_GB_per_s": round(gb_s, 2),
+            "backend": backend,
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

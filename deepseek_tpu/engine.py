@@ -21,6 +21,7 @@ import numpy as np
 
 from deepseek_tpu.config import ModelConfig
 from deepseek_tpu.models import init_cache, make_forward
+from deepseek_tpu.models.deepseek import make_decode_loop
 from deepseek_tpu.models.loader import load_params, params_active_bytes
 from deepseek_tpu.sampler import Sampler
 from deepseek_tpu.tokenizer import Tokenizer
@@ -57,6 +58,7 @@ class Engine:
         runtime_dtype: Optional[str] = None,
         seed: Optional[int] = None,
         prefill_chunk: int = 64,
+        decode_block: int = 32,
     ):
         self.data = load_checkpoint(checkpoint_dir)
         overrides = {}
@@ -70,6 +72,9 @@ class Engine:
         self.tokenizer = Tokenizer.from_checkpoint(self.data)
         self.sampler = Sampler(self.cfg.vocab_size, seed)
         self.prefill_chunk = max(1, prefill_chunk)
+        # tokens sampled on device per decode dispatch (1 = step-per-token)
+        self.decode_block = max(1, decode_block)
+        self._key = jax.random.PRNGKey(seed if seed is not None else 0)
         self._fns = {}
 
     # ------------------------------------------------------------------
@@ -78,6 +83,12 @@ class Engine:
         if key not in self._fns:
             self._fns[key] = make_forward(
                 self.cfg, prefill=prefill, logits_mode=logits_mode)
+        return self._fns[key]
+
+    def decode_loop(self, n_steps: int):
+        key = ("loop", n_steps)
+        if key not in self._fns:
+            self._fns[key] = make_decode_loop(self.cfg, n_steps)
         return self._fns[key]
 
     def new_cache(self, batch: int = 1):
@@ -179,22 +190,48 @@ class Engine:
         else:
             max_new = num_steps
 
-        step_fn = self.fwd(False, "last")
         out_tokens: List[int] = []
         prev = prompt_tokens[-1] if prompt_tokens else self.tokenizer.bos_id
-        t0 = time.perf_counter()
-        while len(out_tokens) < max_new:
-            token = self.sampler.sample(logits, temperature, top_p)
+
+        def emit(token: int) -> bool:
+            nonlocal prev
             out_tokens.append(token)
             if on_token is not None:
                 on_token(token, self.tokenizer.decode_one(prev, token))
             prev = token
-            if self.tokenizer.is_eos_or_eot(token):
-                break
-            logits_dev, cache = step_fn(
-                self.params, cache, jnp.asarray([[token]], jnp.int32), pos)
-            logits = np.asarray(logits_dev[0])
-            pos += 1
+            return self.tokenizer.is_eos_or_eot(token)
+
+        t0 = time.perf_counter()
+        # first token comes from the hydrate logits (host-side sample)
+        token = self.sampler.sample(logits, temperature, top_p)
+        stopped = emit(token)
+
+        if self.decode_block > 1:
+            # fused on-device rollout: one dispatch per decode_block tokens
+            loop = self.decode_loop(self.decode_block)
+            while not stopped and len(out_tokens) < max_new:
+                self._key, sub = jax.random.split(self._key)
+                toks_dev, _, cache = loop(
+                    self.params, cache, jnp.asarray([[token]], jnp.int32),
+                    pos, sub, jnp.float32(temperature), jnp.float32(top_p))
+                block = np.asarray(toks_dev[0]).tolist()
+                pos += len(block)
+                token = block[-1]
+                for t in block:
+                    stopped = emit(t)
+                    if stopped or len(out_tokens) >= max_new:
+                        stopped = True
+                        break
+        else:
+            # reference-shaped one-token-per-forward loop
+            step_fn = self.fwd(False, "last")
+            while not stopped and len(out_tokens) < max_new:
+                logits_dev, cache = step_fn(
+                    self.params, cache, jnp.asarray([[token]], jnp.int32), pos)
+                logits = np.asarray(logits_dev[0])
+                pos += 1
+                token = self.sampler.sample(logits, temperature, top_p)
+                stopped = emit(token)
         stats.generate_s = time.perf_counter() - t0
         stats.generated_tokens = len(out_tokens)
         stats.active_bytes_per_token = self.active_bytes(pos)

@@ -229,3 +229,39 @@ def make_forward(cfg: ModelConfig, *, prefill: bool = False,
     if jit:
         fn = jax.jit(fn, donate_argnums=(1,))
     return fn
+
+
+def make_decode_loop(cfg: ModelConfig, n_steps: int, *, jit: bool = True):
+    """Fused multi-token decode: one dispatch runs ``n_steps`` forward+sample
+    iterations as a lax.scan with the feedback token staying on device.
+
+    This is the TPU serving shape — per-dispatch host overhead (pytree
+    flattening, runtime round-trips) is amortized over the whole block.
+
+    Returns ``fn(params, cache, tok (B,1) int32, pos0, key, temperature,
+    top_p) -> (tokens (B, n_steps) int32, logits_last (B,V), cache)`` where
+    ``tok`` is the already-sampled token to feed first; ``tokens`` are the
+    n_steps tokens sampled on device (tokens[:, 0] is the successor of tok).
+    """
+    from deepseek_tpu.ops.sampling import sample_token
+
+    fwd = functools.partial(
+        _forward_impl, cfg=cfg, prefill=False, logits_mode="last")
+
+    def loop(params, cache, tok, pos0, key, temperature, top_p):
+        pos0 = jnp.asarray(pos0, jnp.int32)
+
+        def body(carry, i):
+            cache, tok, key = carry
+            logits, cache = fwd(params, cache, tok, pos0 + i)
+            key, sub = jax.random.split(key)
+            nxt = sample_token(logits, sub, temperature, top_p)
+            return (cache, nxt[:, None], key), (nxt, logits)
+
+        (cache, _, _), (tokens, logits_all) = jax.lax.scan(
+            body, (cache, tok, key), jnp.arange(n_steps, dtype=jnp.int32))
+        return jnp.swapaxes(tokens, 0, 1), logits_all[-1], cache
+
+    if jit:
+        loop = jax.jit(loop, donate_argnums=(1,))
+    return loop

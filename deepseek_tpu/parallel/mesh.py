@@ -1,0 +1,83 @@
+"""Device mesh construction.
+
+The reference's only parallelism is OpenMP threads inside one process
+(SURVEY.md §2b); here the scaling story is a ``jax.sharding.Mesh`` over the
+slice with three logical axes:
+
+- ``data``    — batch (DP / continuous batching)
+- ``expert``  — routed-expert axis (EP); all-to-all rides ICI
+- ``tensor``  — attention heads + FFN hidden dim (TP)
+
+XLA/GSPMD inserts the collectives (psum for row-parallel matmuls,
+all-to-all for expert dispatch) from the shardings alone.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+AXES = ("data", "expert", "tensor")
+
+
+def make_mesh(
+    data: int = 1,
+    expert: int = 1,
+    tensor: int = 1,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    n = data * expert * tensor
+    if n > len(devices):
+        raise ValueError(
+            f"mesh ({data},{expert},{tensor}) needs {n} devices, "
+            f"have {len(devices)}")
+    grid = np.asarray(devices[:n]).reshape(data, expert, tensor)
+    return Mesh(grid, AXES)
+
+
+def default_mesh_shape(n_devices: int, cfg=None) -> Tuple[int, int, int]:
+    """Balanced (data, expert, tensor) factorization for n devices.
+
+    Prime factors are assigned round-robin expert -> tensor -> data (expert
+    parallelism first: routed-expert GEMMs dominate decode bytes for MoE),
+    respecting divisibility of n_routed_experts / n_heads when a config is
+    given. Any factor that fits nowhere lands on data.
+    """
+    factors = []
+    n = n_devices
+    for p in (2, 3, 5, 7):
+        while n % p == 0:
+            factors.append(p)
+            n //= p
+    if n > 1:
+        factors.append(n)
+
+    data = expert = tensor = 1
+    moe = cfg is None or cfg.n_routed_experts > 0
+    order = 0
+    for f in sorted(factors, reverse=True):
+        placed = False
+        for _ in range(3):
+            which = ("expert", "tensor", "data")[order % 3]
+            order += 1
+            if which == "expert":
+                if moe and (cfg is None or cfg.n_routed_experts % (expert * f) == 0):
+                    expert *= f
+                    placed = True
+                    break
+            elif which == "tensor":
+                if cfg is None or cfg.n_heads % (tensor * f) == 0:
+                    tensor *= f
+                    placed = True
+                    break
+            else:
+                data *= f
+                placed = True
+                break
+        if not placed:
+            data *= f
+    return (data, expert, tensor)

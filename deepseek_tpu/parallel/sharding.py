@@ -1,0 +1,108 @@
+"""Sharding rules: parameter/cache pytrees -> NamedSharding pytrees.
+
+TP shards the head-major output dims of attention projections and the FFN
+hidden dim (column-parallel w1/w3, row-parallel w2/wo — GSPMD inserts the
+psum). EP shards the stacked routed-expert axis. DP shards the cache batch
+dim. Every QTensor variant's packed fields scale proportionally with the
+logical (out, in) dims, so one logical PartitionSpec applies to all fields of
+a tensor; ``_fit`` drops any axis that doesn't divide evenly (e.g. per-tensor
+fp8 scales, odd vocab sizes) rather than failing.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from deepseek_tpu.config import ModelConfig
+from deepseek_tpu.models.kvcache import KVCache
+from deepseek_tpu.models.params import LayerParams, ModelParams
+
+
+def _fit(arr, spec: tuple, mesh: Mesh) -> P:
+    """Clamp a logical spec to what the array's shape actually supports."""
+    dims = []
+    for i in range(arr.ndim):
+        ax = spec[i] if i < len(spec) else None
+        if ax is not None and arr.shape[i] % mesh.shape[ax] == 0:
+            dims.append(ax)
+        else:
+            dims.append(None)
+    return P(*dims)
+
+
+def _qt(qt, spec: tuple, mesh: Mesh):
+    if qt is None:
+        return None
+    return jax.tree.map(lambda a: NamedSharding(mesh, _fit(a, spec, mesh)), qt)
+
+
+def _rep(arr, mesh: Mesh):
+    if arr is None:
+        return None
+    return jax.tree.map(lambda a: NamedSharding(mesh, P()), arr)
+
+
+# logical specs; leading axis names applied to as many dims as each field has
+COL = ("tensor", None)          # column-parallel: shard out features
+ROW = (None, "tensor")          # row-parallel: shard in features (psum after)
+EXP = ("expert", None, None)    # stacked experts
+REPL = ()
+
+
+def param_shardings(params: ModelParams, cfg: ModelConfig, mesh: Mesh) -> ModelParams:
+    layers = []
+    for l, lp in enumerate(params.layers):
+        moe = cfg.is_moe_layer(l)
+        layers.append(LayerParams(
+            attn_norm=_rep(lp.attn_norm, mesh),
+            ffn_norm=_rep(lp.ffn_norm, mesh),
+            kv_a_norm=_rep(lp.kv_a_norm, mesh),
+            q_a_norm=_rep(lp.q_a_norm, mesh),
+            wkv_a=_qt(lp.wkv_a, REPL, mesh),
+            wo=_qt(lp.wo, ROW, mesh),
+            wq=_qt(lp.wq, COL, mesh),
+            wq_a=_qt(lp.wq_a, REPL, mesh),
+            wq_b=_qt(lp.wq_b, COL, mesh),
+            wkv_b=_qt(lp.wkv_b, COL, mesh),
+            wc=_qt(lp.wc, COL, mesh),
+            wq_rope_b=_qt(lp.wq_rope_b, COL, mesh),
+            wv_b=_qt(lp.wv_b, COL, mesh),
+            w1=_qt(lp.w1, EXP if moe else COL, mesh),
+            w2=_qt(lp.w2, EXP if moe else ROW, mesh),
+            w3=_qt(lp.w3, EXP if moe else COL, mesh),
+            shared_w1=_qt(lp.shared_w1, COL, mesh),
+            shared_w2=_qt(lp.shared_w2, ROW, mesh),
+            shared_w3=_qt(lp.shared_w3, COL, mesh),
+            moegate=_rep(lp.moegate, mesh),
+            moegate_bias=_rep(lp.moegate_bias, mesh),
+        ))
+    return ModelParams(
+        embed=_qt(params.embed, REPL, mesh),
+        layers=layers,
+        final_norm=_rep(params.final_norm, mesh),
+        lm_head=_qt(params.lm_head, COL, mesh),
+    )
+
+
+def cache_shardings(cache: KVCache, cfg: ModelConfig, mesh: Mesh) -> KVCache:
+    def fit(arr, spec):
+        if arr is None:
+            return None
+        return NamedSharding(mesh, _fit(arr, spec, mesh))
+    return KVCache(
+        k=fit(cache.k, (None, "data", None, "tensor", None)),
+        v=fit(cache.v, (None, "data", None, "tensor", None)),
+        ckv=fit(cache.ckv, (None, "data", None, None)),
+        krope=fit(cache.krope, (None, "data", None, None)),
+    )
+
+
+def shard_params(params: ModelParams, cfg: ModelConfig, mesh: Mesh) -> ModelParams:
+    return jax.device_put(params, param_shardings(params, cfg, mesh))
+
+
+def shard_cache(cache: KVCache, cfg: ModelConfig, mesh: Mesh) -> KVCache:
+    return jax.device_put(cache, cache_shardings(cache, cfg, mesh))
