@@ -49,6 +49,16 @@ class Tokenizer:
                 node = nxt
             self._token_at[node] = tid
 
+        # native C++ trie fast path (same semantics; tests assert equality)
+        self._native = None
+        try:
+            from deepseek_tpu.native import tokenizer_native
+            if tokenizer_native.available():
+                self._native = tokenizer_native.NativeEncoder(
+                    self.vocab, self.byte_fallback_start)
+        except ImportError:
+            pass
+
     @classmethod
     def from_checkpoint(cls, data: CheckpointData) -> "Tokenizer":
         vocab = unpack_tokenizer_tokens(data["tokenizer.tokens"])
@@ -71,6 +81,9 @@ class Tokenizer:
         out: List[int] = []
         if bos:
             out.append(self.bos_id)
+        if self._native is not None:
+            out.extend(self._native.encode(data))
+            return out
         children = self._children
         token_at = self._token_at
         i = 0
