@@ -117,6 +117,10 @@ class ModelConfig:
     compute_dtype: str = "float32"
     # dtype the KV cache is stored in (reference stores f16)
     kv_cache_dtype: str = "float16"
+    # compute-kernel selection: "auto" uses the Pallas fused-dequant /
+    # expert-gather kernels on TPU and the XLA dequant path elsewhere;
+    # "xla" / "pallas" force a path (pallas off-TPU runs interpreted — tests)
+    kernel_impl: str = "auto"
 
     @property
     def head_dim(self) -> int:

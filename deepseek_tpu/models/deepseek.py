@@ -29,16 +29,18 @@ from deepseek_tpu.config import KV_SINKS, ModelConfig
 from deepseek_tpu.models.kvcache import KVCache, ring_positions
 from deepseek_tpu.models.params import LayerParams, ModelParams, embed_lookup
 from deepseek_tpu.ops import (
-    apply_rope, decode_attn_mha, decode_attn_mla, glu_act, moe_gate, qmatmul,
-    rmsnorm,
+    apply_rope, decode_attn_mha, decode_attn_mla, glu_act, moe_gate, rmsnorm,
 )
 from deepseek_tpu.ops.attention import prefill_attn_mha, prefill_attn_mla
-from deepseek_tpu.ops.matmul import gather_experts
+from deepseek_tpu.ops.matmul import (
+    gather_experts, kernel_impl, qmatmul, reshape_rows,
+)
+from deepseek_tpu.quant.qtensor import PlainTensor
 
 
 def _attention(lp: LayerParams, cfg: ModelConfig, xb: jnp.ndarray,
                cache: KVCache, layer: int, pos_vec: jnp.ndarray,
-               cache_start, kv_len, kv_sink, prefill: bool
+               cache_start, kv_len, kv_sink, prefill: bool, impl
                ) -> Tuple[jnp.ndarray, KVCache]:
     """Runs either attention path; returns (attn_out (B,T,dim), cache)."""
     B, T, _ = xb.shape
@@ -49,17 +51,20 @@ def _attention(lp: LayerParams, cfg: ModelConfig, xb: jnp.ndarray,
     theta = cfg.rope_theta
     posb = pos_vec[None, :, None]  # broadcasts over (B, T, H)
 
-    kv_a = qmatmul(lp.wkv_a, xb)                       # (B, T, R + P)
+    def mm(qt, x):
+        return qmatmul(qt, x, impl=impl)
+
+    kv_a = mm(lp.wkv_a, xb)                            # (B, T, R + P)
     k_rope = apply_rope(
         kv_a[..., R:].astype(jnp.float32), pos_vec[None, :], theta, is_v3)
     ckv = rmsnorm(kv_a[..., :R], lp.kv_a_norm, cfg.norm_eps)
 
     if cfg.use_mla:
         # absorbed path (BlockMLA, infer.cpp:1052-1141)
-        q_a = rmsnorm(qmatmul(lp.wq_a, xb), lp.q_a_norm, cfg.norm_eps)
-        q_rope = qmatmul(lp.wq_rope_b, q_a).reshape(B, T, H, P)
+        q_a = rmsnorm(mm(lp.wq_a, xb), lp.q_a_norm, cfg.norm_eps)
+        q_rope = mm(lp.wq_rope_b, q_a).reshape(B, T, H, P)
         q_rope = apply_rope(q_rope.astype(jnp.float32), posb, theta, is_v3)
-        q_c = qmatmul(lp.wc, q_a).reshape(B, T, H, R).astype(jnp.float32)
+        q_c = mm(lp.wc, q_a).reshape(B, T, H, R).astype(jnp.float32)
 
         cdt = cache.ckv.dtype
         ckv_l = jax.lax.dynamic_update_slice(
@@ -83,10 +88,19 @@ def _attention(lp: LayerParams, cfg: ModelConfig, xb: jnp.ndarray,
                 cfg.head_dim)[:, None]                              # (B,1,H,R)
 
         # per-head up-projection of attended latents (wv_b, infer.cpp:1134-1137)
-        wv_b = lp.wv_b.dequant(jnp.float32).reshape(H, Dv, R)
-        v = jnp.einsum("bthr,hvr->bthv", lat, wv_b,
-                       preferred_element_type=jnp.float32)
-        attn = qmatmul(lp.wo, v.reshape(B, T, H * Dv).astype(xb.dtype))
+        if impl is not None and not prefill and not isinstance(lp.wv_b, PlainTensor):
+            # expert-gather kernel with idx = head index: each head's packed
+            # block is read exactly once, nothing dequantizes to HBM
+            from deepseek_tpu.ops.pallas.qmm import qmm_experts
+            wv3 = reshape_rows(lp.wv_b, H)
+            hidx = jnp.broadcast_to(jnp.arange(H, dtype=jnp.int32)[None], (B, H))
+            v = qmm_experts(wv3, hidx, lat[:, 0], interpret=impl["interpret"])
+            v = v[:, None]                                   # (B,1,H,Dv)
+        else:
+            wv_b = lp.wv_b.dequant(jnp.float32).reshape(H, Dv, R)
+            v = jnp.einsum("bthr,hvr->bthv", lat, wv_b,
+                           preferred_element_type=jnp.float32)
+        attn = mm(lp.wo, v.reshape(B, T, H * Dv).astype(xb.dtype))
         cache = KVCache(k=None, v=None,
                         ckv=cache.ckv.at[layer].set(ckv_l),
                         krope=cache.krope.at[layer].set(krope_l))
@@ -94,15 +108,15 @@ def _attention(lp: LayerParams, cfg: ModelConfig, xb: jnp.ndarray,
 
     # decompressed path (BlockMHA, infer.cpp:935-1049)
     if cfg.q_lora_rank > 0:
-        q_a = rmsnorm(qmatmul(lp.wq_a, xb), lp.q_a_norm, cfg.norm_eps)
-        q = qmatmul(lp.wq_b, q_a)
+        q_a = rmsnorm(mm(lp.wq_a, xb), lp.q_a_norm, cfg.norm_eps)
+        q = mm(lp.wq_b, q_a)
     else:
-        q = qmatmul(lp.wq, xb)
+        q = mm(lp.wq, xb)
     q = q.reshape(B, T, H, cfg.head_dim).astype(jnp.float32)
     q_pe = apply_rope(q[..., nope:], posb, theta, is_v3)
     q = jnp.concatenate([q[..., :nope], q_pe], axis=-1)
 
-    kv_b = qmatmul(lp.wkv_b, ckv).reshape(B, T, H, nope + Dv)
+    kv_b = mm(lp.wkv_b, ckv).reshape(B, T, H, nope + Dv)
     k = jnp.concatenate(
         [kv_b[..., :nope].astype(jnp.float32),
          jnp.broadcast_to(k_rope[:, :, None, :], (B, T, H, P))], axis=-1)
@@ -125,22 +139,22 @@ def _attention(lp: LayerParams, cfg: ModelConfig, xb: jnp.ndarray,
             jnp.where(kv_sink > 0, rot, sink))
         out = decode_attn_mha(q[:, 0], k_l, v_l, kv_len)[:, None]   # (B,1,H,Dv)
 
-    attn = qmatmul(lp.wo, out.reshape(B, T, H * Dv).astype(xb.dtype))
+    attn = mm(lp.wo, out.reshape(B, T, H * Dv).astype(xb.dtype))
     cache = KVCache(k=cache.k.at[layer].set(k_l),
                     v=cache.v.at[layer].set(v_l),
                     ckv=None, krope=None)
     return attn, cache
 
 
-def _dense_glu(w1, w2, w3, xb: jnp.ndarray, cfg: ModelConfig) -> jnp.ndarray:
-    h = glu_act(qmatmul(w1, xb), qmatmul(w3, xb), cfg.act)
-    return qmatmul(w2, h)
+def _dense_glu(w1, w2, w3, xb: jnp.ndarray, cfg: ModelConfig, impl) -> jnp.ndarray:
+    h = glu_act(qmatmul(w1, xb, impl=impl), qmatmul(w3, xb, impl=impl), cfg.act)
+    return qmatmul(w2, h, impl=impl)
 
 
 def _ffn(lp: LayerParams, cfg: ModelConfig, xb: jnp.ndarray, layer: int,
-         prefill: bool) -> jnp.ndarray:
+         prefill: bool, impl) -> jnp.ndarray:
     if not cfg.is_moe_layer(layer):
-        return _dense_glu(lp.w1, lp.w2, lp.w3, xb, cfg)
+        return _dense_glu(lp.w1, lp.w2, lp.w3, xb, cfg, impl)
 
     router_logits = jnp.einsum(
         "btd,ed->bte", xb.astype(jnp.float32), lp.moegate,
@@ -163,6 +177,21 @@ def _ffn(lp: LayerParams, cfg: ModelConfig, xb: jnp.ndarray, layer: int,
         d2 = lp.w2.dequant(dtype)                                 # (E,dim,m)
         per_e = jnp.einsum("btem,edm->bted", h, d2, preferred_element_type=jnp.float32)
         out = jnp.einsum("bted,bte->btd", per_e, wmat).astype(dtype)
+    elif impl is not None:
+        # decode hot path: scalar-prefetch expert kernel — only the k active
+        # experts' packed bytes leave HBM (the XLA gather reads all E)
+        from deepseek_tpu.ops.pallas.qmm import qmm_experts
+        B, T, k = idx.shape
+        assert T == 1
+        idx2 = idx[:, 0]                                          # (B, k)
+        x2 = xb[:, 0]                                             # (B, dim)
+        xk = jnp.broadcast_to(x2[:, None], (B, k, x2.shape[-1]))
+        h = glu_act(
+            qmm_experts(lp.w1, idx2, xk, interpret=impl["interpret"]).astype(dtype),
+            qmm_experts(lp.w3, idx2, xk, interpret=impl["interpret"]).astype(dtype),
+            cfg.act)                                              # (B, k, m)
+        per_k = qmm_experts(lp.w2, idx2, h, interpret=impl["interpret"])
+        out = (per_k * weights[:, 0, :, None]).sum(axis=1)[:, None].astype(dtype)
     else:
         # decode: gather only the k active experts' quantized weights
         w1k = gather_experts(lp.w1, idx).dequant(dtype)           # (B,T,k,m,dim)
@@ -176,7 +205,7 @@ def _ffn(lp: LayerParams, cfg: ModelConfig, xb: jnp.ndarray, layer: int,
         out = (per_k * weights[..., None]).sum(axis=2).astype(dtype)
 
     if cfg.n_shared_experts > 0 and lp.shared_w1 is not None:
-        out = out + _dense_glu(lp.shared_w1, lp.shared_w2, lp.shared_w3, xb, cfg)
+        out = out + _dense_glu(lp.shared_w1, lp.shared_w2, lp.shared_w3, xb, cfg, impl)
     return out
 
 
@@ -185,6 +214,9 @@ def _forward_impl(params: ModelParams, cache: KVCache, tokens: jnp.ndarray,
                   ) -> Tuple[Optional[jnp.ndarray], KVCache]:
     B, T = tokens.shape
     dtype = jnp.dtype(cfg.compute_dtype)
+    # Pallas kernels currently assume unsharded operands; the sharded path
+    # keeps the XLA kernels (shard_map integration is future work)
+    impl = kernel_impl(cfg) if not prefill else None
     x = embed_lookup(params.embed, tokens, jnp.float32).astype(dtype)
 
     pos0 = jnp.asarray(pos0, jnp.int32)
@@ -200,17 +232,18 @@ def _forward_impl(params: ModelParams, cache: KVCache, tokens: jnp.ndarray,
     for layer, lp in enumerate(params.layers):
         xb = rmsnorm(x, lp.attn_norm, cfg.norm_eps)
         attn, cache = _attention(
-            lp, cfg, xb, cache, layer, pos_vec, cache_start, kv_len, kv_sink, prefill)
+            lp, cfg, xb, cache, layer, pos_vec, cache_start, kv_len, kv_sink,
+            prefill, impl)
         x = x + attn
         xb = rmsnorm(x, lp.ffn_norm, cfg.norm_eps)
-        x = x + _ffn(lp, cfg, xb, layer, prefill)
+        x = x + _ffn(lp, cfg, xb, layer, prefill, impl)
 
     if logits_mode == "none":
         return None, cache
     if logits_mode == "last":
         x = x[:, -1:]
     x = rmsnorm(x, params.final_norm, cfg.norm_eps)
-    logits = qmatmul(params.lm_head, x.astype(jnp.float32))
+    logits = qmatmul(params.lm_head, x.astype(jnp.float32), impl=impl)
     if logits_mode == "last":
         logits = logits[:, 0]
     return logits, cache

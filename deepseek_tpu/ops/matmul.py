@@ -16,11 +16,33 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from deepseek_tpu.quant.qtensor import QTensorLike
+from deepseek_tpu.quant.qtensor import PlainTensor, QTensorLike
 
 
-def qmatmul(qt, x: jnp.ndarray, dtype=None) -> jnp.ndarray:
-    """x (..., in) @ W.T -> (..., out). Accumulates in float32 on the MXU."""
+_AUTO_PALLAS = False  # flipped when scripts/tpu_smoke.py passes on hardware
+
+
+def kernel_impl(cfg) -> dict | None:
+    """Resolve cfg.kernel_impl -> None (XLA path) or {'interpret': bool}."""
+    mode = getattr(cfg, "kernel_impl", "auto")
+    if mode == "xla":
+        return None
+    on_tpu = jax.default_backend() == "tpu"
+    if mode == "pallas":
+        return {"interpret": not on_tpu}
+    # "auto": pallas on TPU once per-primitive Mosaic support is verified
+    # (scripts/tpu_smoke.py); conservatively XLA until then
+    return {"interpret": False} if on_tpu and _AUTO_PALLAS else None
+
+
+def qmatmul(qt, x: jnp.ndarray, dtype=None, impl: dict | None = None) -> jnp.ndarray:
+    """x (..., in) @ W.T -> (..., out). Accumulates in float32 on the MXU.
+
+    With ``impl`` set and a quantized weight, dispatches to the Pallas
+    fused-dequant kernel (the dequantized weight never hits HBM)."""
+    if impl is not None and not isinstance(qt, PlainTensor):
+        from deepseek_tpu.ops.pallas.qmm import qmm
+        return qmm(qt, x, interpret=impl["interpret"]).astype(x.dtype)
     dtype = dtype or x.dtype
     w = qt.dequant(dtype)
     assert w.ndim == 2, f"qmatmul expects 2-D weight, got {w.shape}"
@@ -42,5 +64,21 @@ def gather_experts(qt, idx: jnp.ndarray):
 
     Works for every variant because all data fields carry the expert axis.
     idx may have any shape; the result's leading dims are idx.shape.
+
+    NOTE: under XLA on TPU this lowers to a gather that reads ALL experts
+    (measured: decode time scales with E, not k) — the decode hot path uses
+    deepseek_tpu.ops.pallas.qmm.qmm_experts instead, which DMAs only the
+    selected experts via scalar-prefetch index maps.
     """
     return jax.tree.map(lambda a: jnp.take(a, idx, axis=0), qt)
+
+
+def reshape_rows(qt, lead: int):
+    """View a stacked-rows QTensor (lead*r, n) as (lead, r, n) (e.g. wv_b's
+    per-head blocks, model.h:447). Valid when every field's row count
+    divides by ``lead``."""
+    def r(a):
+        rows = a.shape[-2]
+        assert rows % lead == 0
+        return a.reshape(*a.shape[:-2], lead, rows // lead, a.shape[-1])
+    return jax.tree.map(r, qt)

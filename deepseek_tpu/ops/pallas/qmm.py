@@ -1,0 +1,254 @@
+"""Fused dequant + matmul Pallas kernels.
+
+TPU analogue of the reference's dtype-dispatched AVX2 matvec kernels
+(infer.cpp:121-417): weights stream from HBM in their packed form (K-quant
+bit planes / fp8 blocks), are unpacked and scaled in VMEM, and feed the MXU
+— the dequantized weight never exists in HBM, so decode stays at the
+quantized-bytes bandwidth roofline.
+
+Layout invariants (deepseek_tpu.quant.repack):
+- 2-bit planes: ``(qs >> (2p)) & 3`` is columns ``[p*n/4, (p+1)*n/4)`` —
+  unpack is shift + lane-dim concat, no shuffles.
+- 1-bit planes likewise with 8 slabs.
+- per-16-column scale bytes and per-256-column f32 super scales in original
+  column order (lane-broadcast via repeat).
+
+Grid: one program per TILE_D output rows, full reduction dim per program
+(activations are small; the weight tile dominates VMEM).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from deepseek_tpu.quant.qtensor import Fp8Tensor, PlainTensor, Q2KTensor, Q3KTensor
+
+
+def _unpack2(planes):
+    p32 = planes.astype(jnp.int32)
+    return jnp.concatenate([(p32 >> s) & 3 for s in (0, 2, 4, 6)], axis=-1)
+
+
+def _unpack1(planes):
+    p32 = planes.astype(jnp.int32)
+    return jnp.concatenate([(p32 >> b) & 1 for b in range(8)], axis=-1)
+
+
+def _rep16(a):
+    # per-element repeat along lanes (note: pltpu.repeat concatenates whole
+    # copies — different semantics)
+    return jnp.repeat(a, 16, axis=a.ndim - 1)
+
+
+def _tile_d(d: int, n: int) -> int:
+    """Output-row tile: smaller for huge reduction dims to bound VMEM.
+    Grids use cdiv, so td need not divide d (partial tiles are masked)."""
+    for td in (256, 128, 64, 32, 16):
+        if td * n * 6 <= 12 * 1024 * 1024:
+            return td
+    return 8
+
+
+# ---------------------------------------------------------------------------
+# kernel bodies (shared by the dense and expert-gather entry points)
+# ---------------------------------------------------------------------------
+
+def _q2k_body(x_ref, qs_ref, sm_ref, d_ref, dmin_ref, o_ref):
+    q = _unpack2(qs_ref[...]).astype(jnp.float32)          # (TD, n)
+    sm = sm_ref[...].astype(jnp.int32)
+    sc = (sm & 0xF).astype(jnp.float32)
+    mn = (sm >> 4).astype(jnp.float32)
+    scale = _rep16(_rep16(d_ref[...]) * sc)                # (TD, n)
+    minv = _rep16(_rep16(dmin_ref[...]) * mn)
+    w = scale * q - minv
+    o_ref[...] = jax.lax.dot_general(
+        x_ref[...], w, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def _q3k_body(x_ref, qs_ref, hm_ref, sc_ref, d_ref, o_ref):
+    qlow = _unpack2(qs_ref[...])
+    hbit = _unpack1(hm_ref[...])
+    q = (qlow + (hbit << 2) - 4).astype(jnp.float32)
+    scale = _rep16(_rep16(d_ref[...])
+                   * sc_ref[...].astype(jnp.int32).astype(jnp.float32))
+    w = scale * q
+    o_ref[...] = jax.lax.dot_general(
+        x_ref[...], w, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def _fp8_body(x_ref, w_ref, s_ref, o_ref, *, b0: int, b1: int):
+    w = w_ref[...].astype(jnp.float32)
+    s = s_ref[...]                                          # (TD/b0, n/b1)
+    s = jnp.repeat(jnp.repeat(s, b0, axis=0), b1, axis=1)
+    o_ref[...] = jax.lax.dot_general(
+        x_ref[...], w * s, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# dense entry point
+# ---------------------------------------------------------------------------
+
+def _x2d(x):
+    lead = x.shape[:-1]
+    return x.reshape(-1, x.shape[-1]), lead
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def qmm(qt, x, interpret: bool = False):
+    """x (..., n) @ W(out, n).T -> (..., out) f32, fused dequant on TPU."""
+    x2, lead = _x2d(x)
+    B, n = x2.shape
+    x2 = x2.astype(jnp.float32)
+
+    if isinstance(qt, PlainTensor):
+        out = jnp.einsum("bn,dn->bd", x2, qt.data.astype(jnp.float32),
+                         preferred_element_type=jnp.float32)
+        return out.reshape(*lead, -1)
+
+    d = qt.shape[-2]
+    td = _tile_d(d, n)
+    grid = (pl.cdiv(d, td),)
+    xspec = pl.BlockSpec((B, n), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    ospec = pl.BlockSpec((B, td), lambda i: (0, i), memory_space=pltpu.VMEM)
+    oshape = jax.ShapeDtypeStruct((B, d), jnp.float32)
+
+    def wspec(cols):
+        return pl.BlockSpec((td, cols), lambda i: (i, 0), memory_space=pltpu.VMEM)
+
+    if isinstance(qt, Q2KTensor):
+        out = pl.pallas_call(
+            _q2k_body, grid=grid, out_shape=oshape,
+            in_specs=[xspec, wspec(n // 4), wspec(n // 16),
+                      wspec(n // 256), wspec(n // 256)],
+            out_specs=ospec, interpret=interpret,
+        )(x2, qt.qs, qt.sm, qt.d, qt.dmin)
+    elif isinstance(qt, Q3KTensor):
+        out = pl.pallas_call(
+            _q3k_body, grid=grid, out_shape=oshape,
+            in_specs=[xspec, wspec(n // 4), wspec(n // 8),
+                      wspec(n // 16), wspec(n // 256)],
+            out_specs=ospec, interpret=interpret,
+        )(x2, qt.qs, qt.hm, qt.sc, qt.d)
+    elif isinstance(qt, Fp8Tensor):
+        b0, b1 = qt.block_size
+        if (b0, b1) == (0, 0):
+            w = qt.data.astype(jnp.float32) * qt.scale
+            out = jnp.einsum("bn,dn->bd", x2, w,
+                             preferred_element_type=jnp.float32)
+            return out.reshape(*lead, -1)
+        td = max(td, b0)
+        assert d % b0 == 0 and n % b1 == 0, "fp8 block grid must divide dims"
+        td = min(td, d) if d % b0 == 0 else b0
+        td = td - td % b0
+        grid = (pl.cdiv(d, td),)
+        xspec = pl.BlockSpec((B, n), lambda i: (0, 0), memory_space=pltpu.VMEM)
+        ospec = pl.BlockSpec((B, td), lambda i: (0, i), memory_space=pltpu.VMEM)
+        out = pl.pallas_call(
+            functools.partial(_fp8_body, b0=b0, b1=b1),
+            grid=grid, out_shape=oshape,
+            in_specs=[
+                xspec,
+                pl.BlockSpec((td, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((td // b0, n // b1), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=ospec, interpret=interpret,
+        )(x2, qt.data, qt.scale)
+    else:
+        raise TypeError(type(qt))
+    return out.reshape(*lead, d)
+
+
+# ---------------------------------------------------------------------------
+# expert-gather entry point (MoE decode)
+# ---------------------------------------------------------------------------
+
+def _squeeze_body(body):
+    """Adapt a 2-D kernel body to the singleton block dims:
+    x (1,1,1,n)->.at[0,0] (1,n); weights (1,r,c)->.at[0] (r,c);
+    out (1,1,1,td)->.at[0,0] (1,td). The extra singleton penultimate dim
+    keeps Mosaic's last-two-dims block rule satisfied (1 == full dim)."""
+    def f(idx_ref, x_ref, *refs):
+        o_ref = refs[-1]
+        sq = [r.at[0] for r in refs[:-1]]
+        body(x_ref.at[0, 0], *sq, o_ref.at[0, 0])
+    return f
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def qmm_experts(qt, idx, x, interpret: bool = False):
+    """Gathered-expert matmul for MoE decode (matmul_expert analogue,
+    infer.cpp:423-469).
+
+    W (E, out, n) packed; idx (B, k) int32 per-token expert ids;
+    x (B, k, n) per-slot activations -> (B, k, out) f32.
+
+    Only the selected experts' packed bytes are DMA'd: the expert index
+    enters the weight BlockSpec index_map via scalar prefetch, so HBM
+    traffic is k experts per token — not all E (which is what an XLA gather
+    of stacked experts degenerates to).
+    """
+    B, k, n = x.shape
+    x = x.astype(jnp.float32)[:, :, None, :]   # (B, k, 1, n): see _squeeze_body
+    E, d = qt.shape[0], qt.shape[-2]
+    td = _tile_d(d, n)
+
+    if isinstance(qt, Q2KTensor):
+        cols = (n // 4, n // 16, n // 256, n // 256)
+        fields = (qt.qs, qt.sm, qt.d, qt.dmin)
+        body = _q2k_body
+    elif isinstance(qt, Q3KTensor):
+        cols = (n // 4, n // 8, n // 16, n // 256)
+        fields = (qt.qs, qt.hm, qt.sc, qt.d)
+        body = _q3k_body
+    elif isinstance(qt, PlainTensor):
+        cols = (n,)
+        fields = (qt.data,)
+
+        def body(x_ref, w_ref, o_ref):
+            o_ref[...] = jax.lax.dot_general(
+                x_ref[...], w_ref[...].astype(jnp.float32),
+                (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    elif isinstance(qt, Fp8Tensor):
+        b0, b1 = qt.block_size
+        assert (b0, b1) != (0, 0), "per-tensor fp8 experts unsupported in kernel"
+        assert d % b0 == 0 and n % b1 == 0, "fp8 block grid must divide dims"
+        td = max(td - td % b0, b0)
+        cols = (n, n // b1)
+        fields = (qt.data, qt.scale)
+
+        def body(x_ref, w_ref, s_ref, o_ref):
+            _fp8_body(x_ref, w_ref, s_ref, o_ref, b0=b0, b1=b1)
+    else:
+        raise TypeError(type(qt))
+
+    grid = (B, k, pl.cdiv(d, td))
+    in_specs = [pl.BlockSpec((1, 1, 1, n), lambda b, i, j, idx: (b, i, 0, 0),
+                             memory_space=pltpu.VMEM)]
+    for f, c in zip(fields, cols):
+        rows = f.shape[-2]  # td rows, except fp8 scale grid rows td//b0
+        blk_rows = td if rows == d else td * rows // d
+        in_specs.append(pl.BlockSpec(
+            (1, blk_rows, c), lambda b, i, j, idx: (idx[b, i], j, 0),
+            memory_space=pltpu.VMEM))
+    out_spec = pl.BlockSpec((1, 1, 1, td), lambda b, i, j, idx: (b, i, 0, j),
+                            memory_space=pltpu.VMEM)
+    oshape = jax.ShapeDtypeStruct((B, k, 1, d), jnp.float32)
+
+    out = pl.pallas_call(
+        _squeeze_body(body),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=grid,
+            in_specs=in_specs, out_specs=out_spec),
+        out_shape=oshape, interpret=interpret,
+    )(idx.astype(jnp.int32), x, *fields)
+    return out[:, :, 0]

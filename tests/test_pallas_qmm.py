@@ -1,0 +1,133 @@
+"""Pallas fused dequant+matmul kernels vs the XLA dequant path.
+
+Run in interpreter mode on CPU (exact same kernel logic the TPU compiles);
+a TPU smoke script lives in scripts/tpu_smoke.py.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deepseek_tpu.ops.pallas.qmm import qmm, qmm_experts
+from deepseek_tpu.quant import fp8, kquant, repack
+from deepseek_tpu.quant.qtensor import Fp8Tensor, PlainTensor, Q2KTensor, Q3KTensor
+
+
+def rnd(shape, seed=0, scale=1.0):
+    return (np.random.default_rng(seed).standard_normal(shape) * scale).astype(np.float32)
+
+
+def q2k_tensor(w):
+    raw = kquant.quantize_q2_k(w) if w.ndim == 2 else \
+        np.stack([kquant.quantize_q2_k(e) for e in w])
+    qs, sm, d, dmin = repack.repack_q2k(raw, w.shape[-2], w.shape[-1])
+    return Q2KTensor(qs=jnp.asarray(qs), sm=jnp.asarray(sm),
+                     d=jnp.asarray(d), dmin=jnp.asarray(dmin))
+
+
+def q3k_tensor(w):
+    raw = kquant.quantize_q3_k(w) if w.ndim == 2 else \
+        np.stack([kquant.quantize_q3_k(e) for e in w])
+    qs, hm, sc, d = repack.repack_q3k(raw, w.shape[-2], w.shape[-1])
+    return Q3KTensor(qs=jnp.asarray(qs), hm=jnp.asarray(hm),
+                     sc=jnp.asarray(sc), d=jnp.asarray(d))
+
+
+@pytest.mark.parametrize("mk", [q2k_tensor, q3k_tensor])
+@pytest.mark.parametrize("B", [1, 4])
+def test_kquant_qmm_matches_dequant_path(mk, B):
+    w = rnd((64, 512), seed=1)
+    x = rnd((B, 512), seed=2)
+    qt = mk(w)
+    want = np.asarray(x @ np.asarray(qt.dequant(jnp.float32)).T)
+    got = np.asarray(qmm(qt, jnp.asarray(x), interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_qmm_3d_activations():
+    w = rnd((32, 256), seed=3)
+    x = rnd((2, 3, 256), seed=4)
+    qt = q2k_tensor(w)
+    want = np.asarray(jnp.einsum("btn,dn->btd", jnp.asarray(x), qt.dequant(jnp.float32)))
+    got = np.asarray(qmm(qt, jnp.asarray(x), interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_fp8_qmm_matches_dequant_path():
+    w = rnd((256, 256), seed=5)
+    q, s = fp8.blockwise_quantize(w, (128, 128))
+    qt = Fp8Tensor(data=jnp.asarray(q), scale=jnp.asarray(s), block_size=(128, 128))
+    x = rnd((2, 256), seed=6)
+    want = np.asarray(x @ np.asarray(qt.dequant(jnp.float32)).T)
+    got = np.asarray(qmm(qt, jnp.asarray(x), interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("mk", [q2k_tensor, q3k_tensor])
+def test_expert_gather_qmm(mk):
+    E, m, n = 8, 32, 512
+    w = rnd((E, m, n), seed=7)
+    qt = mk(w)
+    B, k = 2, 3
+    idx = np.array([[5, 0, 3], [1, 1, 7]], np.int32)
+    x = rnd((B, k, n), seed=8)
+    got = np.asarray(qmm_experts(qt, jnp.asarray(idx), jnp.asarray(x), interpret=True))
+    deq = np.asarray(qt.dequant(jnp.float32))
+    for b in range(B):
+        for s in range(k):
+            want = x[b, s] @ deq[idx[b, s]].T
+            np.testing.assert_allclose(got[b, s], want, rtol=1e-4, atol=1e-4)
+
+
+def test_expert_gather_plain_and_fp8():
+    E, m, n = 4, 32, 256
+    w = rnd((E, m, n), seed=9)
+    idx = np.array([[2, 1]], np.int32)
+    x = rnd((1, 2, n), seed=10)
+
+    qt = PlainTensor(data=jnp.asarray(w))
+    got = np.asarray(qmm_experts(qt, jnp.asarray(idx), jnp.asarray(x), interpret=True))
+    for s, e in enumerate([2, 1]):
+        np.testing.assert_allclose(got[0, s], x[0, s] @ w[e].T, rtol=1e-4, atol=1e-4)
+
+    qs, ss = zip(*(fp8.blockwise_quantize(w[e], (32, 128)) for e in range(E)))
+    qt8 = Fp8Tensor(data=jnp.asarray(np.stack(qs)), scale=jnp.asarray(np.stack(ss)),
+                    block_size=(32, 128))
+    got8 = np.asarray(qmm_experts(qt8, jnp.asarray(idx), jnp.asarray(x), interpret=True))
+    deq = np.asarray(qt8.dequant(jnp.float32))
+    for s, e in enumerate([2, 1]):
+        np.testing.assert_allclose(got8[0, s], x[0, s] @ deq[e].T, rtol=1e-4, atol=1e-4)
+
+
+def test_full_model_pallas_impl_matches_xla(tmp_path):
+    """End-to-end decode with the Pallas kernels (interpret mode) must match
+    the XLA dequant path on a quantized MLA+MoE checkpoint."""
+    import dataclasses
+    import os
+    from deepseek_tpu import convert as cv
+    from deepseek_tpu.config import ModelConfig
+    from deepseek_tpu.engine import Engine
+    from tests.util_hf import hf_config, hf_weights, write_hf_dir
+
+    cfg = hf_config(dim=256, hidden=256, q_lora=256, kv_lora=256, nope=128,
+                    rope=64, v_dim=128, moe_inter=256, layers=2, vocab=300,
+                    n_experts=4, n_active=2)
+    hf_dir = os.path.join(str(tmp_path), "hf")
+    write_hf_dir(hf_dir, cfg, hf_weights(cfg, seed=11, scale=0.1))
+    out = os.path.join(str(tmp_path), "q2k")
+    cv.convert(hf_dir, out, quant="q2_k", use_mla=True)
+
+    e_xla = Engine(out, seed=0, prefill_chunk=4, decode_block=1)
+    e_xla.cfg = dataclasses.replace(e_xla.cfg, kernel_impl="xla")
+    e_pl = Engine(out, seed=0, prefill_chunk=4, decode_block=1)
+    e_pl.cfg = dataclasses.replace(e_pl.cfg, kernel_impl="pallas")
+
+    prompt = e_xla.tokenizer.encode("hello", bos=True)
+    out1, _ = e_xla.generate(prompt, num_steps=6, temperature=0.0)
+    out2, _ = e_pl.generate(prompt, num_steps=6, temperature=0.0)
+    assert out1 == out2
+
+    t1 = e_xla.perplexity(prompt + out1)[0]
+    t2 = e_pl.perplexity(prompt + out1)[0]
+    np.testing.assert_allclose(t2, t1, rtol=1e-3)
