@@ -49,14 +49,18 @@ def _attention(lp: LayerParams, cfg: ModelConfig, xb: jnp.ndarray,
     nope, Dv = cfg.qk_nope_head_dim, cfg.v_head_dim
     is_v3 = cfg.has_moegate_bias
     theta = cfg.rope_theta
-    posb = pos_vec[None, :, None]  # broadcasts over (B, T, H)
+    if prefill:
+        pos_bt = jnp.broadcast_to(pos_vec[None, :], (B, T))      # shared positions
+    else:
+        pos_bt = pos_vec                                         # (B, 1) per-seq
+    posb = pos_bt[:, :, None]  # broadcasts over (B, T, H)
 
     def mm(qt, x):
         return qmatmul(qt, x, impl=impl)
 
     kv_a = mm(lp.wkv_a, xb)                            # (B, T, R + P)
     k_rope = apply_rope(
-        kv_a[..., R:].astype(jnp.float32), pos_vec[None, :], theta, is_v3)
+        kv_a[..., R:].astype(jnp.float32), pos_bt, theta, is_v3)
     ckv = rmsnorm(kv_a[..., :R], lp.kv_a_norm, cfg.norm_eps)
 
     if cfg.use_mla:
@@ -67,10 +71,17 @@ def _attention(lp: LayerParams, cfg: ModelConfig, xb: jnp.ndarray,
         q_c = mm(lp.wc, q_a).reshape(B, T, H, R).astype(jnp.float32)
 
         cdt = cache.ckv.dtype
-        ckv_l = jax.lax.dynamic_update_slice(
-            cache.ckv[layer], ckv.astype(cdt), (0, cache_start, 0))
-        krope_l = jax.lax.dynamic_update_slice(
-            cache.krope[layer], k_rope.astype(cdt), (0, cache_start, 0))
+        if prefill:
+            ckv_l = jax.lax.dynamic_update_slice(
+                cache.ckv[layer], ckv.astype(cdt), (0, cache_start, 0))
+            krope_l = jax.lax.dynamic_update_slice(
+                cache.krope[layer], k_rope.astype(cdt), (0, cache_start, 0))
+        else:  # per-sequence slot scatter (cache_start is (B,))
+            bidx = jnp.arange(B)
+            ckv_l = cache.ckv[layer].at[bidx, cache_start].set(
+                ckv[:, 0].astype(cdt))
+            krope_l = cache.krope[layer].at[bidx, cache_start].set(
+                k_rope[:, 0].astype(cdt))
 
         if prefill:
             S = ckv_l.shape[1]
@@ -82,7 +93,7 @@ def _attention(lp: LayerParams, cfg: ModelConfig, xb: jnp.ndarray,
             sink = krope_l[:, :KV_SINKS]
             rot = apply_rope(sink.astype(jnp.float32), 1, theta, is_v3).astype(cdt)
             krope_l = krope_l.at[:, :KV_SINKS].set(
-                jnp.where(kv_sink > 0, rot, sink))
+                jnp.where((kv_sink > 0)[:, None, None], rot, sink))
             lat = decode_attn_mla(
                 q_c[:, 0], q_rope[:, 0], ckv_l, krope_l, kv_len,
                 cfg.head_dim)[:, None]                              # (B,1,H,R)
@@ -123,10 +134,15 @@ def _attention(lp: LayerParams, cfg: ModelConfig, xb: jnp.ndarray,
     vv = kv_b[..., nope:]
 
     cdt = cache.k.dtype
-    k_l = jax.lax.dynamic_update_slice(
-        cache.k[layer], k.astype(cdt), (0, cache_start, 0, 0))
-    v_l = jax.lax.dynamic_update_slice(
-        cache.v[layer], vv.astype(cdt), (0, cache_start, 0, 0))
+    if prefill:
+        k_l = jax.lax.dynamic_update_slice(
+            cache.k[layer], k.astype(cdt), (0, cache_start, 0, 0))
+        v_l = jax.lax.dynamic_update_slice(
+            cache.v[layer], vv.astype(cdt), (0, cache_start, 0, 0))
+    else:
+        bidx = jnp.arange(B)
+        k_l = cache.k[layer].at[bidx, cache_start].set(k[:, 0].astype(cdt))
+        v_l = cache.v[layer].at[bidx, cache_start].set(vv[:, 0].astype(cdt))
 
     if prefill:
         S = k_l.shape[1]
@@ -136,7 +152,7 @@ def _attention(lp: LayerParams, cfg: ModelConfig, xb: jnp.ndarray,
         sink = k_l[:, :KV_SINKS, :, nope:]
         rot = apply_rope(sink.astype(jnp.float32), 1, theta, is_v3).astype(cdt)
         k_l = k_l.at[:, :KV_SINKS, :, nope:].set(
-            jnp.where(kv_sink > 0, rot, sink))
+            jnp.where((kv_sink > 0)[:, None, None, None], rot, sink))
         out = decode_attn_mha(q[:, 0], k_l, v_l, kv_len)[:, None]   # (B,1,H,Dv)
 
     attn = mm(lp.wo, out.reshape(B, T, H * Dv).astype(xb.dtype))
@@ -221,12 +237,15 @@ def _forward_impl(params: ModelParams, cache: KVCache, tokens: jnp.ndarray,
 
     pos0 = jnp.asarray(pos0, jnp.int32)
     if prefill:
+        assert pos0.ndim == 0, "prefill requires a shared scalar position"
         pos_vec = pos0 + jnp.arange(T, dtype=jnp.int32)
         cache_start, kv_len, kv_sink = pos0, None, None
     else:
         assert T == 1, "decode mode processes one token per call"
-        kv_sink, kv_pos, kv_len = ring_positions(cfg, pos0)
-        pos_vec = pos0[None]
+        # per-sequence positions: scalar pos0 broadcasts to the batch
+        pos_b = jnp.broadcast_to(pos0.reshape(-1), (B,))
+        kv_sink, kv_pos, kv_len = ring_positions(cfg, pos_b)    # all (B,)
+        pos_vec = pos_b[:, None]                                 # (B, 1)
         cache_start = kv_pos
 
     for layer, lp in enumerate(params.layers):

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 from deepseek_tpu.quant.qtensor import PlainTensor, QTensorLike
 
 
-_AUTO_PALLAS = False  # flipped when scripts/tpu_smoke.py passes on hardware
+_AUTO_PALLAS = True  # scripts/tpu_smoke.py passes on v5e (all kernels ~4e-7)
 
 
 def kernel_impl(cfg) -> dict | None:

@@ -31,6 +31,8 @@ from deepseek_tpu.quant.qtensor import Fp8Tensor, PlainTensor, Q2KTensor, Q3KTen
 
 
 def _unpack2(planes):
+    """Shift+concat unpack; result stays in the stride-16 permuted order the
+    planes are packed in (quant.repack) — exactly what the kernels want."""
     p32 = planes.astype(jnp.int32)
     return jnp.concatenate([(p32 >> s) & 3 for s in (0, 2, 4, 6)], axis=-1)
 
@@ -41,9 +43,30 @@ def _unpack1(planes):
 
 
 def _rep16(a):
-    # per-element repeat along lanes (note: pltpu.repeat concatenates whole
-    # copies — different semantics)
-    return jnp.repeat(a, 16, axis=a.ndim - 1)
+    """Expand per-16-group values (TD, n/16) to full width (TD, n) in the
+    permuted column order: position c' has group c' mod n/16, so tile
+    concatenation (pltpu.repeat) is the exact expansion."""
+    return pltpu.repeat(a, 16, axis=a.ndim - 1)
+
+
+def _expand_super(d, n16: int):
+    """(TD, n/256) per-superblock scales -> (TD, n/16) per-group, via a tiny
+    one-hot matmul (Mosaic has no lane element-repeat): E[i, g] = (g//16 == i)."""
+    n256 = d.shape[-1]
+    gi = jax.lax.broadcasted_iota(jnp.int32, (n256, n16), 1)
+    ii = jax.lax.broadcasted_iota(jnp.int32, (n256, n16), 0)
+    E = (gi // 16 == ii).astype(jnp.float32)
+    return jax.lax.dot_general(
+        d, E, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)
+
+
+def _perm_x(x, n: int):
+    """Permute activations into the stride-16 column order (outside kernels;
+    a small XLA gather on (B, n))."""
+    from deepseek_tpu.quant.repack import stride16_perm
+    return jnp.take(x, jnp.asarray(stride16_perm(n)), axis=-1)
 
 
 def _tile_d(d: int, n: int) -> int:
@@ -60,36 +83,55 @@ def _tile_d(d: int, n: int) -> int:
 # ---------------------------------------------------------------------------
 
 def _q2k_body(x_ref, qs_ref, sm_ref, d_ref, dmin_ref, o_ref):
-    q = _unpack2(qs_ref[...]).astype(jnp.float32)          # (TD, n)
+    # x_ref holds stride-16 PERMUTED activations (see _perm_x)
+    q = _unpack2(qs_ref[...]).astype(jnp.float32)          # (TD, n) permuted
     sm = sm_ref[...].astype(jnp.int32)
-    sc = (sm & 0xF).astype(jnp.float32)
-    mn = (sm >> 4).astype(jnp.float32)
-    scale = _rep16(_rep16(d_ref[...]) * sc)                # (TD, n)
-    minv = _rep16(_rep16(dmin_ref[...]) * mn)
-    w = scale * q - minv
+    n16 = sm.shape[-1]
+    s16 = _expand_super(d_ref[...], n16) * (sm & 0xF).astype(jnp.float32)
+    m16 = _expand_super(dmin_ref[...], n16) * (sm >> 4).astype(jnp.float32)
+    w = _rep16(s16) * q - _rep16(m16)
     o_ref[...] = jax.lax.dot_general(
         x_ref[...], w, (((1,), (1,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
         preferred_element_type=jnp.float32)
 
 
 def _q3k_body(x_ref, qs_ref, hm_ref, sc_ref, d_ref, o_ref):
+    # x_ref holds stride-16 PERMUTED activations (see _perm_x)
     qlow = _unpack2(qs_ref[...])
     hbit = _unpack1(hm_ref[...])
     q = (qlow + (hbit << 2) - 4).astype(jnp.float32)
-    scale = _rep16(_rep16(d_ref[...])
-                   * sc_ref[...].astype(jnp.int32).astype(jnp.float32))
-    w = scale * q
+    n16 = sc_ref.shape[-1]
+    s16 = _expand_super(d_ref[...], n16)         * sc_ref[...].astype(jnp.int32).astype(jnp.float32)
+    w = _rep16(s16) * q
     o_ref[...] = jax.lax.dot_general(
         x_ref[...], w, (((1,), (1,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
         preferred_element_type=jnp.float32)
 
 
 def _fp8_body(x_ref, w_ref, s_ref, o_ref, *, b0: int, b1: int):
-    w = w_ref[...].astype(jnp.float32)
-    s = s_ref[...]                                          # (TD/b0, n/b1)
-    s = jnp.repeat(jnp.repeat(s, b0, axis=0), b1, axis=1)
+    w = w_ref[...].astype(jnp.float32)                      # (td, n)
+    scale = s_ref[:, 0, :]                                  # (td/b0, 1, n/b1) ref
+    td, n = w.shape
+    # block-scale expansion via one-hot matmuls (no lane element-repeats)
+    ri = jax.lax.broadcasted_iota(jnp.int32, (td, td // b0), 0)
+    rj = jax.lax.broadcasted_iota(jnp.int32, (td, td // b0), 1)
+    Er = (ri // b0 == rj).astype(jnp.float32)
+    s_rows = jax.lax.dot_general(
+        Er, scale, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (n // b1, n), 0)
+    cj = jax.lax.broadcasted_iota(jnp.int32, (n // b1, n), 1)
+    Ec = (cj // b1 == ci).astype(jnp.float32)
+    s_full = jax.lax.dot_general(
+        s_rows, Ec, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)
     o_ref[...] = jax.lax.dot_general(
-        x_ref[...], w * s, (((1,), (1,)), ((), ())),
+        x_ref[...], w * s_full, (((1,), (1,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
         preferred_element_type=jnp.float32)
 
 
@@ -115,7 +157,7 @@ def qmm(qt, x, interpret: bool = False):
         return out.reshape(*lead, -1)
 
     d = qt.shape[-2]
-    td = _tile_d(d, n)
+    td = min(_tile_d(d, n), d)
     grid = (pl.cdiv(d, td),)
     xspec = pl.BlockSpec((B, n), lambda i: (0, 0), memory_space=pltpu.VMEM)
     ospec = pl.BlockSpec((B, td), lambda i: (0, i), memory_space=pltpu.VMEM)
@@ -130,14 +172,14 @@ def qmm(qt, x, interpret: bool = False):
             in_specs=[xspec, wspec(n // 4), wspec(n // 16),
                       wspec(n // 256), wspec(n // 256)],
             out_specs=ospec, interpret=interpret,
-        )(x2, qt.qs, qt.sm, qt.d, qt.dmin)
+        )(_perm_x(x2, n), qt.qs, qt.sm, qt.d, qt.dmin)
     elif isinstance(qt, Q3KTensor):
         out = pl.pallas_call(
             _q3k_body, grid=grid, out_shape=oshape,
             in_specs=[xspec, wspec(n // 4), wspec(n // 8),
                       wspec(n // 16), wspec(n // 256)],
             out_specs=ospec, interpret=interpret,
-        )(x2, qt.qs, qt.hm, qt.sc, qt.d)
+        )(_perm_x(x2, n), qt.qs, qt.hm, qt.sc, qt.d)
     elif isinstance(qt, Fp8Tensor):
         b0, b1 = qt.block_size
         if (b0, b1) == (0, 0):
@@ -145,10 +187,9 @@ def qmm(qt, x, interpret: bool = False):
             out = jnp.einsum("bn,dn->bd", x2, w,
                              preferred_element_type=jnp.float32)
             return out.reshape(*lead, -1)
-        td = max(td, b0)
         assert d % b0 == 0 and n % b1 == 0, "fp8 block grid must divide dims"
-        td = min(td, d) if d % b0 == 0 else b0
-        td = td - td % b0
+        td = max(td - td % b0, b0)
+        td = min(td, d)
         grid = (pl.cdiv(d, td),)
         xspec = pl.BlockSpec((B, n), lambda i: (0, 0), memory_space=pltpu.VMEM)
         ospec = pl.BlockSpec((B, td), lambda i: (0, i), memory_space=pltpu.VMEM)
@@ -158,11 +199,11 @@ def qmm(qt, x, interpret: bool = False):
             in_specs=[
                 xspec,
                 pl.BlockSpec((td, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((td // b0, n // b1), lambda i: (i, 0),
+                pl.BlockSpec((td // b0, 1, n // b1), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=ospec, interpret=interpret,
-        )(x2, qt.data, qt.scale)
+        )(x2, qt.data, qt.scale[:, None, :])
     else:
         raise TypeError(type(qt))
     return out.reshape(*lead, d)
@@ -198,9 +239,12 @@ def qmm_experts(qt, idx, x, interpret: bool = False):
     of stacked experts degenerates to).
     """
     B, k, n = x.shape
-    x = x.astype(jnp.float32)[:, :, None, :]   # (B, k, 1, n): see _squeeze_body
+    x = x.astype(jnp.float32)
+    if isinstance(qt, (Q2KTensor, Q3KTensor)):
+        x = _perm_x(x, n)
+    x = x[:, :, None, :]                       # (B, k, 1, n): see _squeeze_body
     E, d = qt.shape[0], qt.shape[-2]
-    td = _tile_d(d, n)
+    td = min(_tile_d(d, n), d)
 
     if isinstance(qt, Q2KTensor):
         cols = (n // 4, n // 16, n // 256, n // 256)
@@ -217,14 +261,23 @@ def qmm_experts(qt, idx, x, interpret: bool = False):
         def body(x_ref, w_ref, o_ref):
             o_ref[...] = jax.lax.dot_general(
                 x_ref[...], w_ref[...].astype(jnp.float32),
-                (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+                (((1,), (1,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)
     elif isinstance(qt, Fp8Tensor):
         b0, b1 = qt.block_size
         assert (b0, b1) != (0, 0), "per-tensor fp8 experts unsupported in kernel"
         assert d % b0 == 0 and n % b1 == 0, "fp8 block grid must divide dims"
-        td = max(td - td % b0, b0)
-        cols = (n, n // b1)
-        fields = (qt.data, qt.scale)
+        td = min(max(td - td % b0, b0), d)
+        # scale gets a singleton penultimate dim (Mosaic block rules)
+        fields = (qt.data, qt.scale[:, :, None, :])
+        extra_specs = [
+            pl.BlockSpec((1, td, n), lambda b, i, j, idx: (idx[b, i], j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, td // b0, 1, n // b1),
+                         lambda b, i, j, idx: (idx[b, i], j, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
 
         def body(x_ref, w_ref, s_ref, o_ref):
             _fp8_body(x_ref, w_ref, s_ref, o_ref, b0=b0, b1=b1)
@@ -234,12 +287,14 @@ def qmm_experts(qt, idx, x, interpret: bool = False):
     grid = (B, k, pl.cdiv(d, td))
     in_specs = [pl.BlockSpec((1, 1, 1, n), lambda b, i, j, idx: (b, i, 0, 0),
                              memory_space=pltpu.VMEM)]
-    for f, c in zip(fields, cols):
-        rows = f.shape[-2]  # td rows, except fp8 scale grid rows td//b0
-        blk_rows = td if rows == d else td * rows // d
-        in_specs.append(pl.BlockSpec(
-            (1, blk_rows, c), lambda b, i, j, idx: (idx[b, i], j, 0),
-            memory_space=pltpu.VMEM))
+    if isinstance(qt, Fp8Tensor):
+        in_specs += extra_specs
+    else:
+        for f, c in zip(fields, cols):
+            blk_rows = td if f.shape[-2] == d else td * f.shape[-2] // d
+            in_specs.append(pl.BlockSpec(
+                (1, blk_rows, c), lambda b, i, j, idx: (idx[b, i], j, 0),
+                memory_space=pltpu.VMEM))
     out_spec = pl.BlockSpec((1, 1, 1, td), lambda b, i, j, idx: (b, i, 0, j),
                             memory_space=pltpu.VMEM)
     oshape = jax.ShapeDtypeStruct((B, k, 1, d), jnp.float32)

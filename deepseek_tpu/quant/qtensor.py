@@ -84,14 +84,20 @@ _register(Fp8Tensor, ["data", "scale"], ["block_size"])
 
 
 def _unpack_2bit_planes(qs: jax.Array) -> jax.Array:
-    """(..., d, n//4) uint8 -> (..., d, n) int values in [0,3], original order."""
-    return jnp.concatenate(
-        [(qs >> s) & 3 for s in (0, 2, 4, 6)], axis=-1)
+    """(..., d, n//4) uint8 -> (..., d, n) ints in [0,3], ORIGINAL column order
+    (planes store the stride-16 permuted order; see quant.repack)."""
+    from deepseek_tpu.quant.repack import stride16_inv_perm
+    perm = jnp.concatenate([(qs >> s) & 3 for s in (0, 2, 4, 6)], axis=-1)
+    n = perm.shape[-1]
+    return jnp.take(perm, jnp.asarray(stride16_inv_perm(n)), axis=-1)
 
 
 def _unpack_1bit_planes(hm: jax.Array) -> jax.Array:
-    """(..., d, n//8) uint8 -> (..., d, n) values in {0,1}, original order."""
-    return jnp.concatenate([(hm >> b) & 1 for b in range(8)], axis=-1)
+    """(..., d, n//8) uint8 -> (..., d, n) in {0,1}, ORIGINAL column order."""
+    from deepseek_tpu.quant.repack import stride16_inv_perm
+    perm = jnp.concatenate([(hm >> b) & 1 for b in range(8)], axis=-1)
+    n = perm.shape[-1]
+    return jnp.take(perm, jnp.asarray(stride16_inv_perm(n)), axis=-1)
 
 
 @dataclasses.dataclass

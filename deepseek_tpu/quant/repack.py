@@ -6,13 +6,21 @@ columns live at different bit offsets of bytes scattered across a struct.
 
 We repack once at load time into separate *plane* arrays chosen so that the
 in-kernel unpack is `(qs >> shift) & mask` followed by a concatenation along
-the lane (last) dimension — no shuffles:
+the lane (last) dimension — no shuffles.
 
-    qs_plane[..., j]   holds columns  j, j+n/4, j+2n/4, j+3n/4  (2-bit each)
-    hm_plane[..., j]   holds columns  j + b*n/8 for b in 0..7   (1-bit each)
+Columns are stored in **stride-16 permuted order**: permuted position
+``c' = o * (n/16) + g`` holds original column ``g*16 + o``. Consequence: the
+per-16-column scale of permuted column c' is ``S16[c' mod n/16]`` — i.e. the
+scale row expands to full width by *tile concatenation* (``pltpu.repeat``),
+which Mosaic supports natively, instead of an element-repeat lane reshape,
+which it does not. The per-256 super scales expand to per-16 granularity with
+a tiny one-hot matmul inside the kernel.
 
-Scale grids stay per-16-column / per-256-column but are stored in original
-column order as dense arrays.
+    qs_plane[..., j]   holds permuted columns  j, j+n/4, j+2n/4, j+3n/4
+    hm_plane[..., j]   holds permuted columns  j + b*n/8 for b in 0..7
+
+Scale grids stay per-16-group / per-superblock in original group order
+(groups are indexed by ``g``, which is exactly the permuted minor index).
 """
 
 from __future__ import annotations
@@ -28,6 +36,19 @@ from deepseek_tpu.quant.kquant import (
     q2k_fields,
     q3k_fields,
 )
+
+
+def stride16_perm(n: int) -> np.ndarray:
+    """perm[c'] = original column index for permuted position c'."""
+    n16 = n // 16
+    o = np.arange(16).repeat(n16)          # o = c' // n16
+    g = np.tile(np.arange(n16), 16)        # g = c' %  n16
+    return (g * 16 + o).astype(np.int64)
+
+
+def stride16_inv_perm(n: int) -> np.ndarray:
+    """inv[orig] = permuted position of original column orig."""
+    return np.argsort(stride16_perm(n)).astype(np.int64)
 
 
 def _plane_pack_2bit(q: np.ndarray) -> np.ndarray:
@@ -65,7 +86,8 @@ def repack_q2k(raw: np.ndarray, rows: int, cols: int
     scales, qs, d, dmin = q2k_fields(raw)
     # scales: (..., rows, nbr, 16); qs: (..., rows, nbr, 64)
     q = _unpack_qs_2bit(qs.reshape(-1, 64)).reshape(*lead, rows, nbr * QK_K)
-    sm = scales.reshape(*lead, rows, nbr * 16)  # sc|mn<<4, per 16 columns, in order
+    q = q[..., stride16_perm(nbr * QK_K)]
+    sm = scales.reshape(*lead, rows, nbr * 16)  # sc|mn<<4, per 16-group, g-order
     qs_plane = _plane_pack_2bit(q)
     return (qs_plane,
             np.ascontiguousarray(sm),
@@ -82,11 +104,13 @@ def repack_q3k(raw: np.ndarray, rows: int, cols: int
     assert raw.shape[-2] == rows
     nbr = cols // QK_K
     hmask, qs, scales, d = q3k_fields(raw)
-    qlow = _unpack_qs_2bit(qs.reshape(-1, 64)).reshape(*lead, rows, nbr * QK_K)
+    n = nbr * QK_K
+    perm = stride16_perm(n)
+    qlow = _unpack_qs_2bit(qs.reshape(-1, 64)).reshape(*lead, rows, n)[..., perm]
     pos = np.arange(QK_K)
     # high bit: byte pos%32, bit pos//32 within each super-block
     hb = ((hmask[..., pos % 32] >> (pos // 32)) & 1)  # (..., rows, nbr, 256)
-    hb = hb.reshape(*lead, rows, nbr * QK_K)
+    hb = hb.reshape(*lead, rows, n)[..., perm]
     sc6 = _unpack_q3_scales(scales.reshape(-1, 12)).reshape(*lead, rows, nbr * 16)
     sc = (sc6 - 32).astype(np.int8)
     return (_plane_pack_2bit(qlow),

@@ -1,0 +1,74 @@
+import numpy as np
+import pytest
+
+from deepseek_tpu.engine import Engine
+from deepseek_tpu.serving import BatchScheduler, Request
+from deepseek_tpu.utils import codec
+from tests.util_tinymodel import (
+    tiny_checkpoint_tensors, tiny_config, tiny_metadata, tiny_weights,
+)
+
+
+@pytest.fixture(scope="module")
+def engine(tmp_path_factory):
+    d = tmp_path_factory.mktemp("srv")
+    cfg = tiny_config(use_mla=True, vocab_size=300, max_seq_len=128,
+                      rs_original_max_position_embeddings=32)
+    codec.save_checkpoint(
+        str(d), [tiny_checkpoint_tensors(cfg, tiny_weights(cfg, 55))],
+        tiny_metadata(cfg))
+    return Engine(str(d), seed=0, prefill_chunk=8, decode_block=1)
+
+
+def test_continuous_batching_matches_individual(engine):
+    """5 greedy requests through a 2-slot scheduler == 5 individual runs.
+
+    Forces slot reuse (continuous admission) and exercises per-sequence
+    decode positions (slots run at different pos simultaneously)."""
+    prompts = ["hello", "hello world", "abc", "xyz test", "q"]
+    lens = [3, 6, 4, 5, 2]
+
+    want = []
+    for p, n in zip(prompts, lens):
+        toks = engine.tokenizer.encode(p, bos=True)
+        out, _ = engine.generate(toks, num_steps=n, temperature=0.0)
+        want.append(out)
+
+    sched = BatchScheduler(engine, batch_size=2)
+    for p, n in zip(prompts, lens):
+        sched.submit(Request(
+            prompt_tokens=engine.tokenizer.encode(p, bos=True),
+            max_new_tokens=n, temperature=0.0))
+    finished = sched.run()
+    assert len(finished) == 5
+    for req, expect in zip(finished, want):
+        assert req.out_tokens == expect, (req.request_id, req.out_tokens, expect)
+
+
+def test_scheduler_streams_tokens(engine):
+    got = []
+    sched = BatchScheduler(engine, batch_size=1)
+    sched.submit(Request(
+        prompt_tokens=engine.tokenizer.encode("hi", bos=True),
+        max_new_tokens=3, temperature=0.0,
+        on_token=lambda t, piece: got.append((t, piece))))
+    finished = sched.run()
+    assert [t for t, _ in got] == finished[0].out_tokens
+    assert all(isinstance(p, bytes) for _, p in got)
+
+
+def test_scheduler_mixed_lengths_interleave(engine):
+    """A long and short request share the batch; the short one finishes and a
+    third is admitted while the long one continues."""
+    sched = BatchScheduler(engine, batch_size=2)
+    toks = engine.tokenizer.encode("hello", bos=True)
+    a = sched.submit(Request(prompt_tokens=toks, max_new_tokens=10, temperature=0.0))
+    b = sched.submit(Request(prompt_tokens=toks, max_new_tokens=2, temperature=0.0))
+    c = sched.submit(Request(prompt_tokens=toks, max_new_tokens=2, temperature=0.0))
+    finished = sched.run()
+    by_id = {r.request_id: r for r in finished}
+    assert len(by_id[a].out_tokens) == 10
+    assert len(by_id[b].out_tokens) == 2
+    assert len(by_id[c].out_tokens) == 2
+    # identical inputs -> identical greedy outputs regardless of slot timing
+    assert by_id[b].out_tokens == by_id[c].out_tokens
