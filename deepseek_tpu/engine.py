@@ -65,10 +65,13 @@ class Engine:
         if compute_dtype:
             overrides["compute_dtype"] = compute_dtype
         self.cfg = ModelConfig.from_metadata(self.data.metadata, context=context, **overrides)
-        # `-L` parity: device_put already copies each tensor HBM-resident; on
-        # CPU backends eagerly materialize the memmaps instead of lazy faults.
+        # `-L` parity (MAP_POPULATE + mlock, codec.cpp:276-289): device_put
+        # already copies each tensor device-resident; with -L we additionally
+        # force synchronous materialization so no transfer is lazy.
         self.lock_weights = lock_weights
         self.params = load_params(self.data, self.cfg, runtime_dtype=runtime_dtype)
+        if lock_weights:
+            jax.block_until_ready(jax.tree.leaves(self.params))
         self.tokenizer = Tokenizer.from_checkpoint(self.data)
         self.sampler = Sampler(self.cfg.vocab_size, seed)
         self.prefill_chunk = max(1, prefill_chunk)

@@ -36,6 +36,7 @@ from deepseek_tpu.ops.matmul import (
     gather_experts, kernel_impl, qmatmul, reshape_rows,
 )
 from deepseek_tpu.quant.qtensor import PlainTensor
+from deepseek_tpu.utils.debug import dbg
 
 
 def _attention(lp: LayerParams, cfg: ModelConfig, xb: jnp.ndarray,
@@ -248,14 +249,20 @@ def _forward_impl(params: ModelParams, cache: KVCache, tokens: jnp.ndarray,
         pos_vec = pos_b[:, None]                                 # (B, 1)
         cache_start = kv_pos
 
+    dbg("embed", x)
     for layer, lp in enumerate(params.layers):
         xb = rmsnorm(x, lp.attn_norm, cfg.norm_eps)
+        dbg(f"l{layer}.attn_norm", xb)
         attn, cache = _attention(
             lp, cfg, xb, cache, layer, pos_vec, cache_start, kv_len, kv_sink,
             prefill, impl)
+        dbg(f"l{layer}.attn", attn)
         x = x + attn
         xb = rmsnorm(x, lp.ffn_norm, cfg.norm_eps)
-        x = x + _ffn(lp, cfg, xb, layer, prefill, impl)
+        dbg(f"l{layer}.ffn_norm", xb)
+        ffn = _ffn(lp, cfg, xb, layer, prefill, impl)
+        dbg(f"l{layer}.ffn", ffn)
+        x = x + ffn
 
     if logits_mode == "none":
         return None, cache
@@ -265,6 +272,7 @@ def _forward_impl(params: ModelParams, cache: KVCache, tokens: jnp.ndarray,
     logits = qmatmul(params.lm_head, x.astype(jnp.float32), impl=impl)
     if logits_mode == "last":
         logits = logits[:, 0]
+    dbg("logits", logits)
     return logits, cache
 
 

@@ -112,3 +112,29 @@ def test_cli_rejects_bad_flags(ckpt_dir):
         main([ckpt_dir, "-m", "nope"])
     with pytest.raises(SystemExit):
         main([ckpt_dir, "-m", "perplexity", "-i", "a", "-w"])  # two sources
+
+
+def test_debug_capture_and_diff(engine, tmp_path):
+    """Activation-diff harness (DEBUG_MODEL parity): captures layerwise
+    activations in eager mode, round-trips through safetensors, diffs."""
+    import jax.numpy as jnp
+    from deepseek_tpu.models import init_cache, make_forward
+    from deepseek_tpu.utils.debug import DebugCapture, debug_capture
+
+    fwd = make_forward(engine.cfg, prefill=False, logits_mode="last", jit=False)
+    tok = jnp.asarray([[5]], jnp.int32)
+    with debug_capture() as cap:
+        fwd(engine.params, init_cache(engine.cfg, 1), tok, 0)
+    assert "embed" in cap.tensors and "logits" in cap.tensors
+    assert "l0.attn" in cap.tensors and "l2.ffn" in cap.tensors
+
+    path = str(tmp_path / "acts.safetensors")
+    cap.save(path)
+    cap2 = DebugCapture.load(path)
+    errs = cap.max_err(cap2)
+    assert errs and all(v == 0.0 for v in errs.values())
+
+    # a second capture from an identical run diffs to zero too
+    with debug_capture() as cap3:
+        fwd(engine.params, init_cache(engine.cfg, 1), tok, 0)
+    assert max(cap.max_err(cap3).values()) == 0.0
