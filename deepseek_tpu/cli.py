@@ -55,6 +55,8 @@ TPU options:
   --dtype <float32|bfloat16>  activation compute dtype
   --chunk <int>               prefill chunk size (default 64)
   --seed <int>                sampler seed
+  --yarn                      apply YaRN rope scaling (reference parses but
+                              never applies it; opt-in quality improvement)
 """
 
 
@@ -82,6 +84,7 @@ class Args:
         self.dtype: Optional[str] = None
         self.chunk = 64
         self.seed: Optional[int] = None
+        self.yarn = False
 
 
 def parse_mode_flags(args: Args, argv: List[str]) -> Args:
@@ -123,6 +126,8 @@ def parse_mode_flags(args: Args, argv: List[str]) -> Args:
             args.chunk = int(val())
         elif a == "--seed":
             args.seed = int(val())
+        elif a == "--yarn":
+            args.yarn = True
         else:
             _die(f"unknown flag {a}")
         i += 1
@@ -335,6 +340,7 @@ def main(argv: Optional[List[str]] = None):
         compute_dtype=args.dtype,
         seed=args.seed if args.seed is not None else int(time.time() * 1000) % (1 << 31),
         prefill_chunk=args.chunk,
+        use_yarn=args.yarn,
     )
     md = engine.data.metadata
     print(f"Loaded model: arch={md.get('arch')} quant={md.get('quant')} "

@@ -121,6 +121,9 @@ class ModelConfig:
     # expert-gather kernels on TPU and the XLA dequant path elsewhere;
     # "xla" / "pallas" force a path (pallas off-TPU runs interpreted — tests)
     kernel_impl: str = "auto"
+    # apply YaRN rope scaling (the reference parses but never applies it —
+    # "sinks rather than yarn", README.md:93; opt-in quality improvement)
+    use_yarn: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -135,6 +138,27 @@ class ModelConfig:
         """
         return min(self.max_seq_len, self.rs_original_max_position_embeddings) \
             if self.max_seq_len > 0 else self.rs_original_max_position_embeddings
+
+    def yarn_params(self):
+        """YarnParams when use_yarn is set and the checkpoint scales."""
+        if not self.use_yarn or self.rs_factor <= 1.0:
+            return None
+        from deepseek_tpu.ops.rope import YarnParams
+        return YarnParams(
+            factor=self.rs_factor, beta_fast=self.rs_beta_fast,
+            beta_slow=self.rs_beta_slow, mscale=self.rs_mscale,
+            mscale_all_dim=self.rs_mscale_all_dim,
+            original_max_position=self.rs_original_max_position_embeddings)
+
+    def attn_softmax_scale(self) -> float:
+        """1/sqrt(head_dim), with the YaRN mscale^2 correction when active."""
+        import math
+        from deepseek_tpu.ops.rope import yarn_attention_mscale
+        scale = 1.0 / math.sqrt(self.head_dim)
+        yp = self.yarn_params()
+        if yp is not None:
+            scale = scale * yarn_attention_mscale(yp)
+        return scale
 
     def is_moe_layer(self, layer: int) -> bool:
         return layer >= self.first_k_dense_replace and self.n_routed_experts > 0

@@ -59,11 +59,14 @@ class Engine:
         seed: Optional[int] = None,
         prefill_chunk: int = 64,
         decode_block: int = 32,
+        use_yarn: bool = False,
     ):
         self.data = load_checkpoint(checkpoint_dir)
         overrides = {}
         if compute_dtype:
             overrides["compute_dtype"] = compute_dtype
+        if use_yarn:
+            overrides["use_yarn"] = True
         self.cfg = ModelConfig.from_metadata(self.data.metadata, context=context, **overrides)
         # `-L` parity (MAP_POPULATE + mlock, codec.cpp:276-289): device_put
         # already copies each tensor device-resident; with -L we additionally

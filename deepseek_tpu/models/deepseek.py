@@ -39,6 +39,15 @@ from deepseek_tpu.quant.qtensor import PlainTensor
 from deepseek_tpu.utils.debug import dbg
 
 
+def _rotation_only(yarn):
+    """YaRN params with mscale neutralized — sink re-rotation must be a pure
+    rotation (the cached keys already carry the magnitude scale once)."""
+    if yarn is None:
+        return None
+    import dataclasses as _dc
+    return _dc.replace(yarn, mscale=yarn.mscale_all_dim)
+
+
 def _attention(lp: LayerParams, cfg: ModelConfig, xb: jnp.ndarray,
                cache: KVCache, layer: int, pos_vec: jnp.ndarray,
                cache_start, kv_len, kv_sink, prefill: bool, impl
@@ -50,6 +59,8 @@ def _attention(lp: LayerParams, cfg: ModelConfig, xb: jnp.ndarray,
     nope, Dv = cfg.qk_nope_head_dim, cfg.v_head_dim
     is_v3 = cfg.has_moegate_bias
     theta = cfg.rope_theta
+    yarn = cfg.yarn_params()          # None unless cfg.use_yarn
+    sm_scale = cfg.attn_softmax_scale()
     if prefill:
         pos_bt = jnp.broadcast_to(pos_vec[None, :], (B, T))      # shared positions
     else:
@@ -61,14 +72,14 @@ def _attention(lp: LayerParams, cfg: ModelConfig, xb: jnp.ndarray,
 
     kv_a = mm(lp.wkv_a, xb)                            # (B, T, R + P)
     k_rope = apply_rope(
-        kv_a[..., R:].astype(jnp.float32), pos_bt, theta, is_v3)
+        kv_a[..., R:].astype(jnp.float32), pos_bt, theta, is_v3, yarn)
     ckv = rmsnorm(kv_a[..., :R], lp.kv_a_norm, cfg.norm_eps)
 
     if cfg.use_mla:
         # absorbed path (BlockMLA, infer.cpp:1052-1141)
         q_a = rmsnorm(mm(lp.wq_a, xb), lp.q_a_norm, cfg.norm_eps)
         q_rope = mm(lp.wq_rope_b, q_a).reshape(B, T, H, P)
-        q_rope = apply_rope(q_rope.astype(jnp.float32), posb, theta, is_v3)
+        q_rope = apply_rope(q_rope.astype(jnp.float32), posb, theta, is_v3, yarn)
         q_c = mm(lp.wc, q_a).reshape(B, T, H, R).astype(jnp.float32)
 
         cdt = cache.ckv.dtype
@@ -88,16 +99,18 @@ def _attention(lp: LayerParams, cfg: ModelConfig, xb: jnp.ndarray,
             S = ckv_l.shape[1]
             lat = prefill_attn_mla(
                 q_c, q_rope, ckv_l, krope_l, pos_vec,
-                jnp.arange(S, dtype=jnp.int32), cfg.head_dim)       # (B,T,H,R)
+                jnp.arange(S, dtype=jnp.int32), cfg.head_dim,
+                softmax_scale=sm_scale)                             # (B,T,H,R)
         else:
             # sink re-rotation by +1 (StreamingLLM; infer.cpp:1103-1110)
             sink = krope_l[:, :KV_SINKS]
-            rot = apply_rope(sink.astype(jnp.float32), 1, theta, is_v3).astype(cdt)
+            rot = apply_rope(sink.astype(jnp.float32), 1, theta, is_v3,
+                             _rotation_only(yarn)).astype(cdt)
             krope_l = krope_l.at[:, :KV_SINKS].set(
                 jnp.where((kv_sink > 0)[:, None, None], rot, sink))
             lat = decode_attn_mla(
                 q_c[:, 0], q_rope[:, 0], ckv_l, krope_l, kv_len,
-                cfg.head_dim)[:, None]                              # (B,1,H,R)
+                cfg.head_dim, softmax_scale=sm_scale)[:, None]      # (B,1,H,R)
 
         # per-head up-projection of attended latents (wv_b, infer.cpp:1134-1137)
         if impl is not None and not prefill and not isinstance(lp.wv_b, PlainTensor):
@@ -125,7 +138,7 @@ def _attention(lp: LayerParams, cfg: ModelConfig, xb: jnp.ndarray,
     else:
         q = mm(lp.wq, xb)
     q = q.reshape(B, T, H, cfg.head_dim).astype(jnp.float32)
-    q_pe = apply_rope(q[..., nope:], posb, theta, is_v3)
+    q_pe = apply_rope(q[..., nope:], posb, theta, is_v3, yarn)
     q = jnp.concatenate([q[..., :nope], q_pe], axis=-1)
 
     kv_b = mm(lp.wkv_b, ckv).reshape(B, T, H, nope + Dv)
@@ -148,13 +161,16 @@ def _attention(lp: LayerParams, cfg: ModelConfig, xb: jnp.ndarray,
     if prefill:
         S = k_l.shape[1]
         out = prefill_attn_mha(q, k_l, v_l, pos_vec,
-                               jnp.arange(S, dtype=jnp.int32))      # (B,T,H,Dv)
+                               jnp.arange(S, dtype=jnp.int32),
+                               softmax_scale=sm_scale)              # (B,T,H,Dv)
     else:
         sink = k_l[:, :KV_SINKS, :, nope:]
-        rot = apply_rope(sink.astype(jnp.float32), 1, theta, is_v3).astype(cdt)
+        rot = apply_rope(sink.astype(jnp.float32), 1, theta, is_v3,
+                         _rotation_only(yarn)).astype(cdt)
         k_l = k_l.at[:, :KV_SINKS, :, nope:].set(
             jnp.where((kv_sink > 0)[:, None, None, None], rot, sink))
-        out = decode_attn_mha(q[:, 0], k_l, v_l, kv_len)[:, None]   # (B,1,H,Dv)
+        out = decode_attn_mha(
+            q[:, 0], k_l, v_l, kv_len, softmax_scale=sm_scale)[:, None]
 
     attn = mm(lp.wo, out.reshape(B, T, H * Dv).astype(xb.dtype))
     cache = KVCache(k=cache.k.at[layer].set(k_l),

@@ -40,10 +40,12 @@ def decode_attn_mha(
     k_cache: jnp.ndarray,  # (B, S, H, head_dim)
     v_cache: jnp.ndarray,  # (B, S, H, v_head_dim)
     kv_len,                # scalar or (B,) number of valid cache slots
+    softmax_scale=None,    # default 1/sqrt(head_dim)
 ) -> jnp.ndarray:          # (B, H, v_head_dim)
     B, S = k_cache.shape[0], k_cache.shape[1]
     head_dim = q.shape[-1]
-    scale = 1.0 / jnp.sqrt(jnp.float32(head_dim))
+    scale = jnp.float32(softmax_scale) if softmax_scale is not None \
+        else 1.0 / jnp.sqrt(jnp.float32(head_dim))
     scores = jnp.einsum(
         "bhd,bshd->bhs", q.astype(jnp.float32), k_cache.astype(jnp.float32)) * scale
     w = _masked_softmax(scores, _len_mask(kv_len, B, S))
@@ -58,9 +60,11 @@ def decode_attn_mla(
     krope_cache: jnp.ndarray,  # (B, S, qk_rope_head_dim)
     kv_len,
     head_dim: int,          # softmax scale uses the *full* head_dim (attn_mla)
+    softmax_scale=None,
 ) -> jnp.ndarray:           # (B, H, kv_lora_rank) — attended latents
     B, S = ckv_cache.shape[0], ckv_cache.shape[1]
-    scale = 1.0 / jnp.sqrt(jnp.float32(head_dim))
+    scale = jnp.float32(softmax_scale) if softmax_scale is not None \
+        else 1.0 / jnp.sqrt(jnp.float32(head_dim))
     scores = (
         jnp.einsum("bhr,bsr->bhs", q_c.astype(jnp.float32), ckv_cache.astype(jnp.float32))
         + jnp.einsum("bhp,bsp->bhs", q_rope.astype(jnp.float32), krope_cache.astype(jnp.float32))
@@ -75,11 +79,13 @@ def prefill_attn_mha(
     v_cache: jnp.ndarray,  # (B, S, H, v_head_dim)
     q_pos: jnp.ndarray,    # (T,) absolute positions of the queries
     cache_pos: jnp.ndarray,  # (S,) absolute position stored in each cache slot (-1 = empty)
+    softmax_scale=None,
 ) -> jnp.ndarray:          # (B, T, H, v_head_dim)
     """Chunked causal attention: query t attends to cache slots whose stored
     position <= q_pos[t]. Slot positions handle the ring buffer generically."""
     head_dim = q.shape[-1]
-    scale = 1.0 / jnp.sqrt(jnp.float32(head_dim))
+    scale = jnp.float32(softmax_scale) if softmax_scale is not None \
+        else 1.0 / jnp.sqrt(jnp.float32(head_dim))
     scores = jnp.einsum(
         "bthd,bshd->bhts", q.astype(jnp.float32), k_cache.astype(jnp.float32)) * scale
     mask = (cache_pos[None, :] <= q_pos[:, None]) & (cache_pos[None, :] >= 0)
@@ -95,8 +101,10 @@ def prefill_attn_mla(
     q_pos: jnp.ndarray,     # (T,)
     cache_pos: jnp.ndarray,  # (S,)
     head_dim: int,
+    softmax_scale=None,
 ) -> jnp.ndarray:           # (B, T, H, kv_lora_rank)
-    scale = 1.0 / jnp.sqrt(jnp.float32(head_dim))
+    scale = jnp.float32(softmax_scale) if softmax_scale is not None \
+        else 1.0 / jnp.sqrt(jnp.float32(head_dim))
     scores = (
         jnp.einsum("bthr,bsr->bhts", q_c.astype(jnp.float32), ckv_cache.astype(jnp.float32))
         + jnp.einsum("bthp,bsp->bhts", q_rope.astype(jnp.float32), krope_cache.astype(jnp.float32))

@@ -1,0 +1,140 @@
+"""Quantized decode benchmark: Q2_K / Q3_K / FP8 variants of the bench model
+on the attached chip (the BASELINE headline is DeepSeek-V3 Q2_K decode).
+
+Quantizes random weights with the native encoder, repacks, and measures the
+fused-kernel decode loop. Usage:
+
+    python scripts/bench_quant.py [q2_k|q3_k|f8e5m2] [layers]
+"""
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bench import bench_config
+from deepseek_tpu.config import QuantKind
+from deepseek_tpu.models import init_cache
+from deepseek_tpu.models.deepseek import make_decode_loop
+from deepseek_tpu.models.loader import params_active_bytes
+from deepseek_tpu.models.params import LayerParams, ModelParams
+from deepseek_tpu.quant import fp8 as fp8q
+from deepseek_tpu.quant.qtensor import Fp8Tensor, PlainTensor, Q2KTensor, Q3KTensor
+from deepseek_tpu.quant.repack import repack_q2k, repack_q3k
+from deepseek_tpu.native import kquant_native
+
+
+def _quantize(w: np.ndarray, quant: str):
+    """Random-weight quantized tensor (matching the loader's output types)."""
+    rows, cols = w.shape[-2], w.shape[-1]
+    if quant in ("q2_k", "q3_k") and cols % 256 == 0:
+        if w.ndim == 3:
+            raw = np.stack([kquant_native.quantize(e, quant) for e in w])
+        else:
+            raw = kquant_native.quantize(w, quant)
+        if quant == "q2_k":
+            qs, sm, d, dm = repack_q2k(raw, rows, cols)
+            return Q2KTensor(qs=jnp.asarray(qs), sm=jnp.asarray(sm),
+                             d=jnp.asarray(d), dmin=jnp.asarray(dm))
+        qs, hm, sc, d = repack_q3k(raw, rows, cols)
+        return Q3KTensor(qs=jnp.asarray(qs), hm=jnp.asarray(hm),
+                         sc=jnp.asarray(sc), d=jnp.asarray(d))
+    if quant == "f8e5m2" and rows % 128 == 0 and cols % 128 == 0:
+        if w.ndim == 3:
+            qd, sd = zip(*(fp8q.blockwise_quantize(e, (128, 128)) for e in w))
+            return Fp8Tensor(data=jnp.asarray(np.stack(qd)),
+                             scale=jnp.asarray(np.stack(sd)), block_size=(128, 128))
+        q, s = fp8q.blockwise_quantize(w, (128, 128))
+        return Fp8Tensor(data=jnp.asarray(q), scale=jnp.asarray(s),
+                         block_size=(128, 128))
+    # fallback (odd dims): bf16
+    return PlainTensor(data=jnp.asarray(w, jnp.bfloat16))
+
+
+def quantized_params(cfg, quant: str, seed=0) -> ModelParams:
+    rng = np.random.default_rng(seed)
+
+    def w(*shape):
+        return (rng.standard_normal(shape) * 0.02).astype(np.float32)
+
+    def qt(*shape):
+        return _quantize(w(*shape), quant)
+
+    def ones(*shape):
+        return jnp.ones(shape, jnp.float32)
+
+    c = cfg
+    H, hd, nope, P, Dv, R = (c.n_heads, c.head_dim, c.qk_nope_head_dim,
+                             c.qk_rope_head_dim, c.v_head_dim, c.kv_lora_rank)
+    layers = []
+    for l in range(c.n_layers):
+        moe = c.is_moe_layer(l)
+        E, m = c.n_routed_experts, c.moe_intermediate_size
+        layers.append(LayerParams(
+            attn_norm=ones(c.dim), ffn_norm=ones(c.dim), kv_a_norm=ones(R),
+            q_a_norm=ones(c.q_lora_rank),
+            wkv_a=qt(R + P, c.dim), wo=qt(c.dim, H * Dv),
+            wq=None, wq_a=qt(c.q_lora_rank, c.dim), wq_b=None, wkv_b=None,
+            wc=qt(H * R, c.q_lora_rank), wq_rope_b=qt(H * P, c.q_lora_rank),
+            wv_b=qt(H * Dv, R),
+            w1=qt(E, m, c.dim) if moe else qt(c.hidden_dim, c.dim),
+            w2=qt(E, c.dim, m) if moe else qt(c.dim, c.hidden_dim),
+            w3=qt(E, m, c.dim) if moe else qt(c.hidden_dim, c.dim),
+            shared_w1=qt(c.n_shared_experts * m, c.dim) if moe else None,
+            shared_w2=qt(c.dim, c.n_shared_experts * m) if moe else None,
+            shared_w3=qt(c.n_shared_experts * m, c.dim) if moe else None,
+            moegate=jnp.asarray(w(E, c.dim)) if moe else None,
+            moegate_bias=None,
+        ))
+    return ModelParams(embed=PlainTensor(data=jnp.asarray(w(c.vocab_size, c.dim), jnp.bfloat16)),
+                       layers=layers, final_norm=ones(c.dim),
+                       lm_head=qt(c.vocab_size, c.dim))
+
+
+def main():
+    quant = sys.argv[1] if len(sys.argv) > 1 else "q2_k"
+    layers = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    backend = jax.default_backend()
+    cfg = bench_config(layers)
+    # moe_intermediate 1408 is not 256-divisible; use 1536 for K-quant rows
+    import dataclasses
+    if quant in ("q2_k", "q3_k"):
+        cfg = dataclasses.replace(cfg, moe_intermediate_size=1536)
+
+    t0 = time.perf_counter()
+    params = quantized_params(cfg, quant)
+    jax.block_until_ready(jax.tree.leaves(params))
+    print(f"quantize+load: {time.perf_counter()-t0:.1f}s")
+
+    cache = init_cache(cfg, batch=1)
+    block = 32 if backend != "cpu" else 4
+    loop = make_decode_loop(cfg, block)
+    key = jax.random.PRNGKey(0)
+    args = (jnp.float32(0.0), jnp.float32(1.0))
+
+    tok = jnp.zeros((1, 1), jnp.int32)
+    toks, _, cache = loop(params, cache, tok, jnp.int32(0), key, *args)
+    tok = toks[:, -1:]
+    _ = int(np.asarray(tok)[0, 0])
+
+    n_blocks = 8 if backend != "cpu" else 1
+    t0 = time.perf_counter()
+    for i in range(n_blocks):
+        toks, _, cache = loop(params, cache, tok,
+                              jnp.int32(block * (i + 1)), key, *args)
+        tok = toks[:, -1:]
+    _ = int(np.asarray(tok)[0, 0])
+    dt = time.perf_counter() - t0
+    n = n_blocks * block
+    tok_s = n / dt
+    gb = params_active_bytes(params, cfg, n) / 1e9
+    print(f"{quant} L{layers} decode: {tok_s:.1f} tok/s  "
+          f"({gb:.2f} GB active/token -> {gb*tok_s:.0f} GB/s)")
+
+
+if __name__ == "__main__":
+    main()

@@ -264,3 +264,49 @@ def test_qmatmul_and_expert_gather():
     assert sub.data.shape == (2, 6, 10)
     y = qmatmul(PlainTensor(data=sub.data[0]), jnp.asarray(x))
     np.testing.assert_allclose(np.asarray(y), w[2] @ x, rtol=1e-4)
+
+
+def test_yarn_rope_invariants():
+    from deepseek_tpu.ops.rope import YarnParams, _yarn_inv_freq, yarn_get_mscale
+    yp = YarnParams(factor=40.0, beta_fast=32, beta_slow=1, mscale=0.707,
+                    mscale_all_dim=0.707, original_max_position=4096)
+    d = 64
+    f = _yarn_inv_freq(d, 10000.0, yp)
+    base = 10000.0 ** -(np.arange(0, d, 2) / d)
+    # interpolated between base/factor and base, monotone decreasing
+    assert np.all(f <= base * (1 + 1e-6)) and np.all(f >= base / yp.factor * (1 - 1e-6))
+    assert np.all(np.diff(f) < 0)
+    # high-frequency (low dim idx) stays extrapolated, low-frequency interpolates
+    np.testing.assert_allclose(f[0], base[0], rtol=1e-6)
+    np.testing.assert_allclose(f[-1], base[-1] / yp.factor, rtol=1e-6)
+    assert yarn_get_mscale(1.0, 0.707) == 1.0
+    assert yarn_get_mscale(40.0, 0.707) > 1.0
+
+
+def test_yarn_disabled_matches_plain():
+    from deepseek_tpu.ops.rope import YarnParams
+    v = rnd(32, 40)
+    plain = np.asarray(rope_v3(jnp.asarray(v), 11, 1e4))
+    yp = YarnParams(factor=1.0, beta_fast=32, beta_slow=1, mscale=1.0,
+                    mscale_all_dim=1.0, original_max_position=4096)
+    with_yarn = np.asarray(rope_v3(jnp.asarray(v), 11, 1e4, yp))
+    np.testing.assert_allclose(with_yarn, plain, rtol=1e-6)
+
+
+def test_yarn_model_runs_and_differs(tmp_path):
+    """use_yarn=True produces a valid forward that differs from plain rope."""
+    import dataclasses
+    from tests.test_model import build
+    from tests.util_tinymodel import tiny_config
+    from deepseek_tpu.models import init_cache, make_forward
+    cfg = tiny_config(use_mla=True, rs_factor=8.0, rs_mscale=0.707,
+                      rs_mscale_all_dim=0.707)
+    wd, params = build(cfg, seed=40)
+    cfg_y = dataclasses.replace(cfg, use_yarn=True)
+    f0 = make_forward(cfg, prefill=False, logits_mode="last")
+    f1 = make_forward(cfg_y, prefill=False, logits_mode="last")
+    tok = jnp.asarray([[7]], jnp.int32)
+    l0, _ = f0(params, init_cache(cfg, 1), tok, 5)
+    l1, _ = f1(params, init_cache(cfg_y, 1), tok, 5)
+    assert np.isfinite(np.asarray(l1)).all()
+    assert np.abs(np.asarray(l0) - np.asarray(l1)).max() > 1e-4
