@@ -12,7 +12,7 @@ prefill == stepwise decode), order-of-magnitude faster hydration.
 from __future__ import annotations
 
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Callable, List, Optional, Tuple
 
 import jax

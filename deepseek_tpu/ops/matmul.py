@@ -16,7 +16,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from deepseek_tpu.quant.qtensor import PlainTensor, QTensorLike
+from deepseek_tpu.quant.qtensor import PlainTensor
 
 
 _AUTO_PALLAS = True  # scripts/tpu_smoke.py passes on v5e (all kernels ~4e-7)

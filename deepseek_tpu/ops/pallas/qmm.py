@@ -20,7 +20,6 @@ Grid: one program per TILE_D output rows, full reduction dim per program
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

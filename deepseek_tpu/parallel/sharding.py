@@ -11,7 +11,6 @@ fp8 scales, odd vocab sizes) rather than failing.
 
 from __future__ import annotations
 
-from typing import Optional
 
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

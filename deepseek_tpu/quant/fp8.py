@@ -8,7 +8,7 @@ The 128x128 block grid maps 1:1 onto MXU tiles on TPU.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import ml_dtypes
 import numpy as np

@@ -18,7 +18,7 @@ shuffles), with per-16-column scale bytes and per-256-column f32 super scales.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -14,7 +14,7 @@ path can be slotted in behind the same interface.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Sequence
 
 from deepseek_tpu.utils.codec import CheckpointData, unpack_tokenizer_tokens
 

@@ -17,7 +17,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from bench import bench_config
-from deepseek_tpu.config import QuantKind
 from deepseek_tpu.models import init_cache
 from deepseek_tpu.models.deepseek import make_decode_loop
 from deepseek_tpu.models.loader import params_active_bytes

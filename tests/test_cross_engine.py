@@ -12,7 +12,6 @@ import re
 import subprocess
 import tempfile
 
-import numpy as np
 import pytest
 
 from deepseek_tpu.engine import Engine

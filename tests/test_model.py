@@ -3,7 +3,7 @@ import jax
 import jax.numpy as jnp
 import pytest
 
-from deepseek_tpu.config import QuantKind, ScoringFunc, TopKMethod
+from deepseek_tpu.config import ScoringFunc, TopKMethod
 from deepseek_tpu.models import init_cache, make_forward
 from deepseek_tpu.models.loader import load_params, params_active_bytes
 from deepseek_tpu.utils.codec import CheckpointData, TensorView, np_to_dtype_str

@@ -106,7 +106,6 @@ def test_full_model_pallas_impl_matches_xla(tmp_path):
     import dataclasses
     import os
     from deepseek_tpu import convert as cv
-    from deepseek_tpu.config import ModelConfig
     from deepseek_tpu.engine import Engine
     from tests.util_hf import hf_config, hf_weights, write_hf_dir
 

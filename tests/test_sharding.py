@@ -6,12 +6,11 @@ import numpy as np
 import pytest
 
 from deepseek_tpu.models import init_cache, make_forward
-from deepseek_tpu.models.loader import load_params
 from deepseek_tpu.parallel import make_mesh, shard_cache, shard_params
 from deepseek_tpu.parallel.mesh import default_mesh_shape
 
-from tests.test_model import build, make_ckptdata
-from tests.util_tinymodel import tiny_config, tiny_weights
+from tests.test_model import build
+from tests.util_tinymodel import tiny_config
 
 
 pytestmark = pytest.mark.skipif(

@@ -1,5 +1,3 @@
-import numpy as np
-
 from deepseek_tpu.tokenizer import Tokenizer
 from deepseek_tpu.utils.codec import CheckpointData, TensorView, pack_tokenizer_tokens
 
