@@ -75,10 +75,15 @@ def main():
     toks, _, cache = loop(params, cache, tok, jnp.int32(0), key, temp, topp)
     tok = toks[:, -1:]
     _ = int(np.asarray(tok)[0, 0])
+    # second warmup: the first post-compile dispatch runs ~3x slower than
+    # steady state (runtime autotuning/allocator warm-up) — measured on v5e
+    toks, _, cache = loop(params, cache, tok, jnp.int32(block), key, temp, topp)
+    tok = toks[:, -1:]
+    _ = int(np.asarray(tok)[0, 0])
 
     n_blocks = 8 if backend != "cpu" else 2
     n_steps = n_blocks * block
-    pos0 = block
+    pos0 = 2 * block
     t0 = time.perf_counter()
     for i in range(n_blocks):
         toks, _, cache = loop(params, cache, tok, jnp.int32(pos0 + i * block),

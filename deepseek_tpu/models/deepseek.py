@@ -108,9 +108,17 @@ def _attention(lp: LayerParams, cfg: ModelConfig, xb: jnp.ndarray,
                              _rotation_only(yarn)).astype(cdt)
             krope_l = krope_l.at[:, :KV_SINKS].set(
                 jnp.where((kv_sink > 0)[:, None, None], rot, sink))
-            lat = decode_attn_mla(
-                q_c[:, 0], q_rope[:, 0], ckv_l, krope_l, kv_len,
-                cfg.head_dim, softmax_scale=sm_scale)[:, None]      # (B,1,H,R)
+            if impl is not None:
+                from deepseek_tpu.ops.pallas.attention import mla_decode_attn
+                scale = float(sm_scale) if sm_scale is not None \
+                    else 1.0 / float(cfg.head_dim) ** 0.5
+                lat = mla_decode_attn(
+                    q_c[:, 0], q_rope[:, 0], ckv_l, krope_l, kv_len,
+                    scale, interpret=impl["interpret"])[:, None]
+            else:
+                lat = decode_attn_mla(
+                    q_c[:, 0], q_rope[:, 0], ckv_l, krope_l, kv_len,
+                    cfg.head_dim, softmax_scale=sm_scale)[:, None]  # (B,1,H,R)
 
         # per-head up-projection of attended latents (wv_b, infer.cpp:1134-1137)
         if impl is not None and not prefill and not isinstance(lp.wv_b, PlainTensor):
@@ -169,8 +177,16 @@ def _attention(lp: LayerParams, cfg: ModelConfig, xb: jnp.ndarray,
                          _rotation_only(yarn)).astype(cdt)
         k_l = k_l.at[:, :KV_SINKS, :, nope:].set(
             jnp.where((kv_sink > 0)[:, None, None, None], rot, sink))
-        out = decode_attn_mha(
-            q[:, 0], k_l, v_l, kv_len, softmax_scale=sm_scale)[:, None]
+        if impl is not None:
+            from deepseek_tpu.ops.pallas.attention import mha_decode_attn
+            scale = float(sm_scale) if sm_scale is not None \
+                else 1.0 / float(cfg.head_dim) ** 0.5
+            out = mha_decode_attn(
+                q[:, 0], k_l, v_l, kv_len, scale,
+                interpret=impl["interpret"])[:, None]
+        else:
+            out = decode_attn_mha(
+                q[:, 0], k_l, v_l, kv_len, softmax_scale=sm_scale)[:, None]
 
     attn = mm(lp.wo, out.reshape(B, T, H * Dv).astype(xb.dtype))
     cache = KVCache(k=cache.k.at[layer].set(k_l),

@@ -1,0 +1,208 @@
+"""Pallas decode-attention kernels (flash-decode over the ring KV cache).
+
+TPU analogue of the reference's per-head attention kernels
+(``attn`` infer.cpp:728-762, ``attn_mla`` infer.cpp:766-804): one pass over
+the KV cache per step, online-softmax accumulation in VMEM, scores never
+materialized in HBM. The MLA kernel is MQA-shaped — one (kv_lora_rank +
+rope) cache tile serves all heads, so each cache byte is read exactly once
+per decode step and the kernel runs at the KV-bytes bandwidth roofline.
+
+``kv_len`` masks the valid prefix of the static-shape ring buffer per
+sequence (no dynamic shapes): positions >= kv_len[b] contribute nothing.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG_INF = -1e30
+
+
+def _pick_tile(S: int, row_bytes: int, budget: int = 4 * 1024 * 1024) -> int:
+    """KV-tile length: big enough to amortize, small enough to double-buffer."""
+    for ts in (1024, 512, 256, 128):
+        if ts <= S and row_bytes * ts <= budget:
+            return ts
+    return min(S, 128)
+
+
+def _mla_body(kvlen_ref, qc_ref, qr_ref, ckv_ref, kr_ref, o_ref,
+              m_ref, l_ref, acc_ref, *, ts: int, s_len: int, scale: float):
+    b, si = pl.program_id(0), pl.program_id(1)
+    last = pl.num_programs(1) - 1
+
+    @pl.when(si == 0)
+    def _():
+        m_ref[...] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    ckv = ckv_ref[0].astype(jnp.float32)                    # (TS, R)
+    kr = kr_ref[0].astype(jnp.float32)                      # (TS, P)
+    if s_len % ts:
+        # last tile reads past the array: padded rows may hold NaN garbage,
+        # and 0 * NaN = NaN in the value matmul — zero them out
+        rpos = si * ts + jax.lax.broadcasted_iota(jnp.int32, ckv.shape, 0)
+        ckv = jnp.where(rpos < s_len, ckv, 0.0)
+    qc = qc_ref[0]                                          # (H, R)
+    qr = qr_ref[0]                                          # (H, P)
+
+    s = jax.lax.dot_general(
+        qc, ckv, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    s = s + jax.lax.dot_general(
+        qr, kr, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    s = s * scale                                           # (H, TS)
+
+    pos = si * ts + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    mask = pos < kvlen_ref[b]
+    s = jnp.where(mask, s, _NEG_INF)
+
+    m_old = m_ref[...]                                      # (H, 1)
+    m_new = jnp.maximum(m_old, jnp.max(s, axis=-1, keepdims=True))
+    alpha = jnp.exp(m_old - m_new)
+    p = jnp.exp(s - m_new)
+    p = jnp.where(mask, p, 0.0)
+    l_ref[...] = l_ref[...] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    acc_ref[...] = acc_ref[...] * alpha + jax.lax.dot_general(
+        p, ckv, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    m_ref[...] = m_new
+
+    @pl.when(si == last)
+    def _():
+        o_ref[0] = acc_ref[...] / l_ref[...]
+
+
+@functools.partial(jax.jit, static_argnames=("softmax_scale", "interpret"))
+def mla_decode_attn(q_c, q_rope, ckv_cache, krope_cache, kv_len,
+                    softmax_scale: float, interpret: bool = False):
+    """Absorbed-MLA decode attention (attn_mla, infer.cpp:766-804).
+
+    q_c (B,H,R) f32, q_rope (B,H,P) f32, ckv_cache (B,S,R), krope_cache
+    (B,S,P), kv_len (B,) int32 -> attended latents (B,H,R) f32.
+    """
+    B, H, R = q_c.shape
+    P = q_rope.shape[-1]
+    S = ckv_cache.shape[1]
+    ts = _pick_tile(S, (R + P) * ckv_cache.dtype.itemsize)
+    grid = (B, pl.cdiv(S, ts))
+    kv_len = jnp.broadcast_to(jnp.asarray(kv_len, jnp.int32), (B,))
+
+    out = pl.pallas_call(
+        functools.partial(_mla_body, ts=ts, s_len=S, scale=float(softmax_scale)),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, H, R), lambda b, s, kl: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, H, P), lambda b, s, kl: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, ts, R), lambda b, s, kl: (b, s, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, ts, P), lambda b, s, kl: (b, s, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, H, R), lambda b, s, kl: (b, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((H, 1), jnp.float32),
+                pltpu.VMEM((H, 1), jnp.float32),
+                pltpu.VMEM((H, R), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, H, R), jnp.float32),
+        interpret=interpret,
+    )(kv_len, q_c.astype(jnp.float32), q_rope.astype(jnp.float32),
+      ckv_cache, krope_cache)
+    return out
+
+
+def _mha_body(kvlen_ref, q_ref, k_ref, v_ref, o_ref,
+              m_ref, l_ref, acc_ref, *, ts: int, s_len: int, scale: float):
+    b, si = pl.program_id(0), pl.program_id(2)
+    last = pl.num_programs(2) - 1
+
+    @pl.when(si == 0)
+    def _():
+        m_ref[...] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    k = k_ref[0, :, 0, :].astype(jnp.float32)               # (TS, Dh)
+    v = v_ref[0, :, 0, :].astype(jnp.float32)               # (TS, Dv)
+    if s_len % ts:
+        rpos = si * ts + jax.lax.broadcasted_iota(jnp.int32, v.shape, 0)
+        v = jnp.where(rpos < s_len, v, 0.0)
+    q = q_ref[0]                                            # (1, Dh)
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale         # (1, TS)
+    pos = si * ts + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    mask = pos < kvlen_ref[b]
+    s = jnp.where(mask, s, _NEG_INF)
+
+    m_old = m_ref[...]
+    m_new = jnp.maximum(m_old, jnp.max(s, axis=-1, keepdims=True))
+    alpha = jnp.exp(m_old - m_new)
+    p = jnp.where(mask, jnp.exp(s - m_new), 0.0)
+    l_ref[...] = l_ref[...] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    acc_ref[...] = acc_ref[...] * alpha + jax.lax.dot_general(
+        p, v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    m_ref[...] = m_new
+
+    @pl.when(si == last)
+    def _():
+        o_ref[0] = acc_ref[...] / l_ref[...]
+
+
+@functools.partial(jax.jit, static_argnames=("softmax_scale", "interpret"))
+def mha_decode_attn(q, k_cache, v_cache, kv_len,
+                    softmax_scale: float, interpret: bool = False):
+    """Decompressed-MHA decode attention (attn, infer.cpp:728-762).
+
+    q (B,H,Dh) f32, k_cache (B,S,H,Dh), v_cache (B,S,H,Dv), kv_len (B,)
+    -> (B,H,Dv) f32. Grid walks (batch, head, kv tile); each head's cache
+    rows DMA as strided slices of the (B,S,H,D) layout.
+    """
+    B, H, Dh = q.shape
+    S = k_cache.shape[1]
+    Dv = v_cache.shape[-1]
+    ts = _pick_tile(S, (Dh + Dv) * k_cache.dtype.itemsize)
+    grid = (B, H, pl.cdiv(S, ts))
+    kv_len = jnp.broadcast_to(jnp.asarray(kv_len, jnp.int32), (B,))
+
+    out = pl.pallas_call(
+        functools.partial(_mha_body, ts=ts, s_len=S, scale=float(softmax_scale)),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, 1, Dh), lambda b, h, s, kl: (b, h, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, ts, 1, Dh), lambda b, h, s, kl: (b, s, h, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, ts, 1, Dv), lambda b, h, s, kl: (b, s, h, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, 1, Dv), lambda b, h, s, kl: (b, h, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((1, 1), jnp.float32),
+                pltpu.VMEM((1, 1), jnp.float32),
+                pltpu.VMEM((1, Dv), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, H, Dv), jnp.float32),
+        interpret=interpret,
+    )(kv_len, q.astype(jnp.float32), k_cache, v_cache)
+    return out

@@ -1,10 +1,16 @@
 """On-device token sampling (temperature + nucleus top-p).
 
-Device-side counterpart of deepseek_tpu.sampler.Sampler: identical nucleus
-semantics (smallest prefix of the descending-probability ordering whose mass
-reaches top_p, renormalized), implemented with a full sort + cumsum so the
-whole decode loop — forward, sample, feedback — stays on chip across a
-lax.scan rollout. temperature == 0 selects argmax via a jnp.where.
+Device-side counterpart of deepseek_tpu.sampler.Sampler: the nucleus is the
+smallest set of highest-probability tokens whose mass reaches top_p. A full
+argsort over the vocab costs ~milliseconds per step on TPU at DeepSeek vocab
+sizes, so the nucleus is found WITHOUT sorting: binary-search the largest
+probability threshold tau whose keep-set {p >= tau} still has mass >= top_p
+(24 f32 halvings — exact up to float epsilon; value-ties at the boundary are
+all kept, which only affects equiprobable tokens). Sampling is then a single
+jax.random.categorical over the masked logits, so the whole decode loop —
+forward, sample, feedback — stays on chip across a lax.scan rollout.
+
+temperature == 0 selects argmax via jnp.where.
 """
 
 from __future__ import annotations
@@ -15,6 +21,25 @@ import jax.numpy as jnp
 _NEG_INF = -1e30
 
 
+def _nucleus_mask(probs: jnp.ndarray, top_p) -> jnp.ndarray:
+    """(B, V) probs -> bool keep mask of the smallest mass >= top_p prefix."""
+    pmax = jnp.max(probs, axis=-1, keepdims=True)               # (B, 1)
+    top_p = jnp.asarray(top_p, jnp.float32)
+
+    def body(_, lohi):
+        lo, hi = lohi
+        mid = 0.5 * (lo + hi)
+        mass = jnp.sum(jnp.where(probs >= mid, probs, 0.0),
+                       axis=-1, keepdims=True)
+        ok = mass >= top_p           # threshold can be raised further
+        return jnp.where(ok, mid, lo), jnp.where(ok, hi, mid)
+
+    lo, _ = jax.lax.fori_loop(
+        0, 24, body, (jnp.zeros_like(pmax), pmax))
+    # lo is the largest feasible threshold found; always keep the argmax
+    return (probs >= lo) | (probs >= pmax)
+
+
 def sample_token(logits: jnp.ndarray, key, temperature, top_p) -> jnp.ndarray:
     """logits (B, V) f32 -> (B,) int32. temperature/top_p may be traced."""
     logits = logits.astype(jnp.float32)
@@ -22,14 +47,9 @@ def sample_token(logits: jnp.ndarray, key, temperature, top_p) -> jnp.ndarray:
 
     t = jnp.maximum(jnp.asarray(temperature, jnp.float32), 1e-6)
     scaled = logits / t
-    order = jnp.argsort(-scaled, axis=-1)
-    sorted_logits = jnp.take_along_axis(scaled, order, axis=-1)
-    probs = jax.nn.softmax(sorted_logits, axis=-1)
-    cum = jnp.cumsum(probs, axis=-1)
-    # keep tokens whose preceding cumulative mass is < top_p (>= 1 kept)
-    keep = (cum - probs) < jnp.asarray(top_p, jnp.float32)
-    masked = jnp.where(keep, sorted_logits, _NEG_INF)
-    choice = jax.random.categorical(key, masked, axis=-1)
-    sampled = jnp.take_along_axis(order, choice[..., None], axis=-1)[..., 0]
+    probs = jax.nn.softmax(scaled, axis=-1)
+    keep = _nucleus_mask(probs, top_p)
+    masked = jnp.where(keep, scaled, _NEG_INF)
+    sampled = jax.random.categorical(key, masked, axis=-1)
     return jnp.where(jnp.asarray(temperature) == 0.0, greedy,
                      sampled.astype(jnp.int32))

@@ -1,0 +1,58 @@
+"""Pallas flash-decode attention kernels vs the jnp reference formulation.
+
+Interpret mode on CPU (identical kernel logic to the TPU lowering);
+real-chip numerics run in scripts/tpu_smoke.py.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deepseek_tpu.ops.attention import decode_attn_mha, decode_attn_mla
+from deepseek_tpu.ops.pallas.attention import mha_decode_attn, mla_decode_attn
+
+
+def rnd(shape, seed=0, scale=1.0):
+    return (np.random.default_rng(seed).standard_normal(shape) * scale).astype(np.float32)
+
+
+@pytest.mark.parametrize("B,kv_len", [(1, 256), (2, (7, 199)), (1, 1)])
+def test_mla_decode_attn_matches_jnp(B, kv_len):
+    H, R, P, S = 4, 64, 32, 256
+    q_c = jnp.asarray(rnd((B, H, R), 1, 0.3))
+    q_r = jnp.asarray(rnd((B, H, P), 2, 0.3))
+    ckv = jnp.asarray(rnd((B, S, R), 3, 0.3), jnp.bfloat16)
+    kr = jnp.asarray(rnd((B, S, P), 4, 0.3), jnp.bfloat16)
+    kl = jnp.asarray(np.broadcast_to(np.asarray(kv_len, np.int32), (B,)))
+    scale = 1.0 / np.sqrt(96.0)
+    want = np.asarray(decode_attn_mla(q_c, q_r, ckv, kr, kl, 96))
+    got = np.asarray(mla_decode_attn(q_c, q_r, ckv, kr, kl, scale,
+                                     interpret=True))
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.parametrize("B,kv_len", [(1, 256), (2, (13, 250))])
+def test_mha_decode_attn_matches_jnp(B, kv_len):
+    H, Dh, Dv, S = 3, 48, 32, 256
+    q = jnp.asarray(rnd((B, H, Dh), 5, 0.3))
+    k = jnp.asarray(rnd((B, S, H, Dh), 6, 0.3), jnp.bfloat16)
+    v = jnp.asarray(rnd((B, S, H, Dv), 7, 0.3), jnp.bfloat16)
+    kl = jnp.asarray(np.broadcast_to(np.asarray(kv_len, np.int32), (B,)))
+    scale = 1.0 / np.sqrt(Dh)
+    want = np.asarray(decode_attn_mha(q, k, v, kl))
+    got = np.asarray(mha_decode_attn(q, k, v, kl, scale, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
+def test_mla_decode_attn_nondivisible_window():
+    # S not a multiple of the kv tile; masked tail must not contribute
+    B, H, R, P, S = 1, 2, 32, 16, 192
+    q_c = jnp.asarray(rnd((B, H, R), 8))
+    q_r = jnp.asarray(rnd((B, H, P), 9))
+    ckv = jnp.asarray(rnd((B, S, R), 10), jnp.bfloat16)
+    kr = jnp.asarray(rnd((B, S, P), 11), jnp.bfloat16)
+    kl = jnp.asarray([100], jnp.int32)
+    want = np.asarray(decode_attn_mla(q_c, q_r, ckv, kr, kl, 48))
+    got = np.asarray(mla_decode_attn(q_c, q_r, ckv, kr, kl,
+                                     1.0 / np.sqrt(48.0), interpret=True))
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
