@@ -50,11 +50,15 @@ def _rotation_only(yarn):
 
 def _attention(lp: LayerParams, cfg: ModelConfig, xb: jnp.ndarray,
                cache: KVCache, layer: int, pos_vec: jnp.ndarray,
-               cache_start, kv_len, kv_sink, prefill: bool, impl
+               cache_start, kv_len, kv_sink, prefill: bool, impl, ctx
                ) -> Tuple[jnp.ndarray, KVCache]:
-    """Runs either attention path; returns (attn_out (B,T,dim), cache)."""
+    """Runs either attention path; returns (attn_out (B,T,dim), cache).
+
+    Under shard_map (ctx.tp > 1) all head-major projections are local TP
+    shards: H here is the local head count and the row-parallel wo output is
+    psum'd over the tensor axis."""
     B, T, _ = xb.shape
-    H = cfg.n_heads
+    H = ctx.local_heads(cfg.n_heads)
     R, P = cfg.kv_lora_rank, cfg.qk_rope_head_dim
     nope, Dv = cfg.qk_nope_head_dim, cfg.v_head_dim
     is_v3 = cfg.has_moegate_bias
@@ -82,20 +86,24 @@ def _attention(lp: LayerParams, cfg: ModelConfig, xb: jnp.ndarray,
         q_rope = apply_rope(q_rope.astype(jnp.float32), posb, theta, is_v3, yarn)
         q_c = mm(lp.wc, q_a).reshape(B, T, H, R).astype(jnp.float32)
 
+        # cache writes scatter straight into the full (L,B,S,·) arrays —
+        # in-place dynamic updates on the donated carry, no slice round-trips
         cdt = cache.ckv.dtype
         if prefill:
-            ckv_l = jax.lax.dynamic_update_slice(
-                cache.ckv[layer], ckv.astype(cdt), (0, cache_start, 0))
-            krope_l = jax.lax.dynamic_update_slice(
-                cache.krope[layer], k_rope.astype(cdt), (0, cache_start, 0))
+            ckv_full = jax.lax.dynamic_update_slice(
+                cache.ckv, ckv[None].astype(cdt), (layer, 0, cache_start, 0))
+            krope_full = jax.lax.dynamic_update_slice(
+                cache.krope, k_rope[None].astype(cdt),
+                (layer, 0, cache_start, 0))
         else:  # per-sequence slot scatter (cache_start is (B,))
             bidx = jnp.arange(B)
-            ckv_l = cache.ckv[layer].at[bidx, cache_start].set(
+            ckv_full = cache.ckv.at[layer, bidx, cache_start].set(
                 ckv[:, 0].astype(cdt))
-            krope_l = cache.krope[layer].at[bidx, cache_start].set(
+            krope_full = cache.krope.at[layer, bidx, cache_start].set(
                 k_rope[:, 0].astype(cdt))
 
         if prefill:
+            ckv_l, krope_l = ckv_full[layer], krope_full[layer]
             S = ckv_l.shape[1]
             lat = prefill_attn_mla(
                 q_c, q_rope, ckv_l, krope_l, pos_vec,
@@ -103,11 +111,12 @@ def _attention(lp: LayerParams, cfg: ModelConfig, xb: jnp.ndarray,
                 softmax_scale=sm_scale)                             # (B,T,H,R)
         else:
             # sink re-rotation by +1 (StreamingLLM; infer.cpp:1103-1110)
-            sink = krope_l[:, :KV_SINKS]
+            sink = krope_full[layer, :, :KV_SINKS]
             rot = apply_rope(sink.astype(jnp.float32), 1, theta, is_v3,
                              _rotation_only(yarn)).astype(cdt)
-            krope_l = krope_l.at[:, :KV_SINKS].set(
+            krope_full = krope_full.at[layer, :, :KV_SINKS].set(
                 jnp.where((kv_sink > 0)[:, None, None], rot, sink))
+            ckv_l, krope_l = ckv_full[layer], krope_full[layer]
             if impl is not None:
                 from deepseek_tpu.ops.pallas.attention import mla_decode_attn
                 scale = float(sm_scale) if sm_scale is not None \
@@ -133,10 +142,8 @@ def _attention(lp: LayerParams, cfg: ModelConfig, xb: jnp.ndarray,
             wv_b = lp.wv_b.dequant(jnp.float32).reshape(H, Dv, R)
             v = jnp.einsum("bthr,hvr->bthv", lat, wv_b,
                            preferred_element_type=jnp.float32)
-        attn = mm(lp.wo, v.reshape(B, T, H * Dv).astype(xb.dtype))
-        cache = KVCache(k=None, v=None,
-                        ckv=cache.ckv.at[layer].set(ckv_l),
-                        krope=cache.krope.at[layer].set(krope_l))
+        attn = ctx.psum_t(mm(lp.wo, v.reshape(B, T, H * Dv).astype(xb.dtype)))
+        cache = KVCache(k=None, v=None, ckv=ckv_full, krope=krope_full)
         return attn, cache
 
     # decompressed path (BlockMHA, infer.cpp:935-1049)
@@ -157,26 +164,28 @@ def _attention(lp: LayerParams, cfg: ModelConfig, xb: jnp.ndarray,
 
     cdt = cache.k.dtype
     if prefill:
-        k_l = jax.lax.dynamic_update_slice(
-            cache.k[layer], k.astype(cdt), (0, cache_start, 0, 0))
-        v_l = jax.lax.dynamic_update_slice(
-            cache.v[layer], vv.astype(cdt), (0, cache_start, 0, 0))
+        k_full = jax.lax.dynamic_update_slice(
+            cache.k, k[None].astype(cdt), (layer, 0, cache_start, 0, 0))
+        v_full = jax.lax.dynamic_update_slice(
+            cache.v, vv[None].astype(cdt), (layer, 0, cache_start, 0, 0))
     else:
         bidx = jnp.arange(B)
-        k_l = cache.k[layer].at[bidx, cache_start].set(k[:, 0].astype(cdt))
-        v_l = cache.v[layer].at[bidx, cache_start].set(vv[:, 0].astype(cdt))
+        k_full = cache.k.at[layer, bidx, cache_start].set(k[:, 0].astype(cdt))
+        v_full = cache.v.at[layer, bidx, cache_start].set(vv[:, 0].astype(cdt))
 
     if prefill:
+        k_l, v_l = k_full[layer], v_full[layer]
         S = k_l.shape[1]
         out = prefill_attn_mha(q, k_l, v_l, pos_vec,
                                jnp.arange(S, dtype=jnp.int32),
                                softmax_scale=sm_scale)              # (B,T,H,Dv)
     else:
-        sink = k_l[:, :KV_SINKS, :, nope:]
+        sink = k_full[layer, :, :KV_SINKS, :, nope:]
         rot = apply_rope(sink.astype(jnp.float32), 1, theta, is_v3,
                          _rotation_only(yarn)).astype(cdt)
-        k_l = k_l.at[:, :KV_SINKS, :, nope:].set(
+        k_full = k_full.at[layer, :, :KV_SINKS, :, nope:].set(
             jnp.where((kv_sink > 0)[:, None, None, None], rot, sink))
+        k_l, v_l = k_full[layer], v_full[layer]
         if impl is not None:
             from deepseek_tpu.ops.pallas.attention import mha_decode_attn
             scale = float(sm_scale) if sm_scale is not None \
@@ -188,22 +197,21 @@ def _attention(lp: LayerParams, cfg: ModelConfig, xb: jnp.ndarray,
             out = decode_attn_mha(
                 q[:, 0], k_l, v_l, kv_len, softmax_scale=sm_scale)[:, None]
 
-    attn = mm(lp.wo, out.reshape(B, T, H * Dv).astype(xb.dtype))
-    cache = KVCache(k=cache.k.at[layer].set(k_l),
-                    v=cache.v.at[layer].set(v_l),
-                    ckv=None, krope=None)
+    attn = ctx.psum_t(mm(lp.wo, out.reshape(B, T, H * Dv).astype(xb.dtype)))
+    cache = KVCache(k=k_full, v=v_full, ckv=None, krope=None)
     return attn, cache
 
 
-def _dense_glu(w1, w2, w3, xb: jnp.ndarray, cfg: ModelConfig, impl) -> jnp.ndarray:
+def _dense_glu(w1, w2, w3, xb: jnp.ndarray, cfg: ModelConfig, impl, ctx) -> jnp.ndarray:
+    """Column-parallel w1/w3, row-parallel w2: psum restores the full sum."""
     h = glu_act(qmatmul(w1, xb, impl=impl), qmatmul(w3, xb, impl=impl), cfg.act)
-    return qmatmul(w2, h, impl=impl)
+    return ctx.psum_t(qmatmul(w2, h, impl=impl))
 
 
 def _ffn(lp: LayerParams, cfg: ModelConfig, xb: jnp.ndarray, layer: int,
-         prefill: bool, impl) -> jnp.ndarray:
+         prefill: bool, impl, ctx) -> jnp.ndarray:
     if not cfg.is_moe_layer(layer):
-        return _dense_glu(lp.w1, lp.w2, lp.w3, xb, cfg, impl)
+        return _dense_glu(lp.w1, lp.w2, lp.w3, xb, cfg, impl, ctx)
 
     router_logits = jnp.einsum(
         "btd,ed->bte", xb.astype(jnp.float32), lp.moegate,
@@ -216,23 +224,24 @@ def _ffn(lp: LayerParams, cfg: ModelConfig, xb: jnp.ndarray, layer: int,
         # weights scatter-combined through a (B,T,E) matrix
         E = cfg.n_routed_experts
         wmat = jax.nn.one_hot(idx, E, dtype=jnp.float32) * weights[..., None]
-        wmat = wmat.sum(axis=-2)                                  # (B,T,E)
-        d1 = lp.w1.dequant(dtype)                                 # (E,m,dim)
+        wmat = ctx.local_expert_slice(wmat.sum(axis=-2), E)       # (B,T,E_l)
+        d1 = lp.w1.dequant(dtype)                                 # (E_l,m,dim)
         d3 = lp.w3.dequant(dtype)
         h = glu_act(
             jnp.einsum("btn,emn->btem", xb, d1, preferred_element_type=jnp.float32).astype(dtype),
             jnp.einsum("btn,emn->btem", xb, d3, preferred_element_type=jnp.float32).astype(dtype),
             cfg.act)
-        d2 = lp.w2.dequant(dtype)                                 # (E,dim,m)
+        d2 = lp.w2.dequant(dtype)                                 # (E_l,dim,m)
         per_e = jnp.einsum("btem,edm->bted", h, d2, preferred_element_type=jnp.float32)
-        out = jnp.einsum("bted,bte->btd", per_e, wmat).astype(dtype)
+        out = ctx.psum_e(jnp.einsum("bted,bte->btd", per_e, wmat)).astype(dtype)
     elif impl is not None:
         # decode hot path: scalar-prefetch expert kernel — only the k active
         # experts' packed bytes leave HBM (the XLA gather reads all E)
         from deepseek_tpu.ops.pallas.qmm import qmm_experts
         B, T, k = idx.shape
         assert T == 1
-        idx2 = idx[:, 0]                                          # (B, k)
+        idx2, wts = ctx.expert_slots(idx[:, 0], weights[:, 0],
+                                     cfg.n_routed_experts)        # (B, k)
         x2 = xb[:, 0]                                             # (B, dim)
         xk = jnp.broadcast_to(x2[:, None], (B, k, x2.shape[-1]))
         h = glu_act(
@@ -240,9 +249,11 @@ def _ffn(lp: LayerParams, cfg: ModelConfig, xb: jnp.ndarray, layer: int,
             qmm_experts(lp.w3, idx2, xk, interpret=impl["interpret"]).astype(dtype),
             cfg.act)                                              # (B, k, m)
         per_k = qmm_experts(lp.w2, idx2, h, interpret=impl["interpret"])
-        out = (per_k * weights[:, 0, :, None]).sum(axis=1)[:, None].astype(dtype)
+        out = ctx.psum_e(
+            (per_k * wts[:, :, None]).sum(axis=1)[:, None]).astype(dtype)
     else:
         # decode: gather only the k active experts' quantized weights
+        idx, weights = ctx.expert_slots(idx, weights, cfg.n_routed_experts)
         w1k = gather_experts(lp.w1, idx).dequant(dtype)           # (B,T,k,m,dim)
         w3k = gather_experts(lp.w3, idx).dequant(dtype)
         h = glu_act(
@@ -251,20 +262,24 @@ def _ffn(lp: LayerParams, cfg: ModelConfig, xb: jnp.ndarray, layer: int,
             cfg.act)
         w2k = gather_experts(lp.w2, idx).dequant(dtype)           # (B,T,k,dim,m)
         per_k = jnp.einsum("btkm,btkdm->btkd", h, w2k, preferred_element_type=jnp.float32)
-        out = (per_k * weights[..., None]).sum(axis=2).astype(dtype)
+        out = ctx.psum_e((per_k * weights[..., None]).sum(axis=2)).astype(dtype)
 
     if cfg.n_shared_experts > 0 and lp.shared_w1 is not None:
-        out = out + _dense_glu(lp.shared_w1, lp.shared_w2, lp.shared_w3, xb, cfg, impl)
+        out = out + _dense_glu(lp.shared_w1, lp.shared_w2, lp.shared_w3, xb,
+                               cfg, impl, ctx)
     return out
 
 
 def _forward_impl(params: ModelParams, cache: KVCache, tokens: jnp.ndarray,
-                  pos0, cfg: ModelConfig, prefill: bool, logits_mode: str
-                  ) -> Tuple[Optional[jnp.ndarray], KVCache]:
+                  pos0, cfg: ModelConfig, prefill: bool, logits_mode: str,
+                  ctx=None) -> Tuple[Optional[jnp.ndarray], KVCache]:
+    if ctx is None:
+        from deepseek_tpu.parallel.spmd import NULL_CTX as ctx
     B, T = tokens.shape
     dtype = jnp.dtype(cfg.compute_dtype)
-    # Pallas kernels currently assume unsharded operands; the sharded path
-    # keeps the XLA kernels (shard_map integration is future work)
+    # Under shard_map (ctx) operands are local shards, so the Pallas kernels
+    # run unchanged per shard; under GSPMD jit they require unsharded
+    # operands (pallas_call is opaque to the partitioner)
     impl = kernel_impl(cfg) if not prefill else None
     x = embed_lookup(params.embed, tokens, jnp.float32).astype(dtype)
 
@@ -287,12 +302,12 @@ def _forward_impl(params: ModelParams, cache: KVCache, tokens: jnp.ndarray,
         dbg(f"l{layer}.attn_norm", xb)
         attn, cache = _attention(
             lp, cfg, xb, cache, layer, pos_vec, cache_start, kv_len, kv_sink,
-            prefill, impl)
+            prefill, impl, ctx)
         dbg(f"l{layer}.attn", attn)
         x = x + attn
         xb = rmsnorm(x, lp.ffn_norm, cfg.norm_eps)
         dbg(f"l{layer}.ffn_norm", xb)
-        ffn = _ffn(lp, cfg, xb, layer, prefill, impl)
+        ffn = _ffn(lp, cfg, xb, layer, prefill, impl, ctx)
         dbg(f"l{layer}.ffn", ffn)
         x = x + ffn
 
@@ -301,29 +316,59 @@ def _forward_impl(params: ModelParams, cache: KVCache, tokens: jnp.ndarray,
     if logits_mode == "last":
         x = x[:, -1:]
     x = rmsnorm(x, params.final_norm, cfg.norm_eps)
-    logits = qmatmul(params.lm_head, x.astype(jnp.float32), impl=impl)
+    logits = ctx.gather_logits(
+        qmatmul(params.lm_head, x.astype(jnp.float32), impl=impl))
     if logits_mode == "last":
         logits = logits[:, 0]
     dbg("logits", logits)
     return logits, cache
 
 
+def _spmd_parts(cfg: ModelConfig, mesh, params, cache):
+    """(ctx, in/out pspecs) for wrapping a forward body in shard_map."""
+    from jax.sharding import PartitionSpec as P
+    from deepseek_tpu.parallel.sharding import cache_pspecs, param_pspecs
+    from deepseek_tpu.parallel.spmd import make_ctx
+    assert params is not None and cache is not None, \
+        "mesh execution needs example params/cache pytrees to derive specs"
+    ctx = make_ctx(cfg, mesh)
+    pspec = param_pspecs(params, cfg, mesh)
+    cspec = cache_pspecs(cache, cfg, mesh)
+    return ctx, pspec, cspec, P
+
+
 def make_forward(cfg: ModelConfig, *, prefill: bool = False,
-                 logits_mode: str = "last", jit: bool = True):
+                 logits_mode: str = "last", jit: bool = True,
+                 mesh=None, params=None, cache=None):
     """Build (and jit) a forward function for a fixed mode.
 
     Returns ``fn(params, cache, tokens (B,T) int32, pos0) -> (logits, cache)``
     with the cache donated, so decode is allocation-free steady-state.
+
+    With ``mesh`` (plus example ``params``/``cache`` pytrees for spec
+    derivation), the body runs under shard_map with explicit collectives —
+    every operand inside is a local shard, so the Pallas kernels stay active
+    on the multi-chip path. Logits come back replicated over the model axes
+    and sharded over ``data`` on batch.
     """
     assert logits_mode in ("all", "last", "none")
     fn = functools.partial(
         _forward_impl, cfg=cfg, prefill=prefill, logits_mode=logits_mode)
+    if mesh is not None:
+        ctx, pspec, cspec, P = _spmd_parts(cfg, mesh, params, cache)
+        body = functools.partial(fn, ctx=ctx)
+        fn = jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(pspec, cspec, P("data"), P()),
+            out_specs=(P("data"), cspec),
+            check_vma=False)
     if jit:
         fn = jax.jit(fn, donate_argnums=(1,))
     return fn
 
 
-def make_decode_loop(cfg: ModelConfig, n_steps: int, *, jit: bool = True):
+def make_decode_loop(cfg: ModelConfig, n_steps: int, *, jit: bool = True,
+                     mesh=None, params=None, cache=None):
     """Fused multi-token decode: one dispatch runs ``n_steps`` forward+sample
     iterations as a lax.scan with the feedback token staying on device.
 
@@ -337,8 +382,12 @@ def make_decode_loop(cfg: ModelConfig, n_steps: int, *, jit: bool = True):
     """
     from deepseek_tpu.ops.sampling import sample_token
 
+    ctx = None
+    if mesh is not None:
+        ctx, pspec, cspec, P = _spmd_parts(cfg, mesh, params, cache)
+
     fwd = functools.partial(
-        _forward_impl, cfg=cfg, prefill=False, logits_mode="last")
+        _forward_impl, cfg=cfg, prefill=False, logits_mode="last", ctx=ctx)
 
     def loop(params, cache, tok, pos0, key, temperature, top_p):
         pos0 = jnp.asarray(pos0, jnp.int32)
@@ -354,6 +403,14 @@ def make_decode_loop(cfg: ModelConfig, n_steps: int, *, jit: bool = True):
             body, (cache, tok, key), jnp.arange(n_steps, dtype=jnp.int32))
         return jnp.swapaxes(tokens, 0, 1), logits_all[-1], cache
 
+    if mesh is not None:
+        # whole rollout under one shard_map: the sampled-token feedback and
+        # all collectives stay inside a single scan body per step
+        loop = jax.shard_map(
+            loop, mesh=mesh,
+            in_specs=(pspec, cspec, P("data"), P(), P(), P(), P()),
+            out_specs=(P("data"), P("data"), cspec),
+            check_vma=False)
     if jit:
         loop = jax.jit(loop, donate_argnums=(1,))
     return loop

@@ -105,3 +105,19 @@ def shard_params(params: ModelParams, cfg: ModelConfig, mesh: Mesh) -> ModelPara
 
 def shard_cache(cache: KVCache, cfg: ModelConfig, mesh: Mesh) -> KVCache:
     return jax.device_put(cache, cache_shardings(cache, cfg, mesh))
+
+
+def _specs(tree):
+    return jax.tree.map(
+        lambda s: s.spec, tree,
+        is_leaf=lambda x: isinstance(x, NamedSharding))
+
+
+def param_pspecs(params: ModelParams, cfg: ModelConfig, mesh: Mesh):
+    """PartitionSpec pytree for shard_map in_specs (same rules as
+    param_shardings)."""
+    return _specs(param_shardings(params, cfg, mesh))
+
+
+def cache_pspecs(cache: KVCache, cfg: ModelConfig, mesh: Mesh):
+    return _specs(cache_shardings(cache, cfg, mesh))

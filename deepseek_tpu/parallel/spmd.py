@@ -1,0 +1,111 @@
+"""Explicit-collective SPMD context for the shard_map execution path.
+
+Two ways to run the model on a mesh:
+
+1. **GSPMD** (``shard_params`` + plain ``jit``): XLA infers collectives from
+   the NamedShardings. Works everywhere, but Pallas kernels are opaque to the
+   partitioner, so the sharded path falls back to XLA-dequant kernels.
+2. **shard_map** (this module): the forward body runs on *local shards* with
+   the collectives placed explicitly — psum after row-parallel matmuls
+   (attention wo, FFN w2), psum over the expert axis for routed-expert
+   partial sums, all-gather of vocab-sharded logits. Inside the body every
+   operand is a plain local array, so the Pallas fused-dequant / expert /
+   attention kernels run unchanged per shard. This is the scaling design
+   the reference lacks entirely (SURVEY.md §2b: its only parallelism is
+   OpenMP threads, infer.cpp:137-374).
+
+``SpmdCtx`` carries the mesh-axis facts the model body needs; the default
+instance is a no-op so the single-chip path pays nothing.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh
+
+from deepseek_tpu.config import ModelConfig
+
+
+@dataclasses.dataclass(frozen=True)
+class SpmdCtx:
+    tp: int = 1                  # size of the tensor axis
+    ep: int = 1                  # size of the expert axis
+    dp: int = 1                  # size of the data axis
+    lm_head_tp: bool = False     # lm_head vocab dim actually sharded?
+    tensor_axis: str = "tensor"
+    expert_axis: str = "expert"
+
+    def psum_t(self, x):
+        """All-reduce a row-parallel matmul's partial sums over TP shards."""
+        return lax.psum(x, self.tensor_axis) if self.tp > 1 else x
+
+    def psum_e(self, x):
+        """All-reduce routed-expert partial outputs over EP shards."""
+        return lax.psum(x, self.expert_axis) if self.ep > 1 else x
+
+    def local_heads(self, n_heads: int) -> int:
+        return n_heads // self.tp
+
+    def gather_logits(self, logits):
+        """All-gather vocab-sharded logits into the full row on every shard."""
+        if self.lm_head_tp and self.tp > 1:
+            return lax.all_gather(logits, self.tensor_axis,
+                                  axis=logits.ndim - 1, tiled=True)
+        return logits
+
+    def expert_slots(self, idx, weights, n_experts: int):
+        """Map global top-k expert ids to this shard's local expert table.
+
+        Slots routed to experts this shard does not own point at local
+        expert 0 with weight 0 — the compute is wasted but correctness is
+        exact, and the psum_e combine restores the full mixture.
+        """
+        if self.ep <= 1:
+            return idx, weights
+        e_local = n_experts // self.ep
+        eid = lax.axis_index(self.expert_axis)
+        owned = (idx // e_local) == eid
+        return (jnp.where(owned, idx % e_local, 0),
+                jnp.where(owned, weights, 0.0))
+
+    def local_expert_slice(self, wmat, n_experts: int):
+        """Slice a (..., E) routing-weight matrix to this shard's experts."""
+        if self.ep <= 1:
+            return wmat
+        e_local = n_experts // self.ep
+        eid = lax.axis_index(self.expert_axis)
+        return lax.dynamic_slice_in_dim(
+            wmat, eid * e_local, e_local, axis=wmat.ndim - 1)
+
+
+NULL_CTX = SpmdCtx()
+
+
+def _check(cond: bool, what: str):
+    if not cond:
+        raise ValueError(
+            f"shard_map path requires {what}; pick a different mesh shape "
+            f"(see deepseek_tpu.parallel.mesh.default_mesh_shape)")
+
+
+def make_ctx(cfg: ModelConfig, mesh: Mesh) -> SpmdCtx:
+    """Validate mesh/config divisibility and build the body context."""
+    tp = mesh.shape.get("tensor", 1)
+    ep = mesh.shape.get("expert", 1)
+    dp = mesh.shape.get("data", 1)
+    if tp > 1:
+        _check(cfg.n_heads % tp == 0, f"n_heads {cfg.n_heads} % tensor {tp} == 0")
+        _check(cfg.hidden_dim % tp == 0,
+               f"hidden_dim {cfg.hidden_dim} % tensor {tp} == 0")
+        if cfg.n_shared_experts > 0:
+            _check((cfg.n_shared_experts * cfg.moe_intermediate_size) % tp == 0,
+                   "shared-expert hidden dim divisible by tensor axis")
+    if ep > 1:
+        _check(cfg.n_routed_experts % ep == 0,
+               f"n_routed_experts {cfg.n_routed_experts} % expert {ep} == 0")
+    return SpmdCtx(tp=tp, ep=ep, dp=dp,
+                   lm_head_tp=(tp > 1 and cfg.vocab_size % tp == 0))

@@ -1,8 +1,9 @@
 """Quantized decode benchmark: Q2_K / Q3_K / FP8 variants of the bench model
 on the attached chip (the BASELINE headline is DeepSeek-V3 Q2_K decode).
 
-Quantizes random weights with the native encoder, repacks, and measures the
-fused-kernel decode loop. Usage:
+Synthesizes random packed quantized weights on device (values don't affect
+throughput; encode/decode correctness is covered by the golden tests) and
+measures the fused-kernel decode loop. Usage:
 
     python scripts/bench_quant.py [q2_k|q3_k|f8e5m2] [layers]
 """
@@ -21,47 +22,59 @@ from deepseek_tpu.models import init_cache
 from deepseek_tpu.models.deepseek import make_decode_loop
 from deepseek_tpu.models.loader import params_active_bytes
 from deepseek_tpu.models.params import LayerParams, ModelParams
-from deepseek_tpu.quant import fp8 as fp8q
 from deepseek_tpu.quant.qtensor import Fp8Tensor, PlainTensor, Q2KTensor, Q3KTensor
-from deepseek_tpu.quant.repack import repack_q2k, repack_q3k
-from deepseek_tpu.native import kquant_native
 
 
-def _quantize(w: np.ndarray, quant: str):
-    """Random-weight quantized tensor (matching the loader's output types)."""
-    rows, cols = w.shape[-2], w.shape[-1]
+_KEY = [jax.random.PRNGKey(1234)]
+
+
+def _k():
+    _KEY[0], sub = jax.random.split(_KEY[0])
+    return sub
+
+
+def _quantize(shape, quant: str):
+    """Random *packed* quantized tensor synthesized directly on device.
+
+    Throughput doesn't depend on weight values, and generating the packed
+    planes on-chip avoids both the CPU K-quant encode (~0.3s per expert
+    matrix) and gigabytes of host->device transfers — the real loader path
+    is exercised by tests/test_kquant.py golden tests instead.
+    """
+    rows, cols = shape[-2], shape[-1]
+    lead = shape[:-2]
     if quant in ("q2_k", "q3_k") and cols % 256 == 0:
-        if w.ndim == 3:
-            raw = np.stack([kquant_native.quantize(e, quant) for e in w])
-        else:
-            raw = kquant_native.quantize(w, quant)
+        qs = jax.random.randint(_k(), (*lead, rows, cols // 4), 0, 256, jnp.int32
+                                ).astype(jnp.uint8)
+        d = jax.random.uniform(_k(), (*lead, rows, cols // 256), jnp.float32,
+                               0.001, 0.01)
         if quant == "q2_k":
-            qs, sm, d, dm = repack_q2k(raw, rows, cols)
-            return Q2KTensor(qs=jnp.asarray(qs), sm=jnp.asarray(sm),
-                             d=jnp.asarray(d), dmin=jnp.asarray(dm))
-        qs, hm, sc, d = repack_q3k(raw, rows, cols)
-        return Q3KTensor(qs=jnp.asarray(qs), hm=jnp.asarray(hm),
-                         sc=jnp.asarray(sc), d=jnp.asarray(d))
+            sm = jax.random.randint(_k(), (*lead, rows, cols // 16), 0, 256,
+                                    jnp.int32).astype(jnp.uint8)
+            dmin = jax.random.uniform(_k(), d.shape, jnp.float32, 0.001, 0.01)
+            return Q2KTensor(qs=qs, sm=sm, d=d, dmin=dmin)
+        hm = jax.random.randint(_k(), (*lead, rows, cols // 8), 0, 256,
+                                jnp.int32).astype(jnp.uint8)
+        sc = jax.random.randint(_k(), (*lead, rows, cols // 16), -32, 32,
+                                jnp.int32).astype(jnp.int8)
+        return Q3KTensor(qs=qs, hm=hm, sc=sc, d=d)
     if quant == "f8e5m2" and rows % 128 == 0 and cols % 128 == 0:
-        if w.ndim == 3:
-            qd, sd = zip(*(fp8q.blockwise_quantize(e, (128, 128)) for e in w))
-            return Fp8Tensor(data=jnp.asarray(np.stack(qd)),
-                             scale=jnp.asarray(np.stack(sd)), block_size=(128, 128))
-        q, s = fp8q.blockwise_quantize(w, (128, 128))
-        return Fp8Tensor(data=jnp.asarray(q), scale=jnp.asarray(s),
-                         block_size=(128, 128))
+        data = (jax.random.normal(_k(), (*lead, rows, cols), jnp.bfloat16)
+                ).astype(jnp.float8_e5m2)
+        scale = jax.random.uniform(
+            _k(), (*lead, rows // 128, cols // 128), jnp.float32, 0.005, 0.02)
+        return Fp8Tensor(data=data, scale=scale, block_size=(128, 128))
     # fallback (odd dims): bf16
-    return PlainTensor(data=jnp.asarray(w, jnp.bfloat16))
+    return PlainTensor(
+        data=jax.random.normal(_k(), shape, jnp.bfloat16) * 0.02)
 
 
 def quantized_params(cfg, quant: str, seed=0) -> ModelParams:
-    rng = np.random.default_rng(seed)
-
     def w(*shape):
-        return (rng.standard_normal(shape) * 0.02).astype(np.float32)
+        return jax.random.normal(_k(), shape, jnp.float32) * 0.02
 
     def qt(*shape):
-        return _quantize(w(*shape), quant)
+        return _quantize(shape, quant)
 
     def ones(*shape):
         return jnp.ones(shape, jnp.float32)
@@ -86,12 +99,13 @@ def quantized_params(cfg, quant: str, seed=0) -> ModelParams:
             shared_w1=qt(c.n_shared_experts * m, c.dim) if moe else None,
             shared_w2=qt(c.dim, c.n_shared_experts * m) if moe else None,
             shared_w3=qt(c.n_shared_experts * m, c.dim) if moe else None,
-            moegate=jnp.asarray(w(E, c.dim)) if moe else None,
+            moegate=w(E, c.dim) if moe else None,
             moegate_bias=None,
         ))
-    return ModelParams(embed=PlainTensor(data=jnp.asarray(w(c.vocab_size, c.dim), jnp.bfloat16)),
-                       layers=layers, final_norm=ones(c.dim),
-                       lm_head=qt(c.vocab_size, c.dim))
+    return ModelParams(
+        embed=PlainTensor(data=w(c.vocab_size, c.dim).astype(jnp.bfloat16)),
+        layers=layers, final_norm=ones(c.dim),
+        lm_head=qt(c.vocab_size, c.dim))
 
 
 def main():
@@ -116,15 +130,17 @@ def main():
     args = (jnp.float32(0.0), jnp.float32(1.0))
 
     tok = jnp.zeros((1, 1), jnp.int32)
-    toks, _, cache = loop(params, cache, tok, jnp.int32(0), key, *args)
-    tok = toks[:, -1:]
-    _ = int(np.asarray(tok)[0, 0])
+    for wu in range(2):  # 2x: first post-compile dispatch is ~3x slow
+        toks, _, cache = loop(params, cache, tok, jnp.int32(wu * block),
+                              key, *args)
+        tok = toks[:, -1:]
+        _ = int(np.asarray(tok)[0, 0])
 
     n_blocks = 8 if backend != "cpu" else 1
     t0 = time.perf_counter()
     for i in range(n_blocks):
         toks, _, cache = loop(params, cache, tok,
-                              jnp.int32(block * (i + 1)), key, *args)
+                              jnp.int32(block * (i + 2)), key, *args)
         tok = toks[:, -1:]
     _ = int(np.asarray(tok)[0, 0])
     dt = time.perf_counter() - t0

@@ -85,6 +85,64 @@ def test_param_sharding_actually_distributes():
     assert wc_shard[0] == lp.wc.data.shape[0] // 2
 
 
+@pytest.mark.parametrize("use_mla", [False, True])
+@pytest.mark.parametrize("shape", [(2, 2, 2), (1, 4, 2), (4, 1, 2)])
+def test_shard_map_matches_single_device(use_mla, shape):
+    """Explicit-collective shard_map path == single-device logits."""
+    d, e, t = shape
+    cfg = tiny_config(use_mla=use_mla, vocab_size=64)
+    wd, params = build(cfg, seed=30)
+    B = max(2, d)
+    tokens = [1, 9, 22, 40, 3, 15]
+
+    base = _run(cfg, params, init_cache(cfg, batch=B), tokens)
+
+    mesh = make_mesh(data=d, expert=e, tensor=t)
+    sp = shard_params(params, cfg, mesh)
+    sc = shard_cache(init_cache(cfg, batch=B), cfg, mesh)
+
+    pre = make_forward(cfg, prefill=True, logits_mode="all",
+                       mesh=mesh, params=params, cache=sc)
+    step = make_forward(cfg, prefill=False, logits_mode="last",
+                        mesh=mesh, params=params, cache=sc)
+    toks = jnp.asarray([tokens[:3]] * B, jnp.int32)
+    lg, sc = pre(sp, sc, toks, 0)
+    outs = [np.asarray(lg)]
+    pos = 3
+    for tk in tokens[3:]:
+        lg, sc = step(sp, sc, jnp.asarray([[tk]] * B, jnp.int32), pos)
+        outs.append(np.asarray(lg))
+        pos += 1
+    for b, g in zip(base, outs):
+        np.testing.assert_allclose(g, b, rtol=2e-3, atol=2e-3)
+
+
+def test_shard_map_decode_loop_matches():
+    """Fused decode rollout under shard_map == unsharded rollout (greedy)."""
+    from deepseek_tpu.models.deepseek import make_decode_loop
+
+    cfg = tiny_config(use_mla=True, vocab_size=64)
+    wd, params = build(cfg, seed=31)
+    B = 2
+    key = jax.random.PRNGKey(7)
+    args = (jnp.float32(0.0), jnp.float32(1.0))
+
+    loop1 = make_decode_loop(cfg, 5)
+    c1 = init_cache(cfg, batch=B)
+    tok = jnp.asarray([[3]] * B, jnp.int32)
+    t1, lg1, _ = loop1(params, c1, tok, jnp.int32(0), key, *args)
+
+    mesh = make_mesh(data=2, expert=2, tensor=2)
+    sp = shard_params(params, cfg, mesh)
+    sc = shard_cache(init_cache(cfg, batch=B), cfg, mesh)
+    loop2 = make_decode_loop(cfg, 5, mesh=mesh, params=params, cache=sc)
+    t2, lg2, _ = loop2(sp, sc, tok, jnp.int32(0), key, *args)
+
+    np.testing.assert_array_equal(np.asarray(t2), np.asarray(t1))
+    np.testing.assert_allclose(np.asarray(lg2), np.asarray(lg1),
+                               rtol=2e-3, atol=2e-3)
+
+
 def test_default_mesh_shape():
     cfg = tiny_config()
     d, e, t = default_mesh_shape(8, cfg)
