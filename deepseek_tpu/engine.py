@@ -57,7 +57,7 @@ class Engine:
         compute_dtype: Optional[str] = None,
         runtime_dtype: Optional[str] = None,
         seed: Optional[int] = None,
-        prefill_chunk: int = 64,
+        prefill_chunk: int = 256,
         decode_block: int = 32,
         use_yarn: bool = False,
     ):

@@ -219,9 +219,16 @@ def _ffn(lp: LayerParams, cfg: ModelConfig, xb: jnp.ndarray, layer: int,
     weights, idx = moe_gate(router_logits, lp.moegate_bias, cfg)  # (B,T,k)
 
     dtype = xb.dtype
-    if prefill:
-        # dense-over-experts: every expert read once per chunk; routing
-        # weights scatter-combined through a (B,T,E) matrix
+    pf_impl = kernel_impl(cfg) if prefill else None
+    from deepseek_tpu.ops.matmul import grouped_expert_ffn, grouped_ffn_supported
+    if prefill and pf_impl is not None and grouped_ffn_supported(cfg):
+        # ragged grouped matmul (megablocks gmm): FLOPs scale with the k
+        # routed experts per token, not all E — see grouped_expert_ffn
+        out = grouped_expert_ffn(lp.w1, lp.w2, lp.w3, xb, weights, idx,
+                                 cfg.act, ctx, interpret=pf_impl["interpret"])
+    elif prefill:
+        # dense-over-experts fallback: every expert read once per chunk;
+        # routing weights scatter-combined through a (B,T,E) matrix
         E = cfg.n_routed_experts
         wmat = jax.nn.one_hot(idx, E, dtype=jnp.float32) * weights[..., None]
         wmat = ctx.local_expert_slice(wmat.sum(axis=-2), E)       # (B,T,E_l)

@@ -13,6 +13,8 @@ decode shapes.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -71,6 +73,86 @@ def gather_experts(qt, idx: jnp.ndarray):
     selected experts via scalar-prefetch index maps.
     """
     return jax.tree.map(lambda a: jnp.take(a, idx, axis=0), qt)
+
+
+def grouped_expert_ffn(w1, w2, w3, xb: jnp.ndarray, weights: jnp.ndarray,
+                       idx: jnp.ndarray, act, ctx, interpret: bool = False
+                       ) -> jnp.ndarray:
+    """Prefill MoE FFN as a ragged grouped matmul (megablocks-style).
+
+    Sorts the (B*T*k) token-expert pairs by expert id and runs the three
+    expert projections as `megablox.gmm` grouped matmuls — FLOPs scale with
+    the k *routed* experts per token instead of all E (the dense-over-experts
+    formulation costs E/k more MXU work; measured >10x prefill win at
+    DeepSeek-V2-Lite shapes).
+
+    w1/w3 (E, m, dim), w2 (E, dim, m) QTensors (dequantized here — same
+    materialization class as the dense path), xb (B, T, dim), weights/idx
+    (B, T, k). Under EP (ctx.ep > 1) non-owned pairs are pointed at local
+    expert 0 with zero weight; psum_e restores the full mixture.
+    """
+    from jax.experimental.pallas.ops.tpu import megablox
+
+    B, T, k = idx.shape
+    dim = xb.shape[-1]
+    dtype = xb.dtype
+    N = B * T * k
+    Np = -(-N // 128) * 128      # gmm tiles m/k/n by 128
+    flat_idx = idx.reshape(N)
+    flat_w = weights.reshape(N)
+    if ctx.ep > 1:
+        flat_idx, flat_w = ctx.expert_slots(flat_idx, flat_w,
+                                            ctx.ep * w1.shape[0])
+    d1, d2, d3 = (w.dequant(dtype) for w in (w1, w2, w3))
+    e_local = d1.shape[0]
+
+    # padded rows go to the LAST local expert with zero weight. The grouping
+    # permutation is a counting sort built from a one-hot cumsum — a TPU
+    # sort HLO on the pair list costs milliseconds (argsort+gathers measured
+    # 6.3ms at T=512, more than the grouped matmuls themselves); the
+    # counting sort is a few (Np, E) integer passes.
+    pad_idx = jnp.full((Np - N,), e_local - 1, flat_idx.dtype)
+    flat_idx_p = jnp.concatenate([flat_idx, pad_idx])      # (Np,)
+    oh = jax.nn.one_hot(flat_idx_p, e_local, dtype=jnp.int32)
+    within = jnp.take_along_axis(
+        jnp.cumsum(oh, axis=0) - 1, flat_idx_p[:, None], axis=1)[:, 0]
+    sizes = oh.sum(axis=0).astype(jnp.int32)               # (e_local,)
+    starts = jnp.cumsum(sizes) - sizes
+    dest = starts[flat_idx_p] + within                     # (Np,) sorted slot
+    src = jnp.zeros((Np,), jnp.int32).at[dest].set(
+        jnp.arange(Np, dtype=jnp.int32))
+    token_of = jnp.where(src < N, src // k, 0)
+    x_rows = xb.reshape(B * T, dim)[token_of]              # (Np, dim) sorted
+
+    def tiling(k, n):
+        # full-k tiles + wide n measured 2.6x over the (128,128,128) default
+        # on v5e; m stays 128 (ragged groups pad each group to one m-tile)
+        kt = min(k, 2048)
+        if n % 128 == 0 and kt * n * 2 <= 8 * 1024 * 1024:
+            return (128, kt, n)
+        for nt in (512, 256, 128):
+            if n % nt == 0:
+                return (128, kt, nt)
+        return (128, 128, 128)
+
+    def mm(lhs, rhs, sizes):
+        g, n, k = rhs.shape  # stored (E, out, in); gmm sees transposed rhs
+        return megablox.gmm(lhs, rhs, sizes,
+                            preferred_element_type=jnp.float32,
+                            transpose_rhs=True, tiling=tiling(k, n),
+                            interpret=interpret)
+
+    from deepseek_tpu.ops.activations import glu_act
+    h = glu_act(mm(x_rows, d1, sizes), mm(x_rows, d3, sizes), act).astype(dtype)
+    y = mm(h, d2, sizes)                                   # (Np, dim) f32
+
+    y = y[dest[:N]].reshape(B, T, k, dim) * flat_w.reshape(B, T, k)[..., None]
+    return ctx.psum_e(y.sum(axis=2)).astype(dtype)
+
+
+def grouped_ffn_supported(cfg) -> bool:
+    """gmm tiles m/k/n by 128: feature dims must divide."""
+    return (cfg.dim % 128 == 0 and cfg.moe_intermediate_size % 128 == 0)
 
 
 def reshape_rows(qt, lead: int):
