@@ -94,6 +94,24 @@ def main():
 
     tok_s = n_steps / dt
     gb_s = params_active_bytes(params, cfg, pos0 + n_steps) * tok_s / 1e9
+
+    # prefill throughput (chunked hydrate; grouped-gmm MoE path on TPU)
+    from deepseek_tpu.models import make_forward
+    T = 256 if backend != "cpu" else 8
+    pre = make_forward(cfg, prefill=True, logits_mode="none")
+    pcache = init_cache(cfg, batch=1)
+    ptoks = jnp.zeros((1, T), jnp.int32)
+    for i in range(2):  # compile + slow-first-dispatch warmup
+        _, pcache = pre(params, pcache, ptoks, jnp.int32(i * T))
+        _ = np.asarray(pcache.ckv[0, 0, 0, :1])
+    reps = 8 if backend != "cpu" else 1
+    nmax = cfg.kv_window // T - 2
+    t0 = time.perf_counter()
+    for i in range(reps):
+        _, pcache = pre(params, pcache, ptoks, jnp.int32((2 + i % nmax) * T))
+    _ = np.asarray(pcache.ckv[0, 0, 0, :1])
+    prefill_tok_s = reps * T / (time.perf_counter() - t0)
+
     print(json.dumps({
         "metric": f"decode_tok_per_s_1chip_{backend}_v2lite8L_bf16",
         "value": round(tok_s, 3),
@@ -102,6 +120,7 @@ def main():
         "extra": {
             "layers": layers,
             "active_GB_per_s": round(gb_s, 2),
+            "prefill_tok_per_s": round(prefill_tok_s, 1),
             "backend": backend,
         },
     }))
