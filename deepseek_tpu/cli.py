@@ -33,7 +33,7 @@ Example: python -m deepseek_tpu model_weights_dir/ -i "Q: What is the meaning of
 Options:
   -h Display this help message
   -L Locks model weights to RAM (eagerly materializes mmaps)
-  -m [completion,passkey,perplexity,interactive] which mode to run in (default - completion)
+  -m [completion,passkey,perplexity,interactive,serve] which mode to run in (default - completion)
   -T <int> sliding window context length (0 - max)
 
 Perplexity mode options:
@@ -57,6 +57,10 @@ TPU options:
   --seed <int>                sampler seed
   --yarn                      apply YaRN rope scaling (reference parses but
                               never applies it; opt-in quality improvement)
+Serve mode options:
+  --port <int>                HTTP port (default 8080)
+  --host <str>                bind address (default 127.0.0.1)
+  --batch <int>               continuous-batching slots (default 4)
 """
 
 
@@ -85,6 +89,9 @@ class Args:
         self.chunk = 64
         self.seed: Optional[int] = None
         self.yarn = False
+        self.port = 8080
+        self.host = "127.0.0.1"
+        self.batch = 4
 
 
 def parse_mode_flags(args: Args, argv: List[str]) -> Args:
@@ -128,6 +135,12 @@ def parse_mode_flags(args: Args, argv: List[str]) -> Args:
             args.seed = int(val())
         elif a == "--yarn":
             args.yarn = True
+        elif a == "--port":
+            args.port = int(val())
+        elif a == "--host":
+            args.host = val()
+        elif a == "--batch":
+            args.batch = int(val())
         else:
             _die(f"unknown flag {a}")
         i += 1
@@ -321,7 +334,8 @@ def main(argv: Optional[List[str]] = None):
         if a == "-m":
             i += 1
             args.mode = argv[i]
-            if args.mode not in ("completion", "perplexity", "passkey", "interactive"):
+            if args.mode not in ("completion", "perplexity", "passkey",
+                                 "interactive", "serve"):
                 _die(f"unknown mode {args.mode}")
         elif a == "-T":
             i += 1
@@ -354,6 +368,9 @@ def main(argv: Optional[List[str]] = None):
         run_perplexity(engine, args)
     elif args.mode == "passkey":
         run_passkey(engine, args)
+    elif args.mode == "serve":
+        from deepseek_tpu.server import Server
+        Server(engine, batch_size=args.batch).serve_forever(args.host, args.port)
     else:
         run_interactive(engine, args)
 

@@ -1,0 +1,173 @@
+"""HTTP serving daemon on top of the continuous-batching scheduler.
+
+The reference is a single-process CLI with no serving daemon (SURVEY.md §1);
+this is the TPU build's production serving surface. Stdlib-only: a
+ThreadingHTTPServer accepts requests, a single scheduler thread owns every
+JAX call (device access stays single-threaded) and runs continuous-batching
+steps, handler threads exchange work through thread-safe queues.
+
+Endpoints:
+  GET  /health          -> {"status": "ok", model info}
+  POST /v1/completions  -> {"prompt", "max_tokens", "temperature", "top_p",
+                            "stream"} ; non-stream returns the full JSON,
+                            stream=true returns server-sent events, one
+                            ``data: {"text": ...}`` line per token, ending
+                            with ``data: [DONE]``.
+
+Run: ``python -m deepseek_tpu <ckpt_dir> -m serve [--port 8080]`` or
+``Server(engine).serve_forever()``.
+"""
+
+from __future__ import annotations
+
+import json
+import queue
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+from deepseek_tpu.engine import Engine
+from deepseek_tpu.serving import BatchScheduler, Request
+
+
+_STREAM_END = object()
+
+
+class _Pending:
+    """Bridges one HTTP request to the scheduler thread."""
+
+    def __init__(self, req: Request, stream: bool):
+        self.req = req
+        self.done = threading.Event()
+        self.tokens: "queue.Queue" = queue.Queue()
+        if stream:
+            req.on_token = lambda tok, piece: self.tokens.put(piece)
+
+
+class Server:
+    def __init__(self, engine: Engine, batch_size: int = 4):
+        self.engine = engine
+        self.scheduler = BatchScheduler(engine, batch_size=batch_size)
+        self.inbox: "queue.Queue[_Pending]" = queue.Queue()
+        self._pending: list[_Pending] = []
+        self._shutdown = threading.Event()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    # ---------------------------------------------------------------- loop
+    def _run(self) -> None:
+        """Scheduler thread: the only thread that touches JAX."""
+        while not self._shutdown.is_set():
+            idle = not self.scheduler.has_work
+            try:
+                p = self.inbox.get(timeout=0.05 if idle else 0.0)
+                while True:
+                    self.scheduler.submit(p.req)
+                    self._pending.append(p)
+                    p = self.inbox.get_nowait()
+            except queue.Empty:
+                pass
+            if self.scheduler.has_work:
+                self.scheduler.step()
+            still = []
+            for p in self._pending:
+                if p.req.done:
+                    p.tokens.put(_STREAM_END)
+                    p.done.set()
+                else:
+                    still.append(p)
+            self._pending = still
+
+    def shutdown(self) -> None:
+        self._shutdown.set()
+        self._thread.join(timeout=5)
+
+    # ----------------------------------------------------------------- api
+    def submit(self, prompt: str, max_tokens: int = 128,
+               temperature: float = 1.0, top_p: float = 0.95,
+               stream: bool = False) -> _Pending:
+        toks = self.engine.tokenizer.encode(prompt, bos=True)
+        req = Request(prompt_tokens=toks, max_new_tokens=max_tokens,
+                      temperature=temperature, top_p=top_p)
+        p = _Pending(req, stream)
+        self.inbox.put(p)
+        return p
+
+    def make_http_server(self, host: str = "127.0.0.1", port: int = 8080
+                         ) -> ThreadingHTTPServer:
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet
+                pass
+
+            def _json(self, code: int, obj) -> None:
+                body = json.dumps(obj).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                if self.path != "/health":
+                    return self._json(404, {"error": "not found"})
+                cfg = server.engine.cfg
+                self._json(200, {
+                    "status": "ok", "arch": cfg.arch,
+                    "n_layers": cfg.n_layers, "dim": cfg.dim,
+                    "quant": cfg.weight_quant.value,
+                    "max_seq_len": cfg.max_seq_len,
+                })
+
+            def do_POST(self):
+                if self.path != "/v1/completions":
+                    return self._json(404, {"error": "not found"})
+                try:
+                    n = int(self.headers.get("Content-Length", 0))
+                    body = json.loads(self.rfile.read(n) or b"{}")
+                    prompt = body["prompt"]
+                except (KeyError, ValueError) as e:
+                    return self._json(400, {"error": f"bad request: {e}"})
+                stream = bool(body.get("stream", False))
+                p = server.submit(
+                    prompt,
+                    max_tokens=int(body.get("max_tokens", 128)),
+                    temperature=float(body.get("temperature", 1.0)),
+                    top_p=float(body.get("top_p", 0.95)),
+                    stream=stream)
+                if not stream:
+                    p.done.wait()
+                    text = server.engine.tokenizer.decode(
+                        p.req.out_tokens).decode("utf-8", errors="replace")
+                    return self._json(200, {
+                        "text": text,
+                        "tokens": p.req.out_tokens,
+                        "prompt_tokens": len(p.req.prompt_tokens),
+                        "completion_tokens": len(p.req.out_tokens),
+                    })
+                self.send_response(200)
+                self.send_header("Content-Type", "text/event-stream")
+                self.send_header("Cache-Control", "no-cache")
+                self.end_headers()
+                while True:
+                    piece = p.tokens.get()
+                    if piece is _STREAM_END:
+                        break
+                    data = json.dumps(
+                        {"text": piece.decode("utf-8", errors="replace")})
+                    self.wfile.write(f"data: {data}\n\n".encode())
+                    self.wfile.flush()
+                self.wfile.write(b"data: [DONE]\n\n")
+                self.wfile.flush()
+
+        return ThreadingHTTPServer((host, port), Handler)
+
+    def serve_forever(self, host: str = "127.0.0.1", port: int = 8080) -> None:
+        httpd = self.make_http_server(host, port)
+        print(f"serving on http://{host}:{port}  "
+              f"(POST /v1/completions, GET /health)", flush=True)
+        try:
+            httpd.serve_forever()
+        finally:
+            self.shutdown()

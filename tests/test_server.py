@@ -1,0 +1,81 @@
+"""HTTP serving daemon: health, completion, streaming, concurrency."""
+
+import json
+import threading
+import urllib.request
+
+import pytest
+
+from deepseek_tpu.server import Server
+
+from tests.test_engine import ckpt_dir, engine  # noqa: F401 — fixtures
+
+
+@pytest.fixture(scope="module")
+def served(engine):
+    srv = Server(engine, batch_size=2)
+    httpd = srv.make_http_server("127.0.0.1", 0)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{port}", srv
+    httpd.shutdown()
+    srv.shutdown()
+
+
+def _post(url, payload, timeout=300):
+    req = urllib.request.Request(
+        url + "/v1/completions", data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"})
+    return urllib.request.urlopen(req, timeout=timeout)
+
+
+def test_health(served):
+    url, _ = served
+    with urllib.request.urlopen(url + "/health", timeout=60) as r:
+        body = json.loads(r.read())
+    assert body["status"] == "ok"
+    assert body["n_layers"] >= 1
+
+
+def test_completion(served):
+    url, srv = served
+    with _post(url, {"prompt": "ab", "max_tokens": 4,
+                     "temperature": 0.0}) as r:
+        body = json.loads(r.read())
+    assert body["completion_tokens"] == len(body["tokens"])
+    assert 1 <= body["completion_tokens"] <= 4
+    # greedy determinism against the engine directly
+    toks = srv.engine.tokenizer.encode("ab", bos=True)
+    want, _ = srv.engine.generate(toks, num_steps=4, temperature=0.0)
+    assert body["tokens"] == want
+
+
+def test_streaming(served):
+    url, _ = served
+    with _post(url, {"prompt": "ab", "max_tokens": 3, "temperature": 0.0,
+                     "stream": True}) as r:
+        lines = [l for l in r.read().decode().splitlines() if l.startswith("data: ")]
+    assert lines[-1] == "data: [DONE]"
+    pieces = [json.loads(l[6:])["text"] for l in lines[:-1]]
+    assert 1 <= len(pieces) <= 3
+
+
+def test_concurrent_requests(served):
+    url, _ = served
+    results = {}
+
+    def go(name, prompt):
+        with _post(url, {"prompt": prompt, "max_tokens": 3,
+                         "temperature": 0.0}) as r:
+            results[name] = json.loads(r.read())
+
+    threads = [threading.Thread(target=go, args=(i, p))
+               for i, p in enumerate(["ab", "ba", "aa"])]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert len(results) == 3
+    for body in results.values():
+        assert body["completion_tokens"] >= 1

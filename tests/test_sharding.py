@@ -143,6 +143,30 @@ def test_shard_map_decode_loop_matches():
                                rtol=2e-3, atol=2e-3)
 
 
+def test_shard_map_grouped_gmm_prefill():
+    """Grouped-gmm prefill MoE (interpret) under shard_map EP masking must
+    match the single-device XLA dense path."""
+    import dataclasses
+
+    cfg = tiny_config(use_mla=True, vocab_size=64, dim=128,
+                      moe_intermediate_size=128, hidden_dim=128)
+    cfg_pl = dataclasses.replace(cfg, kernel_impl="pallas")
+    wd, params = build(cfg, seed=5)
+    B = 2
+    toks = jnp.asarray([[1, 9, 22, 40]] * B, jnp.int32)
+    want, _ = make_forward(cfg, prefill=True, logits_mode="all")(
+        params, init_cache(cfg, batch=B), toks, 0)
+
+    mesh = make_mesh(data=1, expert=2, tensor=2)
+    sp = shard_params(params, cfg_pl, mesh)
+    sc = shard_cache(init_cache(cfg_pl, batch=B), cfg_pl, mesh)
+    pre = make_forward(cfg_pl, prefill=True, logits_mode="all",
+                       mesh=mesh, params=params, cache=sc)
+    got, _ = pre(sp, sc, toks, 0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-3, atol=2e-3)
+
+
 def test_default_mesh_shape():
     cfg = tiny_config()
     d, e, t = default_mesh_shape(8, cfg)
