@@ -53,7 +53,7 @@ Passkey mode options:
   -l <int>    passkey position (-1 - random)
 TPU options:
   --dtype <float32|bfloat16>  activation compute dtype
-  --chunk <int>               prefill chunk size (default 64)
+  --chunk <int>               prefill chunk size (default 256)
   --seed <int>                sampler seed
   --yarn                      apply YaRN rope scaling (reference parses but
                               never applies it; opt-in quality improvement)
@@ -86,7 +86,7 @@ class Args:
         self.n_junk = 250
         self.passkey_pos = -1
         self.dtype: Optional[str] = None
-        self.chunk = 64
+        self.chunk = 256
         self.seed: Optional[int] = None
         self.yarn = False
         self.port = 8080

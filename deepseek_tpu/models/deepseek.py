@@ -119,11 +119,9 @@ def _attention(lp: LayerParams, cfg: ModelConfig, xb: jnp.ndarray,
             ckv_l, krope_l = ckv_full[layer], krope_full[layer]
             if impl is not None:
                 from deepseek_tpu.ops.pallas.attention import mla_decode_attn
-                scale = float(sm_scale) if sm_scale is not None \
-                    else 1.0 / float(cfg.head_dim) ** 0.5
                 lat = mla_decode_attn(
                     q_c[:, 0], q_rope[:, 0], ckv_l, krope_l, kv_len,
-                    scale, interpret=impl["interpret"])[:, None]
+                    float(sm_scale), interpret=impl["interpret"])[:, None]
             else:
                 lat = decode_attn_mla(
                     q_c[:, 0], q_rope[:, 0], ckv_l, krope_l, kv_len,
@@ -188,10 +186,8 @@ def _attention(lp: LayerParams, cfg: ModelConfig, xb: jnp.ndarray,
         k_l, v_l = k_full[layer], v_full[layer]
         if impl is not None:
             from deepseek_tpu.ops.pallas.attention import mha_decode_attn
-            scale = float(sm_scale) if sm_scale is not None \
-                else 1.0 / float(cfg.head_dim) ** 0.5
             out = mha_decode_attn(
-                q[:, 0], k_l, v_l, kv_len, scale,
+                q[:, 0], k_l, v_l, kv_len, float(sm_scale),
                 interpret=impl["interpret"])[:, None]
         else:
             out = decode_attn_mha(
@@ -398,6 +394,10 @@ def make_decode_loop(cfg: ModelConfig, n_steps: int, *, jit: bool = True,
 
     def loop(params, cache, tok, pos0, key, temperature, top_p):
         pos0 = jnp.asarray(pos0, jnp.int32)
+        if ctx is not None and ctx.dp > 1:
+            # the key arrives replicated; fold in the data-shard index so DP
+            # shards draw independent sampling noise for their batch rows
+            key = jax.random.fold_in(key, jax.lax.axis_index("data"))
 
         def body(carry, i):
             cache, tok, key = carry

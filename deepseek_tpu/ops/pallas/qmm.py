@@ -21,8 +21,10 @@ bf16 pass). HIGHEST (6-pass emulated f32) measured 2.8x slower end-to-end
 on v5e and buys ~2^-9 relative accuracy that is two orders of magnitude
 below the 2/3-bit weight quantization error itself; max observed logit
 error vs the exact f32 dequant path is ~4e-3 of the output scale. The
-small scale-expansion dots stay HIGHEST (exact one-hot selection of f32
-scales, output is only (TD, n/16)).
+small K-quant scale-expansion dots stay HIGHEST (exact one-hot selection of
+f32 scales, output only (TD, n/16)); the fp8 column expansion produces a
+full (TD, n) array, so it runs DEFAULT like the big dot (same error class —
+its bf16-truncated scales feed a bf16 multiply anyway).
 """
 
 from __future__ import annotations

@@ -39,6 +39,7 @@ class _Pending:
     def __init__(self, req: Request, stream: bool):
         self.req = req
         self.done = threading.Event()
+        self.error: Optional[str] = None
         self.tokens: "queue.Queue" = queue.Queue()
         if stream:
             req.on_token = lambda tok, piece: self.tokens.put(piece)
@@ -58,17 +59,29 @@ class Server:
     def _run(self) -> None:
         """Scheduler thread: the only thread that touches JAX."""
         while not self._shutdown.is_set():
-            idle = not self.scheduler.has_work
             try:
-                p = self.inbox.get(timeout=0.05 if idle else 0.0)
-                while True:
-                    self.scheduler.submit(p.req)
-                    self._pending.append(p)
-                    p = self.inbox.get_nowait()
-            except queue.Empty:
-                pass
-            if self.scheduler.has_work:
-                self.scheduler.step()
+                idle = not self.scheduler.has_work
+                try:
+                    p = self.inbox.get(timeout=0.05 if idle else 0.0)
+                    while True:
+                        self.scheduler.submit(p.req)
+                        self._pending.append(p)
+                        p = self.inbox.get_nowait()
+                except queue.Empty:
+                    pass
+                if self.scheduler.has_work:
+                    self.scheduler.step()
+            except Exception:
+                # a step failure (OOM, device error) must not zombify the
+                # daemon: fail every in-flight request and rebuild the
+                # scheduler so later requests get a clean batch state
+                import traceback
+                traceback.print_exc()
+                for p in self._pending:
+                    p.req.done = True
+                    p.error = "internal error during generation"
+                self.scheduler = BatchScheduler(
+                    self.engine, batch_size=self.scheduler.batch)
             still = []
             for p in self._pending:
                 if p.req.done:
@@ -138,6 +151,8 @@ class Server:
                     stream=stream)
                 if not stream:
                     p.done.wait()
+                    if p.error:
+                        return self._json(500, {"error": p.error})
                     text = server.engine.tokenizer.decode(
                         p.req.out_tokens).decode("utf-8", errors="replace")
                     return self._json(200, {
@@ -150,14 +165,20 @@ class Server:
                 self.send_header("Content-Type", "text/event-stream")
                 self.send_header("Cache-Control", "no-cache")
                 self.end_headers()
+                # token pieces are raw bytes; multi-byte UTF-8 characters can
+                # span byte-fallback tokens, so decode incrementally
+                import codecs
+                dec = codecs.getincrementaldecoder("utf-8")("replace")
                 while True:
                     piece = p.tokens.get()
-                    if piece is _STREAM_END:
+                    final = piece is _STREAM_END
+                    text = dec.decode(b"" if final else piece, final)
+                    if text:
+                        data = json.dumps({"text": text})
+                        self.wfile.write(f"data: {data}\n\n".encode())
+                        self.wfile.flush()
+                    if final:
                         break
-                    data = json.dumps(
-                        {"text": piece.decode("utf-8", errors="replace")})
-                    self.wfile.write(f"data: {data}\n\n".encode())
-                    self.wfile.flush()
                 self.wfile.write(b"data: [DONE]\n\n")
                 self.wfile.flush()
 
