@@ -40,9 +40,11 @@ def kernel_impl(cfg) -> dict | None:
 def qmatmul(qt, x: jnp.ndarray, dtype=None, impl: dict | None = None) -> jnp.ndarray:
     """x (..., in) @ W.T -> (..., out). Accumulates in float32 on the MXU.
 
-    With ``impl`` set and a quantized weight, dispatches to the Pallas
-    fused-dequant kernel (the dequantized weight never hits HBM)."""
-    if impl is not None and not isinstance(qt, PlainTensor):
+    With ``impl`` set, dispatches to the Pallas kernels: fused dequant for
+    quantized weights (the dequantized weight never hits HBM) and a tiled
+    matvec for large plain weights (small ones fall back to einsum inside
+    qmm so XLA keeps fusing them with neighbors)."""
+    if impl is not None:
         from deepseek_tpu.ops.pallas.qmm import qmm
         return qmm(qt, x, interpret=impl["interpret"]).astype(x.dtype)
     dtype = dtype or x.dtype

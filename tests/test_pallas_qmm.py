@@ -100,6 +100,23 @@ def test_expert_gather_plain_and_fp8():
         np.testing.assert_allclose(got8[0, s], x[0, s] @ deq[e].T, rtol=1e-4, atol=1e-4)
 
 
+def test_plain_matvec_pallas_path():
+    """The tiled plain-weight matvec (lm_head path) matches einsum."""
+    import deepseek_tpu.ops.pallas.qmm as qmmmod
+
+    w = rnd((512, 256), seed=12)
+    x = rnd((1, 256), seed=13)
+    qt = PlainTensor(data=jnp.asarray(w, jnp.bfloat16))
+    want = np.asarray(x @ np.asarray(qt.dequant(jnp.float32)).T)
+    old = qmmmod._PLAIN_PALLAS_MIN_BYTES
+    qmmmod._PLAIN_PALLAS_MIN_BYTES = 0
+    try:
+        got = np.asarray(qmm(qt, jnp.asarray(x), interpret=True))
+    finally:
+        qmmmod._PLAIN_PALLAS_MIN_BYTES = old
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
 def test_full_model_pallas_impl_matches_xla(tmp_path):
     """End-to-end decode with the Pallas kernels (interpret mode) must match
     the XLA dequant path on a quantized MLA+MoE checkpoint."""
