@@ -53,6 +53,8 @@ Passkey mode options:
   -l <int>    passkey position (-1 - random)
 TPU options:
   --dtype <float32|bfloat16>  activation compute dtype
+  --kv-dtype <float16|bfloat16|int8>  KV cache dtype (int8 = half the cache
+                              bytes, per-row amax scales)
   --chunk <int>               prefill chunk size (default 256)
   --seed <int>                sampler seed
   --yarn                      apply YaRN rope scaling (reference parses but
@@ -86,6 +88,7 @@ class Args:
         self.n_junk = 250
         self.passkey_pos = -1
         self.dtype: Optional[str] = None
+        self.kv_dtype: Optional[str] = None
         self.chunk = 256
         self.seed: Optional[int] = None
         self.yarn = False
@@ -129,6 +132,8 @@ def parse_mode_flags(args: Args, argv: List[str]) -> Args:
             args.use_wikitext = True
         elif a == "--dtype":
             args.dtype = val()
+        elif a == "--kv-dtype":
+            args.kv_dtype = val()
         elif a == "--chunk":
             args.chunk = int(val())
         elif a == "--seed":
@@ -352,6 +357,7 @@ def main(argv: Optional[List[str]] = None):
         context=args.context,
         lock_weights=args.lock,
         compute_dtype=args.dtype,
+        kv_cache_dtype=args.kv_dtype,
         seed=args.seed if args.seed is not None else int(time.time() * 1000) % (1 << 31),
         prefill_chunk=args.chunk,
         use_yarn=args.yarn,

@@ -56,6 +56,7 @@ class Engine:
         lock_weights: bool = False,
         compute_dtype: Optional[str] = None,
         runtime_dtype: Optional[str] = None,
+        kv_cache_dtype: Optional[str] = None,
         seed: Optional[int] = None,
         prefill_chunk: int = 256,
         decode_block: int = 32,
@@ -65,6 +66,8 @@ class Engine:
         overrides = {}
         if compute_dtype:
             overrides["compute_dtype"] = compute_dtype
+        if kv_cache_dtype:
+            overrides["kv_cache_dtype"] = kv_cache_dtype
         if use_yarn:
             overrides["use_yarn"] = True
         self.cfg = ModelConfig.from_metadata(self.data.metadata, context=context, **overrides)

@@ -26,7 +26,9 @@ import jax
 import jax.numpy as jnp
 
 from deepseek_tpu.config import KV_SINKS, ModelConfig
-from deepseek_tpu.models.kvcache import KVCache, ring_positions
+from deepseek_tpu.models.kvcache import (
+    KVCache, dequant_rows, quantize_rows, ring_positions,
+)
 from deepseek_tpu.models.params import LayerParams, ModelParams, embed_lookup
 from deepseek_tpu.ops import (
     apply_rope, decode_attn_mha, decode_attn_mla, glu_act, moe_gate, rmsnorm,
@@ -46,6 +48,21 @@ def _rotation_only(yarn):
         return None
     import dataclasses as _dc
     return _dc.replace(yarn, mscale=yarn.mscale_all_dim)
+
+
+def _cache_write(full, rows, layer: int, cache_start, prefill: bool):
+    """Scatter new rows straight into the full (L,B,S,...) cache array —
+    in-place dynamic updates on the donated carry, no slice round-trips.
+    rows: (B,T,...) matching full[:, :, start:start+T]."""
+    if full is None:
+        return None
+    if prefill:
+        start = (layer, 0, cache_start) + (0,) * (rows.ndim - 2)
+        return jax.lax.dynamic_update_slice(
+            full, rows[None].astype(full.dtype), start)
+    B = rows.shape[0]
+    return full.at[layer, jnp.arange(B), cache_start].set(
+        rows[:, 0].astype(full.dtype))
 
 
 def _attention(lp: LayerParams, cfg: ModelConfig, xb: jnp.ndarray,
@@ -86,24 +103,24 @@ def _attention(lp: LayerParams, cfg: ModelConfig, xb: jnp.ndarray,
         q_rope = apply_rope(q_rope.astype(jnp.float32), posb, theta, is_v3, yarn)
         q_c = mm(lp.wc, q_a).reshape(B, T, H, R).astype(jnp.float32)
 
-        # cache writes scatter straight into the full (L,B,S,·) arrays —
-        # in-place dynamic updates on the donated carry, no slice round-trips
-        cdt = cache.ckv.dtype
-        if prefill:
-            ckv_full = jax.lax.dynamic_update_slice(
-                cache.ckv, ckv[None].astype(cdt), (layer, 0, cache_start, 0))
-            krope_full = jax.lax.dynamic_update_slice(
-                cache.krope, k_rope[None].astype(cdt),
-                (layer, 0, cache_start, 0))
-        else:  # per-sequence slot scatter (cache_start is (B,))
-            bidx = jnp.arange(B)
-            ckv_full = cache.ckv.at[layer, bidx, cache_start].set(
-                ckv[:, 0].astype(cdt))
-            krope_full = cache.krope.at[layer, bidx, cache_start].set(
-                k_rope[:, 0].astype(cdt))
+        # cache writes scatter straight into the full (L,B,S,·) arrays
+        q8 = cache.ckv_s is not None  # int8 cache: rows + per-row f32 scale
+        if q8:
+            ckv_w, ckv_sc = quantize_rows(ckv.astype(jnp.float32))
+            kr_w, kr_sc = quantize_rows(k_rope)
+        else:
+            ckv_w, kr_w, ckv_sc, kr_sc = ckv, k_rope, None, None
+        ckv_full = _cache_write(cache.ckv, ckv_w, layer, cache_start, prefill)
+        krope_full = _cache_write(cache.krope, kr_w, layer, cache_start, prefill)
+        ckv_s_full = _cache_write(cache.ckv_s, ckv_sc, layer, cache_start, prefill)
+        krope_s_full = _cache_write(cache.krope_s, kr_sc, layer, cache_start, prefill)
+
+        def sc(full):
+            return full[layer] if full is not None else None
 
         if prefill:
-            ckv_l, krope_l = ckv_full[layer], krope_full[layer]
+            ckv_l = dequant_rows(ckv_full[layer], sc(ckv_s_full))
+            krope_l = dequant_rows(krope_full[layer], sc(krope_s_full))
             S = ckv_l.shape[1]
             lat = prefill_attn_mla(
                 q_c, q_rope, ckv_l, krope_l, pos_vec,
@@ -111,18 +128,35 @@ def _attention(lp: LayerParams, cfg: ModelConfig, xb: jnp.ndarray,
                 softmax_scale=sm_scale)                             # (B,T,H,R)
         else:
             # sink re-rotation by +1 (StreamingLLM; infer.cpp:1103-1110)
-            sink = krope_full[layer, :, :KV_SINKS]
-            rot = apply_rope(sink.astype(jnp.float32), 1, theta, is_v3,
-                             _rotation_only(yarn)).astype(cdt)
-            krope_full = krope_full.at[layer, :, :KV_SINKS].set(
-                jnp.where((kv_sink > 0)[:, None, None], rot, sink))
-            ckv_l, krope_l = ckv_full[layer], krope_full[layer]
+            cdt = krope_full.dtype
+            sink = dequant_rows(
+                krope_full[layer, :, :KV_SINKS],
+                sc(krope_s_full)[:, :KV_SINKS] if q8 else None
+            ).astype(jnp.float32)
+            rot = apply_rope(sink, 1, theta, is_v3, _rotation_only(yarn))
+            keep = (kv_sink > 0)[:, None, None]
+            if q8:
+                rot_q, rot_sc = quantize_rows(rot)
+                krope_full = krope_full.at[layer, :, :KV_SINKS].set(
+                    jnp.where(keep, rot_q,
+                              krope_full[layer, :, :KV_SINKS]))
+                krope_s_full = krope_s_full.at[layer, :, :KV_SINKS].set(
+                    jnp.where(keep[..., 0], rot_sc,
+                              krope_s_full[layer, :, :KV_SINKS]))
+            else:
+                krope_full = krope_full.at[layer, :, :KV_SINKS].set(
+                    jnp.where(keep, rot.astype(cdt),
+                              krope_full[layer, :, :KV_SINKS]))
             if impl is not None:
                 from deepseek_tpu.ops.pallas.attention import mla_decode_attn
                 lat = mla_decode_attn(
-                    q_c[:, 0], q_rope[:, 0], ckv_l, krope_l, kv_len,
-                    float(sm_scale), interpret=impl["interpret"])[:, None]
+                    q_c[:, 0], q_rope[:, 0], ckv_full[layer],
+                    krope_full[layer], kv_len, float(sm_scale),
+                    ckv_scale=sc(ckv_s_full), krope_scale=sc(krope_s_full),
+                    interpret=impl["interpret"])[:, None]
             else:
+                ckv_l = dequant_rows(ckv_full[layer], sc(ckv_s_full))
+                krope_l = dequant_rows(krope_full[layer], sc(krope_s_full))
                 lat = decode_attn_mla(
                     q_c[:, 0], q_rope[:, 0], ckv_l, krope_l, kv_len,
                     cfg.head_dim, softmax_scale=sm_scale)[:, None]  # (B,1,H,R)
@@ -141,7 +175,8 @@ def _attention(lp: LayerParams, cfg: ModelConfig, xb: jnp.ndarray,
             v = jnp.einsum("bthr,hvr->bthv", lat, wv_b,
                            preferred_element_type=jnp.float32)
         attn = ctx.psum_t(mm(lp.wo, v.reshape(B, T, H * Dv).astype(xb.dtype)))
-        cache = KVCache(k=None, v=None, ckv=ckv_full, krope=krope_full)
+        cache = KVCache(k=None, v=None, ckv=ckv_full, krope=krope_full,
+                        ckv_s=ckv_s_full, krope_s=krope_s_full)
         return attn, cache
 
     # decompressed path (BlockMHA, infer.cpp:935-1049)
@@ -160,41 +195,66 @@ def _attention(lp: LayerParams, cfg: ModelConfig, xb: jnp.ndarray,
          jnp.broadcast_to(k_rope[:, :, None, :], (B, T, H, P))], axis=-1)
     vv = kv_b[..., nope:]
 
-    cdt = cache.k.dtype
-    if prefill:
-        k_full = jax.lax.dynamic_update_slice(
-            cache.k, k[None].astype(cdt), (layer, 0, cache_start, 0, 0))
-        v_full = jax.lax.dynamic_update_slice(
-            cache.v, vv[None].astype(cdt), (layer, 0, cache_start, 0, 0))
+    q8 = cache.k_s is not None  # int8 cache: per-(slot, head) f32 scales
+    if q8:
+        k_w, k_sc = quantize_rows(k)                  # (B,T,H,Dh) -> (B,T,H)
+        v_w, v_sc = quantize_rows(vv.astype(jnp.float32))
     else:
-        bidx = jnp.arange(B)
-        k_full = cache.k.at[layer, bidx, cache_start].set(k[:, 0].astype(cdt))
-        v_full = cache.v.at[layer, bidx, cache_start].set(vv[:, 0].astype(cdt))
+        k_w, v_w, k_sc, v_sc = k, vv, None, None
+    k_full = _cache_write(cache.k, k_w, layer, cache_start, prefill)
+    v_full = _cache_write(cache.v, v_w, layer, cache_start, prefill)
+    k_s_full = _cache_write(cache.k_s, k_sc, layer, cache_start, prefill)
+    v_s_full = _cache_write(cache.v_s, v_sc, layer, cache_start, prefill)
+
+    def sc(full):
+        return full[layer] if full is not None else None
 
     if prefill:
-        k_l, v_l = k_full[layer], v_full[layer]
+        k_l = dequant_rows(k_full[layer], sc(k_s_full))
+        v_l = dequant_rows(v_full[layer], sc(v_s_full))
         S = k_l.shape[1]
         out = prefill_attn_mha(q, k_l, v_l, pos_vec,
                                jnp.arange(S, dtype=jnp.int32),
                                softmax_scale=sm_scale)              # (B,T,H,Dv)
     else:
-        sink = k_full[layer, :, :KV_SINKS, :, nope:]
-        rot = apply_rope(sink.astype(jnp.float32), 1, theta, is_v3,
-                         _rotation_only(yarn)).astype(cdt)
-        k_full = k_full.at[layer, :, :KV_SINKS, :, nope:].set(
-            jnp.where((kv_sink > 0)[:, None, None, None], rot, sink))
-        k_l, v_l = k_full[layer], v_full[layer]
+        # sink re-rotation touches only the rope chunk; int8 rows must be
+        # dequantized whole, rotated, and requantized (one shared row scale)
+        cdt = k_full.dtype
+        sink = dequant_rows(
+            k_full[layer, :, :KV_SINKS],
+            sc(k_s_full)[:, :KV_SINKS] if q8 else None).astype(jnp.float32)
+        rot_pe = apply_rope(sink[..., nope:], 1, theta, is_v3,
+                            _rotation_only(yarn))
+        rot = jnp.concatenate([sink[..., :nope], rot_pe], axis=-1)
+        keep = (kv_sink > 0)[:, None, None, None]
+        if q8:
+            rot_q, rot_sc = quantize_rows(rot)
+            k_full = k_full.at[layer, :, :KV_SINKS].set(
+                jnp.where(keep, rot_q, k_full[layer, :, :KV_SINKS]))
+            k_s_full = k_s_full.at[layer, :, :KV_SINKS].set(
+                jnp.where(keep[..., 0], rot_sc,
+                          k_s_full[layer, :, :KV_SINKS]))
+        else:
+            k_full = k_full.at[layer, :, :KV_SINKS, :, nope:].set(
+                jnp.where(keep, rot_pe.astype(cdt),
+                          k_full[layer, :, :KV_SINKS, :, nope:]))
         if impl is not None:
             from deepseek_tpu.ops.pallas.attention import mha_decode_attn
+            hs = (lambda a: jnp.swapaxes(a, 1, 2) if a is not None else None)
             out = mha_decode_attn(
-                q[:, 0], k_l, v_l, kv_len, float(sm_scale),
+                q[:, 0], k_full[layer], v_full[layer], kv_len,
+                float(sm_scale), k_scale=hs(sc(k_s_full)),
+                v_scale=hs(sc(v_s_full)),
                 interpret=impl["interpret"])[:, None]
         else:
+            k_l = dequant_rows(k_full[layer], sc(k_s_full))
+            v_l = dequant_rows(v_full[layer], sc(v_s_full))
             out = decode_attn_mha(
                 q[:, 0], k_l, v_l, kv_len, softmax_scale=sm_scale)[:, None]
 
     attn = ctx.psum_t(mm(lp.wo, out.reshape(B, T, H * Dv).astype(xb.dtype)))
-    cache = KVCache(k=k_full, v=v_full, ckv=None, krope=None)
+    cache = KVCache(k=k_full, v=v_full, ckv=None, krope=None,
+                    k_s=k_s_full, v_s=v_s_full)
     return attn, cache
 
 

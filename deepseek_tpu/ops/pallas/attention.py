@@ -9,6 +9,13 @@ per decode step and the kernel runs at the KV-bytes bandwidth roofline.
 
 ``kv_len`` masks the valid prefix of the static-shape ring buffer per
 sequence (no dynamic shapes): positions >= kv_len[b] contribute nothing.
+
+int8 caches (kv_cache_dtype: int8) pass per-row f32 scales; the scale is
+folded into the score/probability rows (lane-aligned (H, TS) multiplies)
+instead of dequantizing the (TS, D) tiles:
+  score_s = (q . k8_s) * scale_s     and     out = sum_s (p_s * scale_s) k8_s
+so the quantized tile feeds the MXU directly and decode runs at the
+int8-bytes roofline.
 """
 
 from __future__ import annotations
@@ -31,8 +38,12 @@ def _pick_tile(S: int, row_bytes: int, budget: int = 4 * 1024 * 1024) -> int:
     return min(S, 128)
 
 
-def _mla_body(kvlen_ref, qc_ref, qr_ref, ckv_ref, kr_ref, o_ref,
-              m_ref, l_ref, acc_ref, *, ts: int, s_len: int, scale: float):
+def _mla_body(kvlen_ref, qc_ref, qr_ref, ckv_ref, kr_ref, *rest,
+              ts: int, s_len: int, scale: float, quantized: bool):
+    if quantized:
+        ckvs_ref, krs_ref, o_ref, m_ref, l_ref, acc_ref = rest
+    else:
+        o_ref, m_ref, l_ref, acc_ref = rest
     b, si = pl.program_id(0), pl.program_id(1)
     last = pl.num_programs(1) - 1
 
@@ -55,9 +66,14 @@ def _mla_body(kvlen_ref, qc_ref, qr_ref, ckv_ref, kr_ref, o_ref,
     s = jax.lax.dot_general(
         qc, ckv, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
-    s = s + jax.lax.dot_general(
+    sr = jax.lax.dot_general(
         qr, kr, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
+    if quantized:
+        # per-row cache scales fold into the score rows (lane-aligned)
+        s = s * ckvs_ref[0] + sr * krs_ref[0]               # (H,TS)*(1,TS)
+    else:
+        s = s + sr
     s = s * scale                                           # (H, TS)
 
     pos = si * ts + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
@@ -70,6 +86,9 @@ def _mla_body(kvlen_ref, qc_ref, qr_ref, ckv_ref, kr_ref, o_ref,
     p = jnp.exp(s - m_new)
     p = jnp.where(mask, p, 0.0)
     l_ref[...] = l_ref[...] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    if quantized:
+        # fold the value-side dequant into p as well: out = (p*scale) @ k8
+        p = p * ckvs_ref[0]
     acc_ref[...] = acc_ref[...] * alpha + jax.lax.dot_general(
         p, ckv, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
@@ -82,34 +101,49 @@ def _mla_body(kvlen_ref, qc_ref, qr_ref, ckv_ref, kr_ref, o_ref,
 
 @functools.partial(jax.jit, static_argnames=("softmax_scale", "interpret"))
 def mla_decode_attn(q_c, q_rope, ckv_cache, krope_cache, kv_len,
-                    softmax_scale: float, interpret: bool = False):
+                    softmax_scale: float, ckv_scale=None, krope_scale=None,
+                    interpret: bool = False):
     """Absorbed-MLA decode attention (attn_mla, infer.cpp:766-804).
 
     q_c (B,H,R) f32, q_rope (B,H,P) f32, ckv_cache (B,S,R), krope_cache
     (B,S,P), kv_len (B,) int32 -> attended latents (B,H,R) f32.
+    For int8 caches pass per-row scales ckv_scale/krope_scale (B,S) f32.
     """
     B, H, R = q_c.shape
     P = q_rope.shape[-1]
     S = ckv_cache.shape[1]
+    quantized = ckv_scale is not None
     ts = _pick_tile(S, (R + P) * ckv_cache.dtype.itemsize)
     grid = (B, pl.cdiv(S, ts))
     kv_len = jnp.broadcast_to(jnp.asarray(kv_len, jnp.int32), (B,))
 
+    in_specs = [
+        pl.BlockSpec((1, H, R), lambda b, s, kl: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, H, P), lambda b, s, kl: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, ts, R), lambda b, s, kl: (b, s, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, ts, P), lambda b, s, kl: (b, s, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [kv_len, q_c.astype(jnp.float32), q_rope.astype(jnp.float32),
+            ckv_cache, krope_cache]
+    if quantized:
+        # scales reshape to (B, 1, S): the singleton penultimate dim keeps
+        # Mosaic's last-two-dims block rule satisfied (block 1 == full dim)
+        in_specs += [pl.BlockSpec((1, 1, ts), lambda b, s, kl: (b, 0, s),
+                                  memory_space=pltpu.VMEM)] * 2
+        args += [ckv_scale.astype(jnp.float32)[:, None, :],
+                 krope_scale.astype(jnp.float32)[:, None, :]]
+
     out = pl.pallas_call(
-        functools.partial(_mla_body, ts=ts, s_len=S, scale=float(softmax_scale)),
+        functools.partial(_mla_body, ts=ts, s_len=S,
+                          scale=float(softmax_scale), quantized=quantized),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
-            in_specs=[
-                pl.BlockSpec((1, H, R), lambda b, s, kl: (b, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, H, P), lambda b, s, kl: (b, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, ts, R), lambda b, s, kl: (b, s, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, ts, P), lambda b, s, kl: (b, s, 0),
-                             memory_space=pltpu.VMEM),
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec((1, H, R), lambda b, s, kl: (b, 0, 0),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
@@ -120,15 +154,18 @@ def mla_decode_attn(q_c, q_rope, ckv_cache, krope_cache, kv_len,
         ),
         out_shape=jax.ShapeDtypeStruct((B, H, R), jnp.float32),
         interpret=interpret,
-    )(kv_len, q_c.astype(jnp.float32), q_rope.astype(jnp.float32),
-      ckv_cache, krope_cache)
+    )(*args)
     return out
 
 
-def _mha_body(kvlen_ref, q_ref, k_ref, v_ref, o_ref,
-              m_ref, l_ref, acc_ref, *, ts: int, s_len: int, scale: float):
-    b, si = pl.program_id(0), pl.program_id(2)
-    last = pl.num_programs(2) - 1
+def _mha_body(kvlen_ref, q_ref, k_ref, v_ref, *rest,
+              ts: int, s_len: int, scale: float, quantized: bool):
+    if quantized:
+        ks_ref, vs_ref, o_ref, m_ref, l_ref, acc_ref = rest
+    else:
+        o_ref, m_ref, l_ref, acc_ref = rest
+    b, si = pl.program_id(0), pl.program_id(1)
+    last = pl.num_programs(1) - 1
 
     @pl.when(si == 0)
     def _():
@@ -136,28 +173,39 @@ def _mha_body(kvlen_ref, q_ref, k_ref, v_ref, o_ref,
         l_ref[...] = jnp.zeros_like(l_ref)
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    k = k_ref[0, :, 0, :].astype(jnp.float32)               # (TS, Dh)
-    v = v_ref[0, :, 0, :].astype(jnp.float32)               # (TS, Dv)
+    H = q_ref.shape[1]
+    k = k_ref[0].astype(jnp.float32)                        # (TS, H, Dh)
+    v = v_ref[0].astype(jnp.float32)                        # (TS, H, Dv)
     if s_len % ts:
         rpos = si * ts + jax.lax.broadcasted_iota(jnp.int32, v.shape, 0)
         v = jnp.where(rpos < s_len, v, 0.0)
-    q = q_ref[0]                                            # (1, Dh)
+    q = q_ref[0]                                            # (H, Dh)
 
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale         # (1, TS)
+    # per-head dots over the (TS, H, ·) tile (H is small; a static loop
+    # avoids transposing the tile into head-major layout)
+    s = jnp.concatenate([
+        jax.lax.dot_general(q[h:h + 1], k[:, h, :], (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+        for h in range(H)], axis=0)                         # (H, TS)
+    if quantized:
+        s = s * ks_ref[0]                                   # (H, TS) scales
+    s = s * scale
     pos = si * ts + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
     mask = pos < kvlen_ref[b]
     s = jnp.where(mask, s, _NEG_INF)
 
-    m_old = m_ref[...]
+    m_old = m_ref[...]                                      # (H, 1)
     m_new = jnp.maximum(m_old, jnp.max(s, axis=-1, keepdims=True))
     alpha = jnp.exp(m_old - m_new)
     p = jnp.where(mask, jnp.exp(s - m_new), 0.0)
     l_ref[...] = l_ref[...] * alpha + jnp.sum(p, axis=-1, keepdims=True)
-    acc_ref[...] = acc_ref[...] * alpha + jax.lax.dot_general(
-        p, v, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+    if quantized:
+        p = p * vs_ref[0]
+    mix = jnp.concatenate([
+        jax.lax.dot_general(p[h:h + 1], v[:, h, :], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+        for h in range(H)], axis=0)                         # (H, Dv)
+    acc_ref[...] = acc_ref[...] * alpha + mix
     m_ref[...] = m_new
 
     @pl.when(si == last)
@@ -167,42 +215,54 @@ def _mha_body(kvlen_ref, q_ref, k_ref, v_ref, o_ref,
 
 @functools.partial(jax.jit, static_argnames=("softmax_scale", "interpret"))
 def mha_decode_attn(q, k_cache, v_cache, kv_len,
-                    softmax_scale: float, interpret: bool = False):
+                    softmax_scale: float, k_scale=None, v_scale=None,
+                    interpret: bool = False):
     """Decompressed-MHA decode attention (attn, infer.cpp:728-762).
 
     q (B,H,Dh) f32, k_cache (B,S,H,Dh), v_cache (B,S,H,Dv), kv_len (B,)
-    -> (B,H,Dv) f32. Grid walks (batch, head, kv tile); each head's cache
-    rows DMA as strided slices of the (B,S,H,D) layout.
+    -> (B,H,Dv) f32. Grid walks (batch, kv tile); each tile carries all
+    heads (full trailing dims keep Mosaic's block rules satisfied). For
+    int8 caches pass per-(head, slot) scales k_scale/v_scale (B,H,S) f32
+    (head-major: the (1,H,ts) block has sublane H, lane ts).
     """
     B, H, Dh = q.shape
     S = k_cache.shape[1]
     Dv = v_cache.shape[-1]
-    ts = _pick_tile(S, (Dh + Dv) * k_cache.dtype.itemsize)
-    grid = (B, H, pl.cdiv(S, ts))
+    quantized = k_scale is not None
+    ts = _pick_tile(S, H * (Dh + Dv) * k_cache.dtype.itemsize)
+    grid = (B, pl.cdiv(S, ts))
     kv_len = jnp.broadcast_to(jnp.asarray(kv_len, jnp.int32), (B,))
 
+    in_specs = [
+        pl.BlockSpec((1, H, Dh), lambda b, s, kl: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, ts, H, Dh), lambda b, s, kl: (b, s, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, ts, H, Dv), lambda b, s, kl: (b, s, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [kv_len, q.astype(jnp.float32), k_cache, v_cache]
+    if quantized:
+        in_specs += [pl.BlockSpec((1, H, ts), lambda b, s, kl: (b, 0, s),
+                                  memory_space=pltpu.VMEM)] * 2
+        args += [k_scale.astype(jnp.float32), v_scale.astype(jnp.float32)]
+
     out = pl.pallas_call(
-        functools.partial(_mha_body, ts=ts, s_len=S, scale=float(softmax_scale)),
+        functools.partial(_mha_body, ts=ts, s_len=S,
+                          scale=float(softmax_scale), quantized=quantized),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
-            in_specs=[
-                pl.BlockSpec((1, 1, Dh), lambda b, h, s, kl: (b, h, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, ts, 1, Dh), lambda b, h, s, kl: (b, s, h, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, ts, 1, Dv), lambda b, h, s, kl: (b, s, h, 0),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec((1, 1, Dv), lambda b, h, s, kl: (b, h, 0),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((1, H, Dv), lambda b, s, kl: (b, 0, 0),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
-                pltpu.VMEM((1, 1), jnp.float32),
-                pltpu.VMEM((1, 1), jnp.float32),
-                pltpu.VMEM((1, Dv), jnp.float32),
+                pltpu.VMEM((H, 1), jnp.float32),
+                pltpu.VMEM((H, 1), jnp.float32),
+                pltpu.VMEM((H, Dv), jnp.float32),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((B, H, Dv), jnp.float32),
         interpret=interpret,
-    )(kv_len, q.astype(jnp.float32), k_cache, v_cache)
+    )(*args)
     return out

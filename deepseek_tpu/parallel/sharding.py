@@ -96,6 +96,10 @@ def cache_shardings(cache: KVCache, cfg: ModelConfig, mesh: Mesh) -> KVCache:
         v=fit(cache.v, (None, "data", None, "tensor", None)),
         ckv=fit(cache.ckv, (None, "data", None, None)),
         krope=fit(cache.krope, (None, "data", None, None)),
+        k_s=fit(cache.k_s, (None, "data", None, "tensor")),
+        v_s=fit(cache.v_s, (None, "data", None, "tensor")),
+        ckv_s=fit(cache.ckv_s, (None, "data", None)),
+        krope_s=fit(cache.krope_s, (None, "data", None)),
     )
 
 

@@ -82,6 +82,54 @@ def main():
     for s in range(3):
         ok &= check(f"q2k expert slot {s}", got[0, s], xk[0, s] @ deq[idx[0, s]].T)
 
+    # flash-decode attention (bf16 + int8 caches) vs jnp formulation
+    from deepseek_tpu.models.kvcache import dequant_rows, quantize_rows
+    from deepseek_tpu.ops.attention import decode_attn_mla
+    from deepseek_tpu.ops.pallas.attention import mla_decode_attn
+    B, H, R, P, S = 2, 16, 512, 64, 1024
+    q_c = jnp.asarray(rnd((B, H, R), 5) * 0.2)
+    q_r = jnp.asarray(rnd((B, H, P), 6) * 0.2)
+    ckv_f = jnp.asarray(rnd((B, S, R), 7) * 0.2)
+    kr_f = jnp.asarray(rnd((B, S, P), 8) * 0.2)
+    kl = jnp.asarray([600, 1024], jnp.int32)
+    want = np.asarray(decode_attn_mla(
+        q_c, q_r, ckv_f.astype(jnp.bfloat16), kr_f.astype(jnp.bfloat16),
+        kl, 192))
+    got = np.asarray(mla_decode_attn(
+        q_c, q_r, ckv_f.astype(jnp.bfloat16), kr_f.astype(jnp.bfloat16),
+        kl, 192 ** -0.5))
+    ok &= check("mla flash-decode bf16", got, want)
+
+    ckv_q, ckv_s = quantize_rows(ckv_f)
+    kr_q, kr_s = quantize_rows(kr_f)
+    want = np.asarray(decode_attn_mla(
+        q_c, q_r, dequant_rows(ckv_q, ckv_s), dequant_rows(kr_q, kr_s),
+        kl, 192))
+    got = np.asarray(mla_decode_attn(
+        q_c, q_r, ckv_q, kr_q, kl, 192 ** -0.5,
+        ckv_scale=ckv_s, krope_scale=kr_s))
+    ok &= check("mla flash-decode int8", got, want)
+
+    from deepseek_tpu.ops.attention import decode_attn_mha
+    from deepseek_tpu.ops.pallas.attention import mha_decode_attn
+    Hh, Dh, Dv = 4, 192, 128
+    qm = jnp.asarray(rnd((B, Hh, Dh), 9) * 0.2)
+    kf = jnp.asarray(rnd((B, S, Hh, Dh), 10) * 0.2)
+    vf = jnp.asarray(rnd((B, S, Hh, Dv), 11) * 0.2)
+    want = np.asarray(decode_attn_mha(
+        qm, kf.astype(jnp.bfloat16), vf.astype(jnp.bfloat16), kl))
+    got = np.asarray(mha_decode_attn(
+        qm, kf.astype(jnp.bfloat16), vf.astype(jnp.bfloat16), kl, Dh ** -0.5))
+    ok &= check("mha flash-decode bf16", got, want)
+    k8, ks = quantize_rows(kf)
+    v8, vs = quantize_rows(vf)
+    want = np.asarray(decode_attn_mha(
+        qm, dequant_rows(k8, ks), dequant_rows(v8, vs), kl))
+    got = np.asarray(mha_decode_attn(
+        qm, k8, v8, kl, Dh ** -0.5, k_scale=jnp.swapaxes(ks, 1, 2),
+        v_scale=jnp.swapaxes(vs, 1, 2)))
+    ok &= check("mha flash-decode int8", got, want)
+
     print("SMOKE", "PASS" if ok else "FAIL")
     return 0 if ok else 1
 
