@@ -55,6 +55,9 @@ TPU options:
   --dtype <float32|bfloat16>  activation compute dtype
   --kv-dtype <float16|bfloat16|int8>  KV cache dtype (int8 = half the cache
                               bytes, per-row amax scales)
+  --draft <ckpt_dir>          speculative decoding draft model (completion
+                              mode; output is exactly the target model's)
+  --spec-k <int>              draft tokens per speculation round (default 4)
   --chunk <int>               prefill chunk size (default 256)
   --seed <int>                sampler seed
   --yarn                      apply YaRN rope scaling (reference parses but
@@ -92,6 +95,8 @@ class Args:
         self.chunk = 256
         self.seed: Optional[int] = None
         self.yarn = False
+        self.draft: Optional[str] = None
+        self.spec_k = 4
         self.port = 8080
         self.host = "127.0.0.1"
         self.batch = 4
@@ -140,6 +145,10 @@ def parse_mode_flags(args: Args, argv: List[str]) -> Args:
             args.seed = int(val())
         elif a == "--yarn":
             args.yarn = True
+        elif a == "--draft":
+            args.draft = val()
+        elif a == "--spec-k":
+            args.spec_k = int(val())
         elif a == "--port":
             args.port = int(val())
         elif a == "--host":
@@ -191,9 +200,16 @@ def run_completion(engine: Engine, args: Args):
         sys.stdout.flush()
 
     steps = 256 if args.num_steps is None else args.num_steps
-    out, st = engine.generate(
-        encoding, steps, temperature=args.temperature, top_p=args.top_p,
-        on_token=emit)
+    if args.draft:
+        draft_engine = Engine(args.draft, seed=0,
+                              prefill_chunk=args.chunk)
+        out, st = engine.generate_speculative(
+            encoding, draft_engine, steps, temperature=args.temperature,
+            top_p=args.top_p, spec_k=args.spec_k, on_token=emit)
+    else:
+        out, st = engine.generate(
+            encoding, steps, temperature=args.temperature, top_p=args.top_p,
+            on_token=emit)
     print()
     print(f"Generation stats:\n"
           f"  {st.generated_tokens} tokens\n"

@@ -247,6 +247,173 @@ class Engine:
         return out_tokens, stats
 
     # ------------------------------------------------------------------
+    def generate_speculative(
+        self,
+        prompt_tokens: List[int],
+        draft: "Engine",
+        num_steps: int = 256,
+        temperature: float = 0.0,
+        top_p: float = 0.95,
+        spec_k: int = 4,
+        on_token: Optional[Callable[[int, bytes], None]] = None,
+    ) -> Tuple[List[int], GenerationStats]:
+        """Speculative decoding with a smaller draft model (beyond the
+        reference, which has no speculation of any kind).
+
+        The draft proposes ``spec_k`` tokens per round; one chunked target
+        forward scores them all, and the standard acceptance rule keeps the
+        output distribution EXACTLY the target model's (greedy outputs are
+        token-for-token identical to ``generate``; sampled outputs follow
+        speculative sampling, arXiv 2211.17192). Rejected drafts need no
+        cache rollback: a ring slot is rewritten whenever its position is
+        actually fed, and ``kv_len`` masking never exposes a slot before
+        that.
+
+        The draft must share the tokenizer/vocab. Rounds fall back to plain
+        decode once positions leave the prefill window.
+        """
+        assert draft.cfg.vocab_size == self.cfg.vocab_size, \
+            "draft and target must share the vocabulary"
+        cfg = self.cfg
+        stats = GenerationStats(prompt_tokens=len(prompt_tokens))
+        try:
+            kd = np.asarray(jax.random.key_data(self._key))
+        except Exception:
+            kd = np.asarray(self._key)
+        rng = np.random.default_rng(int(kd.ravel()[-1]))
+
+        t0 = time.perf_counter()
+        cache, logits, _, pos = self.hydrate(cache := self.new_cache(),
+                                             prompt_tokens, 0)
+        dcache, dlogits, _, dpos = draft.hydrate(draft.new_cache(),
+                                                 prompt_tokens, 0)
+        stats.hydrate_s = time.perf_counter() - t0
+
+        max_new = (cfg.max_seq_len - len(prompt_tokens)) if num_steps == 0 \
+            else (1 << 62) if num_steps < 0 else num_steps
+
+        out_tokens: List[int] = []
+        prev = prompt_tokens[-1] if prompt_tokens else self.tokenizer.bos_id
+
+        def emit(token: int) -> bool:
+            nonlocal prev
+            out_tokens.append(token)
+            if on_token is not None:
+                on_token(token, self.tokenizer.decode_one(prev, token))
+            prev = token
+            return self.tokenizer.is_eos_or_eot(token)
+
+        def probs_of(lg: np.ndarray) -> np.ndarray:
+            if temperature <= 0:
+                p = np.zeros(lg.shape[-1])
+                p[int(np.argmax(lg))] = 1.0
+                return p
+            z = lg.astype(np.float64) / max(temperature, 1e-6)
+            z -= z.max()
+            p = np.exp(z)
+            p /= p.sum()
+            # nucleus truncation, matching the on-device sampler
+            order = np.argsort(-p)
+            cum = np.cumsum(p[order])
+            keep = np.zeros_like(p, bool)
+            keep[order[:max(1, int(np.searchsorted(cum, top_p) + 1))]] = True
+            p = np.where(keep, p, 0.0)
+            return p / p.sum()
+
+        t0 = time.perf_counter()
+        token = self.sampler.sample(logits, temperature, top_p)
+        stopped = emit(token)
+        dstep = draft.fwd(False, "last")
+        window = min(cfg.kv_window, draft.cfg.kv_window)
+
+        while not stopped and len(out_tokens) < max_new:
+            k = min(spec_k, max_new - len(out_tokens))
+            if pos + k + 1 > window or k < 1:
+                # past the prefill window: plain decode step (both caches
+                # advance in lockstep)
+                lg, cache = self.fwd(False, "last")(
+                    self.params, cache,
+                    jnp.asarray([[token]], jnp.int32), pos)
+                _, dcache = dstep(draft.params, dcache,
+                                  jnp.asarray([[token]], jnp.int32), pos)
+                pos += 1
+                token = self.sampler.sample(np.asarray(lg[0]),
+                                            temperature, top_p)
+                stopped = emit(token)
+                continue
+
+            # 1. draft proposes k tokens (greedy/sampled from its own dist);
+            #    drafts[i] is the candidate for sequence position pos+1+i
+            drafts, qdists = [], []
+            dtok = token
+            for i in range(k):
+                lg, dcache = dstep(draft.params, dcache,
+                                   jnp.asarray([[dtok]], jnp.int32), pos + i)
+                q = probs_of(np.asarray(lg[0]))
+                dtok = int(rng.choice(len(q), p=q)) if temperature > 0 \
+                    else int(np.argmax(q))
+                drafts.append(dtok)
+                qdists.append(q)
+
+            # 2. one target forward scores all k drafts AND yields the
+            #    bonus distribution after the last one (chunk length k+1)
+            chunk = [token] + drafts
+            lg_all, cache = self.fwd(True, "all")(
+                self.params, cache,
+                jnp.asarray([chunk], jnp.int32), pos)
+            lg_all = np.asarray(lg_all[0])                   # (k+1, V)
+
+            # 3. acceptance loop (output follows the target distribution
+            #    exactly — arXiv 2211.17192 Alg. 1)
+            n_acc = 0
+            replacement = None
+            for i in range(k):
+                p = probs_of(lg_all[i])
+                q = qdists[i]
+                d = drafts[i]
+                if temperature <= 0:
+                    if int(np.argmax(p)) == d:
+                        n_acc += 1
+                        continue
+                    replacement = int(np.argmax(p))
+                    break
+                if rng.random() < min(1.0, p[d] / max(q[d], 1e-12)):
+                    n_acc += 1
+                    continue
+                res = np.maximum(p - q, 0.0)
+                res = res / res.sum() if res.sum() > 0 else p
+                replacement = int(rng.choice(len(res), p=res))
+                break
+
+            for d in drafts[:n_acc]:
+                stopped = emit(d)
+                if stopped:
+                    break
+            if stopped:
+                break
+            if replacement is not None:
+                token = replacement
+            else:
+                # all k accepted: bonus token from the post-draft dist. The
+                # draft cache is missing position pos+k (it generated
+                # drafts[-1] but never fed it) — feed it before moving on.
+                _, dcache = dstep(draft.params, dcache,
+                                  jnp.asarray([[drafts[-1]]], jnp.int32),
+                                  pos + k)
+                token = int(rng.choice(
+                    len(qdists[0]), p=probs_of(lg_all[k]))) \
+                    if temperature > 0 else int(np.argmax(lg_all[k]))
+            pos += n_acc + 1
+            if len(out_tokens) >= max_new:
+                break
+            stopped = emit(token)
+
+        stats.generate_s = time.perf_counter() - t0
+        stats.generated_tokens = len(out_tokens)
+        stats.active_bytes_per_token = self.active_bytes(pos)
+        return out_tokens, stats
+
+    # ------------------------------------------------------------------
     def perplexity(self, tokens: List[int],
                    progress: Optional[Callable[[int, int], None]] = None):
         """ppl over tokens[1:] given prefixes (run_perplexity, main.cpp:371-431).
