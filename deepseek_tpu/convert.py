@@ -289,6 +289,13 @@ def convert_weights(weights: Dict[str, np.ndarray], md: dict,
                         q_rope_b.reshape(-1, q_lora))
             cv.conv_raw(tensors, f"{out}.attn.wc", c_proj.reshape(-1, q_lora))
             cv.conv_raw(tensors, f"{out}.attn.wv_b", v_b)
+            # ALSO keep the decompressed projections (~3% extra bytes):
+            # prefill attends in head space (nope+rope dims) which costs
+            # ~2-3x fewer FLOPs than absorbed latent-space scores at large
+            # chunk x window; decode keeps the absorbed path. Identical math
+            # (the absorption is a linear factorization).
+            cv.conv(tensors, f"{out}.attn.wkv_b", f"{hf}.self_attn.kv_b_proj.weight")
+            cv.conv(tensors, f"{out}.attn.wq_b", f"{hf}.self_attn.q_b_proj.weight")
         else:
             cv.conv(tensors, f"{out}.attn.wkv_b", f"{hf}.self_attn.kv_b_proj.weight")
             if q_lora > 0:

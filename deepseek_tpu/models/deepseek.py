@@ -99,9 +99,17 @@ def _attention(lp: LayerParams, cfg: ModelConfig, xb: jnp.ndarray,
     if cfg.use_mla:
         # absorbed path (BlockMLA, infer.cpp:1052-1141)
         q_a = rmsnorm(mm(lp.wq_a, xb), lp.q_a_norm, cfg.norm_eps)
-        q_rope = mm(lp.wq_rope_b, q_a).reshape(B, T, H, P)
-        q_rope = apply_rope(q_rope.astype(jnp.float32), posb, theta, is_v3, yarn)
-        q_c = mm(lp.wc, q_a).reshape(B, T, H, R).astype(jnp.float32)
+        # hybrid MLA: prefill attends in decompressed head space when the
+        # checkpoint kept wq_b/wkv_b — identical math (the absorption is a
+        # linear factorization), ~2-3x fewer score/mix FLOPs than the
+        # latent-space formulation at large chunk x window. Decode always
+        # uses the absorbed path (minimal cache reads per step).
+        decompress = prefill and lp.wkv_b is not None and lp.wq_b is not None
+        if not decompress:
+            q_rope = mm(lp.wq_rope_b, q_a).reshape(B, T, H, P)
+            q_rope = apply_rope(q_rope.astype(jnp.float32), posb, theta,
+                                is_v3, yarn)
+            q_c = mm(lp.wc, q_a).reshape(B, T, H, R).astype(jnp.float32)
 
         # cache writes scatter straight into the full (L,B,S,·) arrays
         q8 = cache.ckv_s is not None  # int8 cache: rows + per-row f32 scale
@@ -118,6 +126,30 @@ def _attention(lp: LayerParams, cfg: ModelConfig, xb: jnp.ndarray,
         def sc(full):
             return full[layer] if full is not None else None
 
+        if decompress:
+            ckv_l = dequant_rows(ckv_full[layer], sc(ckv_s_full))
+            krope_l = dequant_rows(krope_full[layer], sc(krope_s_full))
+            S = ckv_l.shape[1]
+            nope = cfg.qk_nope_head_dim
+            q = mm(lp.wq_b, q_a).reshape(B, T, H, cfg.head_dim)
+            q = q.astype(jnp.float32)
+            q_pe = apply_rope(q[..., nope:], posb, theta, is_v3, yarn)
+            q = jnp.concatenate([q[..., :nope], q_pe], axis=-1)
+            kv_dec = mm(lp.wkv_b, ckv_l.astype(xb.dtype)).reshape(
+                B, S, H, nope + Dv)
+            k_l = jnp.concatenate(
+                [kv_dec[..., :nope].astype(jnp.float32),
+                 jnp.broadcast_to(krope_l[:, :, None, :].astype(jnp.float32),
+                                  (B, S, H, P))], axis=-1)
+            v_out = prefill_attn_mha(
+                q, k_l, kv_dec[..., nope:], pos_vec,
+                jnp.arange(S, dtype=jnp.int32),
+                softmax_scale=sm_scale)                             # (B,T,H,Dv)
+            attn = ctx.psum_t(mm(lp.wo, v_out.reshape(B, T, H * Dv)
+                                 .astype(xb.dtype)))
+            cache = KVCache(k=None, v=None, ckv=ckv_full, krope=krope_full,
+                            ckv_s=ckv_s_full, krope_s=krope_s_full)
+            return attn, cache
         if prefill:
             ckv_l = dequant_rows(ckv_full[layer], sc(ckv_s_full))
             krope_l = dequant_rows(krope_full[layer], sc(krope_s_full))

@@ -42,9 +42,10 @@ def random_params(cfg: ModelConfig, seed: int = 0, dtype=jnp.bfloat16,
             wo=w(c.dim, H * Dv),
             wq=None if c.q_lora_rank > 0 else (None if c.use_mla else w(H * hd, c.dim)),
             wq_a=w(c.q_lora_rank, c.dim) if c.q_lora_rank > 0 else None,
-            wq_b=(w(H * hd, c.q_lora_rank)
-                  if (c.q_lora_rank > 0 and not c.use_mla) else None),
-            wkv_b=None if c.use_mla else w(H * (nope + Dv), R),
+            # MLA checkpoints keep the decompressed projections too
+            # (hybrid prefill path, see convert.py / models/deepseek.py)
+            wq_b=w(H * hd, c.q_lora_rank) if c.q_lora_rank > 0 else None,
+            wkv_b=w(H * (nope + Dv), R),
             wc=w(H * R, c.q_lora_rank) if c.use_mla else None,
             wq_rope_b=w(H * P, c.q_lora_rank) if c.use_mla else None,
             wv_b=w(H * Dv, R) if c.use_mla else None,

@@ -1,0 +1,48 @@
+"""Hybrid MLA: decompressed prefill must equal absorbed prefill exactly
+(the absorption is a linear factorization — same math, fewer FLOPs)."""
+
+import dataclasses
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from deepseek_tpu import convert as cv
+from deepseek_tpu.engine import Engine
+
+from tests.util_hf import hf_config, hf_weights, write_hf_dir
+
+
+def test_hybrid_prefill_equals_absorbed(tmp_path):
+    cfg = hf_config(dim=64, hidden=96, q_lora=48, kv_lora=32, nope=16,
+                    rope=16, v_dim=16, layers=2, vocab=300)
+    hf_dir = os.path.join(str(tmp_path), "hf")
+    write_hf_dir(hf_dir, cfg, hf_weights(cfg, seed=3, scale=0.15))
+    out = os.path.join(str(tmp_path), "mla")
+    cv.convert(hf_dir, out, quant="fp32", use_mla=True)
+
+    eng = Engine(out, seed=0, prefill_chunk=8)
+    lp = eng.params.layers[0]
+    assert lp.wkv_b is not None and lp.wq_b is not None, \
+        "--mla checkpoints must retain the decompressed projections"
+
+    toks = eng.tokenizer.encode("hello world", bos=True)
+
+    # hybrid (decompressed prefill branch active)
+    c1 = eng.new_cache()
+    c1, lg_hybrid, lsm_h, _ = eng.hydrate(c1, toks, 0, collect_all_logits=True)
+
+    # absorbed-only: strip the decompressed projections
+    eng.params = dataclasses.replace(
+        eng.params,
+        layers=[dataclasses.replace(l, wkv_b=None, wq_b=None)
+                for l in eng.params.layers])
+    eng._fns = {}
+    c2 = eng.new_cache()
+    c2, lg_abs, lsm_a, _ = eng.hydrate(c2, toks, 0, collect_all_logits=True)
+
+    np.testing.assert_allclose(lsm_h, lsm_a, rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(lg_hybrid, lg_abs, rtol=2e-4, atol=2e-4)
+    # cache contents identical too (writes are the same latent rows)
+    np.testing.assert_allclose(np.asarray(c1.ckv), np.asarray(c2.ckv),
+                               rtol=1e-5, atol=1e-5)
