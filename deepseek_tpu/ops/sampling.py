@@ -22,7 +22,8 @@ _NEG_INF = -1e30
 
 
 def _nucleus_mask(probs: jnp.ndarray, top_p) -> jnp.ndarray:
-    """(B, V) probs -> bool keep mask of the smallest mass >= top_p prefix."""
+    """(B, V) probs -> bool keep mask of the smallest mass >= top_p prefix.
+    top_p: scalar or (B, 1)."""
     pmax = jnp.max(probs, axis=-1, keepdims=True)               # (B, 1)
     top_p = jnp.asarray(top_p, jnp.float32)
 
@@ -41,15 +42,21 @@ def _nucleus_mask(probs: jnp.ndarray, top_p) -> jnp.ndarray:
 
 
 def sample_token(logits: jnp.ndarray, key, temperature, top_p) -> jnp.ndarray:
-    """logits (B, V) f32 -> (B,) int32. temperature/top_p may be traced."""
+    """logits (B, V) f32 -> (B,) int32.
+
+    temperature/top_p may be traced, scalar or per-sequence (B,) — the
+    continuous-batching scheduler samples every slot with its own request's
+    parameters in one fused call."""
     logits = logits.astype(jnp.float32)
+    B = logits.shape[0]
     greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
-    t = jnp.maximum(jnp.asarray(temperature, jnp.float32), 1e-6)
-    scaled = logits / t
+    temp = jnp.broadcast_to(jnp.asarray(temperature, jnp.float32), (B,))
+    top_p = jnp.broadcast_to(jnp.asarray(top_p, jnp.float32), (B,))
+    t = jnp.maximum(temp, 1e-6)
+    scaled = logits / t[:, None]
     probs = jax.nn.softmax(scaled, axis=-1)
-    keep = _nucleus_mask(probs, top_p)
+    keep = _nucleus_mask(probs, top_p[:, None])
     masked = jnp.where(keep, scaled, _NEG_INF)
     sampled = jax.random.categorical(key, masked, axis=-1)
-    return jnp.where(jnp.asarray(temperature) == 0.0, greedy,
-                     sampled.astype(jnp.int32))
+    return jnp.where(temp == 0.0, greedy, sampled.astype(jnp.int32))

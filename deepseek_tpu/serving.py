@@ -38,16 +38,22 @@ class Request:
 
 
 class BatchScheduler:
-    def __init__(self, engine: Engine, batch_size: int = 4):
+    def __init__(self, engine: Engine, batch_size: int = 4,
+                 decode_block: int = 8):
         self.engine = engine
         self.batch = batch_size
+        # tokens decoded per dispatch for the whole batch: amortizes the
+        # per-dispatch round trip (~tens of ms on remote-attached chips) at
+        # the cost of up to block-1 wasted positions after a sequence stops
+        self.block = max(1, decode_block)
         self.cache = engine.new_cache(batch=batch_size)
         self.slots: List[Optional[Request]] = [None] * batch_size
         self.pos = np.zeros(batch_size, np.int64)      # next decode position
         self.cur = np.zeros(batch_size, np.int64)      # token to feed next
         self.queue: Deque[Request] = deque()
         self._ids = itertools.count()
-        self._step_fn = engine.fwd(False, "last")
+        self._key = jax.random.PRNGKey(0)
+        self._loop = None  # built lazily (jit keyed on block size)
 
     # ------------------------------------------------------------------
     def submit(self, req: Request) -> int:
@@ -97,7 +103,12 @@ class BatchScheduler:
 
     # ------------------------------------------------------------------
     def step(self) -> None:
-        """Admit queued requests into free slots, then one batched decode."""
+        """Admit queued requests into free slots, then one fused decode
+        dispatch of ``block`` tokens for the whole batch — sampling stays on
+        device with per-slot temperature/top_p; only the (B, block) token
+        ids come back to the host."""
+        from deepseek_tpu.models.deepseek import make_decode_loop
+
         self._free_finished()
         for i in range(self.batch):
             if self.slots[i] is None and self.queue:
@@ -105,21 +116,36 @@ class BatchScheduler:
         if not any(s is not None for s in self.slots):
             return
 
-        toks = jnp.asarray(self.cur.reshape(-1, 1), jnp.int32)
-        pos = jnp.asarray(self.pos, jnp.int32)
-        logits, self.cache = self._step_fn(
-            self.engine.params, self.cache, toks, pos)
-        logits = np.asarray(logits)
+        if self._loop is None:
+            self._loop = make_decode_loop(self.engine.cfg, self.block)
+
+        temps = np.zeros(self.batch, np.float32)
+        topps = np.ones(self.batch, np.float32)
+        for i, req in enumerate(self.slots):
+            if req is not None:
+                temps[i] = req.temperature
+                topps[i] = req.top_p
+        self._key, sub = jax.random.split(self._key)
+        toks_dev, _, self.cache = self._loop(
+            self.engine.params, self.cache,
+            jnp.asarray(self.cur.reshape(-1, 1), jnp.int32),
+            jnp.asarray(self.pos, jnp.int32), sub,
+            jnp.asarray(temps), jnp.asarray(topps))
+        toks = np.asarray(toks_dev)                     # (B, block)
 
         for i, req in enumerate(self.slots):
             if req is None or req.done:
+                self.pos[i] += self.block
                 continue
             prev = int(self.cur[i])
-            token = self.engine.sampler.sample(
-                logits[i], req.temperature, req.top_p)
-            self.pos[i] += 1
-            self.cur[i] = token
-            self._emit(req, token, prev=prev)
+            for j in range(self.block):
+                token = int(toks[i, j])
+                self._emit(req, token, prev=prev)
+                prev = token
+                if req.done:
+                    break
+            self.pos[i] += self.block
+            self.cur[i] = prev
 
     def run(self) -> List[Request]:
         finished: Dict[int, Request] = {}
