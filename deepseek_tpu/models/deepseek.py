@@ -309,7 +309,7 @@ def _ffn(lp: LayerParams, cfg: ModelConfig, xb: jnp.ndarray, layer: int,
     dtype = xb.dtype
     pf_impl = kernel_impl(cfg) if prefill else None
     from deepseek_tpu.ops.matmul import grouped_expert_ffn, grouped_ffn_supported
-    if prefill and pf_impl is not None and grouped_ffn_supported(cfg):
+    if prefill and pf_impl is not None and grouped_ffn_supported(cfg, lp.w1):
         # ragged grouped matmul (megablocks gmm): FLOPs scale with the k
         # routed experts per token, not all E — see grouped_expert_ffn
         out = grouped_expert_ffn(lp.w1, lp.w2, lp.w3, xb, weights, idx,
@@ -374,8 +374,10 @@ def _forward_impl(params: ModelParams, cache: KVCache, tokens: jnp.ndarray,
     dtype = jnp.dtype(cfg.compute_dtype)
     # Under shard_map (ctx) operands are local shards, so the Pallas kernels
     # run unchanged per shard; under GSPMD jit they require unsharded
-    # operands (pallas_call is opaque to the partitioner)
-    impl = kernel_impl(cfg) if not prefill else None
+    # operands (pallas_call is opaque to the partitioner). Prefill uses the
+    # same fused-dequant kernels (batch-tiled) so quantized weights never
+    # materialize; MoE routing picks its prefill formulation in _ffn.
+    impl = kernel_impl(cfg)
     x = embed_lookup(params.embed, tokens, jnp.float32).astype(dtype)
 
     pos0 = jnp.asarray(pos0, jnp.int32)

@@ -152,8 +152,13 @@ def grouped_expert_ffn(w1, w2, w3, xb: jnp.ndarray, weights: jnp.ndarray,
     return ctx.psum_e(y.sum(axis=2)).astype(dtype)
 
 
-def grouped_ffn_supported(cfg) -> bool:
-    """gmm tiles m/k/n by 128: feature dims must divide."""
+def grouped_ffn_supported(cfg, w1=None) -> bool:
+    """gmm tiles m/k/n by 128: feature dims must divide. Quantized experts
+    are excluded: gmm is opaque to XLA, so their dequant would materialize
+    ~400MB tensors per weight per layer — measured SLOWER than the fused
+    dense path (1357 vs 1802 tok/s for Q2_K prefill at T=256)."""
+    if w1 is not None and not isinstance(w1, PlainTensor):
+        return False
     return (cfg.dim % 128 == 0 and cfg.moe_intermediate_size % 128 == 0)
 
 

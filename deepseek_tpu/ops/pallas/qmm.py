@@ -195,13 +195,18 @@ def qmm(qt, x, interpret: bool = False):
 
     d = qt.shape[-2]
     td = min(_tile_d(d, n), d)
-    grid = (pl.cdiv(d, td),)
-    xspec = pl.BlockSpec((B, n), lambda i: (0, 0), memory_space=pltpu.VMEM)
-    ospec = pl.BlockSpec((B, td), lambda i: (0, i), memory_space=pltpu.VMEM)
+    # batch tiling keeps large-B (prefill chunk) activations inside VMEM;
+    # the B axis iterates fastest so each weight tile is fetched once and
+    # revisited in place while batch tiles stream through
+    tb = B if B <= 128 else 128
+    grid = (pl.cdiv(d, td), pl.cdiv(B, tb))
+    xspec = pl.BlockSpec((tb, n), lambda i, b: (b, 0), memory_space=pltpu.VMEM)
+    ospec = pl.BlockSpec((tb, td), lambda i, b: (b, i), memory_space=pltpu.VMEM)
     oshape = jax.ShapeDtypeStruct((B, d), jnp.float32)
 
     def wspec(cols):
-        return pl.BlockSpec((td, cols), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        return pl.BlockSpec((td, cols), lambda i, b: (i, 0),
+                            memory_space=pltpu.VMEM)
 
     if isinstance(qt, Q2KTensor):
         out = pl.pallas_call(
@@ -227,16 +232,17 @@ def qmm(qt, x, interpret: bool = False):
         assert d % b0 == 0 and n % b1 == 0, "fp8 block grid must divide dims"
         td = max(td - td % b0, b0)
         td = min(td, d)
-        grid = (pl.cdiv(d, td),)
-        xspec = pl.BlockSpec((B, n), lambda i: (0, 0), memory_space=pltpu.VMEM)
-        ospec = pl.BlockSpec((B, td), lambda i: (0, i), memory_space=pltpu.VMEM)
+        grid = (pl.cdiv(d, td), pl.cdiv(B, tb))
+        ospec = pl.BlockSpec((tb, td), lambda i, b: (b, i),
+                             memory_space=pltpu.VMEM)
         out = pl.pallas_call(
             functools.partial(_fp8_body, b0=b0, b1=b1),
             grid=grid, out_shape=oshape,
             in_specs=[
                 xspec,
-                pl.BlockSpec((td, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((td // b0, 1, n // b1), lambda i: (i, 0, 0),
+                pl.BlockSpec((td, n), lambda i, b: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((td // b0, 1, n // b1), lambda i, b: (i, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=ospec, interpret=interpret,
