@@ -77,6 +77,63 @@ def gather_experts(qt, idx: jnp.ndarray):
     return jax.tree.map(lambda a: jnp.take(a, idx, axis=0), qt)
 
 
+def _quantized_grouped_ffn(w1, w2, w3, xb, weights, idx, act, ctx, interpret):
+    """Quantized-expert prefill FFN: counting dispatch into 128-row tiles
+    (each tile belongs to one expert) + qmm_grouped, which dequantizes the
+    expert's packed bytes in VMEM — no HBM dequant materialization.
+
+    Static tile budget: G = E_local + ceil(N/128) covers the worst ragged
+    fragmentation (each expert wastes < one tile); surplus tiles point at
+    the last expert and compute discarded rows.
+    """
+    from deepseek_tpu.ops.activations import glu_act
+    from deepseek_tpu.ops.pallas.qmm import _perm_x, qmm_grouped
+    from deepseek_tpu.quant.qtensor import Q2KTensor, Q3KTensor
+
+    TB = 128
+    B, T, k = idx.shape
+    dim = xb.shape[-1]
+    dtype = xb.dtype
+    N = B * T * k
+    flat_idx = idx.reshape(N)
+    flat_w = weights.reshape(N)
+    if ctx.ep > 1:
+        flat_idx, flat_w = ctx.expert_slots(flat_idx, flat_w,
+                                            ctx.ep * w1.shape[0])
+    e_local = w1.shape[0]
+
+    oh = jax.nn.one_hot(flat_idx, e_local, dtype=jnp.int32)
+    within = jnp.take_along_axis(
+        jnp.cumsum(oh, axis=0) - 1, flat_idx[:, None], axis=1)[:, 0]
+    counts = oh.sum(axis=0)
+    tiles_e = -(-counts // TB)
+    tile_start = jnp.cumsum(tiles_e) - tiles_e               # (E_local,)
+    G = e_local + -(-N // TB)                                # static
+    t_idx = jnp.arange(G, dtype=jnp.int32)
+    tile_expert = jnp.clip(
+        (t_idx[:, None] >= tile_start[None, :]).sum(axis=1) - 1,
+        0, e_local - 1).astype(jnp.int32)
+    dest = tile_start[flat_idx] * TB + within                # (N,)
+
+    src = jnp.zeros((G * TB,), jnp.int32).at[dest].set(
+        jnp.arange(N, dtype=jnp.int32))
+    token_of = jnp.where(src < N, src // k, 0)
+    x_rows = xb.reshape(B * T, dim)[token_of].astype(jnp.float32)
+
+    kq = isinstance(w1, (Q2KTensor, Q3KTensor))
+    xin = _perm_x(x_rows, dim) if kq else x_rows
+    gq = functools.partial(qmm_grouped, interpret=interpret)
+    h = glu_act(gq(w1, tile_expert, xin.reshape(G, TB, dim)),
+                gq(w3, tile_expert, xin.reshape(G, TB, dim)), act)
+    m = h.shape[-1]
+    hin = _perm_x(h.reshape(G * TB, m), m) if kq else h.reshape(G * TB, m)
+    y = gq(w2, tile_expert, hin.reshape(G, TB, m))           # (G, TB, dim)
+
+    y = y.reshape(G * TB, dim)[dest].reshape(B, T, k, dim) \
+        * flat_w.reshape(B, T, k)[..., None]
+    return ctx.psum_e(y.sum(axis=2)).astype(dtype)
+
+
 def grouped_expert_ffn(w1, w2, w3, xb: jnp.ndarray, weights: jnp.ndarray,
                        idx: jnp.ndarray, act, ctx, interpret: bool = False
                        ) -> jnp.ndarray:
@@ -94,6 +151,10 @@ def grouped_expert_ffn(w1, w2, w3, xb: jnp.ndarray, weights: jnp.ndarray,
     expert 0 with zero weight; psum_e restores the full mixture.
     """
     from jax.experimental.pallas.ops.tpu import megablox
+
+    if not isinstance(w1, PlainTensor):
+        return _quantized_grouped_ffn(w1, w2, w3, xb, weights, idx, act,
+                                      ctx, interpret)
 
     B, T, k = idx.shape
     dim = xb.shape[-1]
@@ -153,12 +214,12 @@ def grouped_expert_ffn(w1, w2, w3, xb: jnp.ndarray, weights: jnp.ndarray,
 
 
 def grouped_ffn_supported(cfg, w1=None) -> bool:
-    """gmm tiles m/k/n by 128: feature dims must divide. Quantized experts
-    are excluded: gmm is opaque to XLA, so their dequant would materialize
-    ~400MB tensors per weight per layer — measured SLOWER than the fused
-    dense path (1357 vs 1802 tok/s for Q2_K prefill at T=256)."""
-    if w1 is not None and not isinstance(w1, PlainTensor):
-        return False
+    """Tile/kernel divisibility for the grouped prefill paths: gmm tiles
+    m/k/n by 128 (plain weights); qmm_grouped needs K-quant superblocks
+    (256) to divide both contraction dims (quantized weights)."""
+    from deepseek_tpu.quant.qtensor import Q2KTensor, Q3KTensor
+    if w1 is not None and isinstance(w1, (Q2KTensor, Q3KTensor)):
+        return (cfg.dim % 256 == 0 and cfg.moe_intermediate_size % 256 == 0)
     return (cfg.dim % 128 == 0 and cfg.moe_intermediate_size % 128 == 0)
 
 

@@ -253,6 +253,90 @@ def qmm(qt, x, interpret: bool = False):
 
 
 # ---------------------------------------------------------------------------
+# grouped-tile entry point (quantized MoE prefill)
+# ---------------------------------------------------------------------------
+
+def _tile_squeeze(body):
+    """Adapt a 2-D kernel body to grouped-tile blocks: x (1, TB, n) -> (TB,
+    n); weight fields (1, rows, cols) -> (rows, cols); out (1, TB, td)."""
+    def f(tile_expert_ref, x_ref, *refs):
+        o_ref = refs[-1]
+        body(x_ref.at[0], *[r.at[0] for r in refs[:-1]], o_ref.at[0])
+    return f
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def qmm_grouped(qt, tile_expert, x_tiles, interpret: bool = False):
+    """Ragged grouped matmul over quantized experts (MoE prefill).
+
+    W (E, out, n) packed; tile_expert (G,) int32 maps each 128-row token
+    tile to the expert all of its rows belong to (built by the counting
+    dispatch in ops.matmul.grouped_expert_ffn); x_tiles (G, TB, n) f32
+    (stride-16 PERMUTED for K-quants) -> (G, TB, out) f32.
+
+    Each expert's packed bytes are DMA'd once per row tile that touches it
+    (~1 tile per expert at typical chunk sizes), and the dequantized weight
+    lives only in VMEM — unlike megablox gmm, whose dense rhs would force a
+    full dequant materialization in HBM per layer per chunk.
+    """
+    G, TB, n = x_tiles.shape
+    x_tiles = x_tiles.astype(jnp.float32)
+    E, d = qt.shape[0], qt.shape[-2]
+    td = min(_tile_d(d, n), d)
+
+    if isinstance(qt, Q2KTensor):
+        cols = (n // 4, n // 16, n // 256, n // 256)
+        fields = (qt.qs, qt.sm, qt.d, qt.dmin)
+        body = _q2k_body
+    elif isinstance(qt, Q3KTensor):
+        cols = (n // 4, n // 8, n // 16, n // 256)
+        fields = (qt.qs, qt.hm, qt.sc, qt.d)
+        body = _q3k_body
+    elif isinstance(qt, PlainTensor):
+        cols = (n,)
+        fields = (qt.data,)
+        body = _plain_body
+    elif isinstance(qt, Fp8Tensor):
+        b0, b1 = qt.block_size
+        assert (b0, b1) != (0, 0), "per-tensor fp8 unsupported in kernel"
+        assert d % b0 == 0 and n % b1 == 0
+        td = min(max(td - td % b0, b0), d)
+        fields = (qt.data, qt.scale[:, :, None, :])
+        body = functools.partial(_fp8_body, b0=b0, b1=b1)
+    else:
+        raise TypeError(type(qt))
+
+    grid = (G, pl.cdiv(d, td))
+    in_specs = [pl.BlockSpec((1, TB, n), lambda g, j, te: (g, 0, 0),
+                             memory_space=pltpu.VMEM)]
+    if isinstance(qt, Fp8Tensor):
+        in_specs += [
+            pl.BlockSpec((1, td, n), lambda g, j, te: (te[g], j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, td // b0, 1, n // b1),
+                         lambda g, j, te: (te[g], j, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+    else:
+        for f, c in zip(fields, cols):
+            blk_rows = td if f.shape[-2] == d else td * f.shape[-2] // d
+            in_specs.append(pl.BlockSpec(
+                (1, blk_rows, c), lambda g, j, te: (te[g], j, 0),
+                memory_space=pltpu.VMEM))
+    out_spec = pl.BlockSpec((1, TB, td), lambda g, j, te: (g, 0, j),
+                            memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        _tile_squeeze(body),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=grid,
+            in_specs=in_specs, out_specs=out_spec),
+        out_shape=jax.ShapeDtypeStruct((G, TB, d), jnp.float32),
+        interpret=interpret,
+    )(tile_expert.astype(jnp.int32), x_tiles, *fields)
+
+
+# ---------------------------------------------------------------------------
 # expert-gather entry point (MoE decode)
 # ---------------------------------------------------------------------------
 

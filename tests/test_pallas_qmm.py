@@ -117,6 +117,40 @@ def test_plain_matvec_pallas_path():
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
 
 
+@pytest.mark.parametrize("mk", [q2k_tensor, q3k_tensor])
+def test_quantized_grouped_ffn(mk):
+    """qmm_grouped tile dispatch == per-pair dequant reference."""
+    from deepseek_tpu.config import ActivationType
+    from deepseek_tpu.ops.matmul import _quantized_grouped_ffn
+    from deepseek_tpu.parallel.spmd import NULL_CTX
+
+    E, m, dim, B, T, k = 4, 256, 256, 1, 5, 2
+    w1 = mk(rnd((E, m, dim), seed=30, scale=0.1))
+    w2 = mk(rnd((E, dim, m), seed=31, scale=0.1))
+    w3 = mk(rnd((E, m, dim), seed=32, scale=0.1))
+    xb = jnp.asarray(rnd((B, T, dim), seed=33, scale=0.3))
+    idx = jnp.asarray(np.random.default_rng(34).integers(0, E, (B, T, k)),
+                      jnp.int32)
+    wts = jnp.asarray(np.random.default_rng(35).uniform(size=(B, T, k)),
+                      jnp.float32)
+
+    got = np.asarray(_quantized_grouped_ffn(
+        w1, w2, w3, xb, wts, idx, ActivationType.SILU, NULL_CTX, True))
+
+    d1, d2, d3 = (np.asarray(t.dequant(jnp.float32)) for t in (w1, w2, w3))
+    x = np.asarray(xb)
+    want = np.zeros((B, T, dim), np.float32)
+    for b in range(B):
+        for t in range(T):
+            for s in range(k):
+                e = int(idx[b, t, s])
+                g1 = x[b, t] @ d1[e].T
+                g3 = x[b, t] @ d3[e].T
+                h = (g1 / (1 + np.exp(-g1))) * g3
+                want[b, t] += float(wts[b, t, s]) * (h @ d2[e].T)
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
 def test_full_model_pallas_impl_matches_xla(tmp_path):
     """End-to-end decode with the Pallas kernels (interpret mode) must match
     the XLA dequant path on a quantized MLA+MoE checkpoint."""
