@@ -121,7 +121,9 @@ def _q3k_body(x_ref, qs_ref, hm_ref, sc_ref, d_ref, o_ref):
 
 def _fp8_body(x_ref, w_ref, s_ref, o_ref, *, b0: int, b1: int):
     w = w_ref[...].astype(jnp.float32)                      # (td, n)
-    scale = s_ref[:, 0, :]                                  # (td/b0, 1, n/b1) ref
+    # load the whole block, then squeeze on the VALUE: a ref slice whose
+    # lane extent (n/b1) is below the 128 tiling fails Mosaic lowering
+    scale = s_ref[...][:, 0, :]                             # (td/b0, n/b1)
     td, n = w.shape
     # block-scale expansion via one-hot matmuls (no lane element-repeats)
     ri = jax.lax.broadcasted_iota(jnp.int32, (td, td // b0), 0)

@@ -23,6 +23,29 @@ from jax.sharding import Mesh
 AXES = ("data", "expert", "tensor")
 
 
+def init_multihost(coordinator_address: Optional[str] = None,
+                   num_processes: Optional[int] = None,
+                   process_id: Optional[int] = None) -> int:
+    """Initialize multi-host execution (jax.distributed).
+
+    On TPU pods the arguments are discovered from the environment; pass them
+    explicitly elsewhere. After this, ``jax.devices()`` spans all hosts and
+    ``make_mesh``/``default_mesh_shape`` operate on the global device set —
+    sharding rules are axis-based so nothing else changes. Lay meshes out so
+    the 'tensor' and 'expert' axes map to intra-slice ICI and only 'data'
+    crosses DCN (the mesh device order from jax.devices() already groups by
+    process). Returns the process index.
+
+    Single-process callers can skip this entirely; it is idempotent-safe to
+    guard with ``jax.process_count() > 1`` checks in launch scripts.
+    """
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id)
+    return jax.process_index()
+
+
 def make_mesh(
     data: int = 1,
     expert: int = 1,

@@ -73,6 +73,14 @@ def main():
     for s in range(3):
         ok &= check(f"plain expert slot {s}", got[0, s], xk[0, s] @ we[idx[0, s]].T)
 
+    q8e, s8e = zip(*(fp8.blockwise_quantize(we[e], (128, 128)) for e in range(E)))
+    qt8e = Fp8Tensor(data=jnp.asarray(np.stack(q8e)),
+                     scale=jnp.asarray(np.stack(s8e)), block_size=(128, 128))
+    got = np.asarray(qmm_experts(qt8e, jnp.asarray(idx), jnp.asarray(xk)))
+    deq8 = np.asarray(qt8e.dequant(jnp.float32))
+    for s in range(3):
+        ok &= check(f"fp8 expert slot {s}", got[0, s], xk[0, s] @ deq8[idx[0, s]].T)
+
     raws = np.stack([kquant.quantize_q2_k(we[e]) for e in range(E)])
     eqs, esm, ed, edm = repack.repack_q2k(raws, m, n)
     eqt = Q2KTensor(qs=jnp.asarray(eqs), sm=jnp.asarray(esm),
