@@ -50,10 +50,13 @@ def _rotation_only(yarn):
     return _dc.replace(yarn, mscale=yarn.mscale_all_dim)
 
 
-def _cache_write(full, rows, layer: int, cache_start, prefill: bool):
+def _cache_write(full, rows, layer: int, cache_start, prefill: bool,
+                 mask=None):
     """Scatter new rows straight into the full (L,B,S,...) cache array —
     in-place dynamic updates on the donated carry, no slice round-trips.
-    rows: (B,T,...) matching full[:, :, start:start+T]."""
+    rows: (B,T,...) matching full[:, :, start:start+T]. ``mask`` (B,) bool
+    guards per-sequence decode writes (seq-parallel shards only write slots
+    they own; cache_start is then the pre-clamped LOCAL slot)."""
     if full is None:
         return None
     if prefill:
@@ -61,8 +64,12 @@ def _cache_write(full, rows, layer: int, cache_start, prefill: bool):
         return jax.lax.dynamic_update_slice(
             full, rows[None].astype(full.dtype), start)
     B = rows.shape[0]
-    return full.at[layer, jnp.arange(B), cache_start].set(
-        rows[:, 0].astype(full.dtype))
+    bidx = jnp.arange(B)
+    new = rows[:, 0].astype(full.dtype)
+    if mask is not None:
+        old = full[layer, bidx, cache_start]
+        new = jnp.where(mask.reshape((B,) + (1,) * (new.ndim - 1)), new, old)
+    return full.at[layer, bidx, cache_start].set(new)
 
 
 def _attention(lp: LayerParams, cfg: ModelConfig, xb: jnp.ndarray,
@@ -111,17 +118,33 @@ def _attention(lp: LayerParams, cfg: ModelConfig, xb: jnp.ndarray,
                                 is_v3, yarn)
             q_c = mm(lp.wc, q_a).reshape(B, T, H, R).astype(jnp.float32)
 
-        # cache writes scatter straight into the full (L,B,S,·) arrays
+        # cache writes scatter straight into the full (L,B,S,·) arrays;
+        # under seq parallelism the latent cache is sharded along the
+        # window, so decode writes translate to LOCAL slots and only the
+        # owning shard commits (guarded scatter)
+        if not prefill and ctx.sp > 1:
+            sidx, s_local = ctx.seq_shard(cfg.kv_window)
+            lpos = cache_start - sidx * s_local              # (B,)
+            w_mask = (lpos >= 0) & (lpos < s_local)
+            cache_start = jnp.clip(lpos, 0, s_local - 1)
+            on_sink_shard = sidx == 0
+        else:
+            w_mask = None
+            on_sink_shard = True
         q8 = cache.ckv_s is not None  # int8 cache: rows + per-row f32 scale
         if q8:
             ckv_w, ckv_sc = quantize_rows(ckv.astype(jnp.float32))
             kr_w, kr_sc = quantize_rows(k_rope)
         else:
             ckv_w, kr_w, ckv_sc, kr_sc = ckv, k_rope, None, None
-        ckv_full = _cache_write(cache.ckv, ckv_w, layer, cache_start, prefill)
-        krope_full = _cache_write(cache.krope, kr_w, layer, cache_start, prefill)
-        ckv_s_full = _cache_write(cache.ckv_s, ckv_sc, layer, cache_start, prefill)
-        krope_s_full = _cache_write(cache.krope_s, kr_sc, layer, cache_start, prefill)
+        ckv_full = _cache_write(cache.ckv, ckv_w, layer, cache_start,
+                                prefill, w_mask)
+        krope_full = _cache_write(cache.krope, kr_w, layer, cache_start,
+                                  prefill, w_mask)
+        ckv_s_full = _cache_write(cache.ckv_s, ckv_sc, layer, cache_start,
+                                  prefill, w_mask)
+        krope_s_full = _cache_write(cache.krope_s, kr_sc, layer, cache_start,
+                                    prefill, w_mask)
 
         def sc(full):
             return full[layer] if full is not None else None
@@ -159,14 +182,15 @@ def _attention(lp: LayerParams, cfg: ModelConfig, xb: jnp.ndarray,
                 jnp.arange(S, dtype=jnp.int32), cfg.head_dim,
                 softmax_scale=sm_scale)                             # (B,T,H,R)
         else:
-            # sink re-rotation by +1 (StreamingLLM; infer.cpp:1103-1110)
+            # sink re-rotation by +1 (StreamingLLM; infer.cpp:1103-1110);
+            # the sink slots live on seq shard 0
             cdt = krope_full.dtype
             sink = dequant_rows(
                 krope_full[layer, :, :KV_SINKS],
                 sc(krope_s_full)[:, :KV_SINKS] if q8 else None
             ).astype(jnp.float32)
             rot = apply_rope(sink, 1, theta, is_v3, _rotation_only(yarn))
-            keep = (kv_sink > 0)[:, None, None]
+            keep = ((kv_sink > 0) & on_sink_shard)[:, None, None]
             if q8:
                 rot_q, rot_sc = quantize_rows(rot)
                 krope_full = krope_full.at[layer, :, :KV_SINKS].set(
@@ -179,13 +203,29 @@ def _attention(lp: LayerParams, cfg: ModelConfig, xb: jnp.ndarray,
                 krope_full = krope_full.at[layer, :, :KV_SINKS].set(
                     jnp.where(keep, rot.astype(cdt),
                               krope_full[layer, :, :KV_SINKS]))
+            if ctx.sp > 1:
+                kv_len_eff = jnp.clip(kv_len - sidx * s_local, 0, s_local)
+            else:
+                kv_len_eff = kv_len
             if impl is not None:
                 from deepseek_tpu.ops.pallas.attention import mla_decode_attn
-                lat = mla_decode_attn(
+                res = mla_decode_attn(
                     q_c[:, 0], q_rope[:, 0], ckv_full[layer],
-                    krope_full[layer], kv_len, float(sm_scale),
+                    krope_full[layer], kv_len_eff, float(sm_scale),
                     ckv_scale=sc(ckv_s_full), krope_scale=sc(krope_s_full),
-                    interpret=impl["interpret"])[:, None]
+                    interpret=impl["interpret"], partials=ctx.sp > 1)
+                if ctx.sp > 1:
+                    lat = ctx.seq_merge(*res)[:, None]
+                else:
+                    lat = res[:, None]
+            elif ctx.sp > 1:
+                from deepseek_tpu.ops.attention import decode_attn_mla_partial
+                ckv_l = dequant_rows(ckv_full[layer], sc(ckv_s_full))
+                krope_l = dequant_rows(krope_full[layer], sc(krope_s_full))
+                acc, m, l = decode_attn_mla_partial(
+                    q_c[:, 0], q_rope[:, 0], ckv_l, krope_l, kv_len_eff,
+                    cfg.head_dim, softmax_scale=sm_scale)
+                lat = ctx.seq_merge(acc, m, l)[:, None]
             else:
                 ckv_l = dequant_rows(ckv_full[layer], sc(ckv_s_full))
                 krope_l = dequant_rows(krope_full[layer], sc(krope_s_full))
@@ -452,6 +492,11 @@ def make_forward(cfg: ModelConfig, *, prefill: bool = False,
     fn = functools.partial(
         _forward_impl, cfg=cfg, prefill=prefill, logits_mode=logits_mode)
     if mesh is not None:
+        if prefill and mesh.shape.get("seq", 1) > 1:
+            raise ValueError(
+                "chunked prefill is not supported with a seq-sharded KV "
+                "cache; hydrate with decode steps (seq parallelism targets "
+                "long-window decode)")
         ctx, pspec, cspec, P = _spmd_parts(cfg, mesh, params, cache)
         body = functools.partial(fn, ctx=ctx)
         fn = jax.shard_map(

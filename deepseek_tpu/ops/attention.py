@@ -73,6 +73,39 @@ def decode_attn_mla(
     return jnp.einsum("bhs,bsr->bhr", w, ckv_cache.astype(jnp.float32))
 
 
+def decode_attn_mla_partial(
+    q_c: jnp.ndarray,       # (B, H, kv_lora_rank)
+    q_rope: jnp.ndarray,    # (B, H, qk_rope_head_dim)
+    ckv_cache: jnp.ndarray,   # (B, S_local, kv_lora_rank) — one seq shard
+    krope_cache: jnp.ndarray,  # (B, S_local, qk_rope_head_dim)
+    kv_len_local,           # (B,) valid prefix length WITHIN this shard
+    head_dim: int,
+    softmax_scale=None,
+):
+    """Sequence-parallel partial of decode_attn_mla: returns the
+    UNNORMALIZED accumulator plus the flash statistics so shards can be
+    merged exactly:  out = psum(acc*e^(m-m*)) / psum(l*e^(m-m*)).
+
+    Returns (acc (B,H,R), m (B,H), l (B,H)); an empty shard yields
+    acc=0, l=0, m=-inf-ish, which contributes nothing to the merge."""
+    B, S = ckv_cache.shape[0], ckv_cache.shape[1]
+    scale = jnp.float32(softmax_scale) if softmax_scale is not None \
+        else 1.0 / jnp.sqrt(jnp.float32(head_dim))
+    scores = (
+        jnp.einsum("bhr,bsr->bhs", q_c.astype(jnp.float32),
+                   ckv_cache.astype(jnp.float32))
+        + jnp.einsum("bhp,bsp->bhs", q_rope.astype(jnp.float32),
+                     krope_cache.astype(jnp.float32))
+    ) * scale
+    mask = _len_mask(kv_len_local, B, S)
+    scores = jnp.where(mask, scores, _NEG_INF)
+    m = scores.max(axis=-1)                                   # (B, H)
+    e = jnp.where(mask, jnp.exp(scores - m[..., None]), 0.0)
+    l = e.sum(axis=-1)                                        # (B, H)
+    acc = jnp.einsum("bhs,bsr->bhr", e, ckv_cache.astype(jnp.float32))
+    return acc, m, l
+
+
 def prefill_attn_mha(
     q: jnp.ndarray,        # (B, T, H, head_dim) — query chunk
     k_cache: jnp.ndarray,  # (B, S, H, head_dim)

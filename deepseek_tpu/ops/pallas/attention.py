@@ -39,11 +39,16 @@ def _pick_tile(S: int, row_bytes: int, budget: int = 4 * 1024 * 1024) -> int:
 
 
 def _mla_body(kvlen_ref, qc_ref, qr_ref, ckv_ref, kr_ref, *rest,
-              ts: int, s_len: int, scale: float, quantized: bool):
+              ts: int, s_len: int, scale: float, quantized: bool,
+              partials: bool = False):
     if quantized:
-        ckvs_ref, krs_ref, o_ref, m_ref, l_ref, acc_ref = rest
+        ckvs_ref, krs_ref, *outs = rest
     else:
-        o_ref, m_ref, l_ref, acc_ref = rest
+        outs = list(rest)
+    if partials:
+        o_ref, mo_ref, lo_ref, m_ref, l_ref, acc_ref = outs
+    else:
+        o_ref, m_ref, l_ref, acc_ref = outs
     b, si = pl.program_id(0), pl.program_id(1)
     last = pl.num_programs(1) - 1
 
@@ -96,13 +101,21 @@ def _mla_body(kvlen_ref, qc_ref, qr_ref, ckv_ref, kr_ref, *rest,
 
     @pl.when(si == last)
     def _():
-        o_ref[0] = acc_ref[...] / l_ref[...]
+        if partials:
+            # unnormalized accumulator + flash stats for seq-parallel merge;
+            # an all-masked shard produces acc=0, l=0, m=-inf (harmless)
+            o_ref[0] = acc_ref[...]
+            mo_ref[0] = m_ref[...]
+            lo_ref[0] = l_ref[...]
+        else:
+            o_ref[0] = acc_ref[...] / l_ref[...]
 
 
-@functools.partial(jax.jit, static_argnames=("softmax_scale", "interpret"))
+@functools.partial(jax.jit, static_argnames=("softmax_scale", "interpret",
+                                             "partials"))
 def mla_decode_attn(q_c, q_rope, ckv_cache, krope_cache, kv_len,
                     softmax_scale: float, ckv_scale=None, krope_scale=None,
-                    interpret: bool = False):
+                    interpret: bool = False, partials: bool = False):
     """Absorbed-MLA decode attention (attn_mla, infer.cpp:766-804).
 
     q_c (B,H,R) f32, q_rope (B,H,P) f32, ckv_cache (B,S,R), krope_cache
@@ -137,24 +150,37 @@ def mla_decode_attn(q_c, q_rope, ckv_cache, krope_cache, kv_len,
         args += [ckv_scale.astype(jnp.float32)[:, None, :],
                  krope_scale.astype(jnp.float32)[:, None, :]]
 
+    out_specs = pl.BlockSpec((1, H, R), lambda b, s, kl: (b, 0, 0),
+                             memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((B, H, R), jnp.float32)
+    if partials:
+        stat_spec = pl.BlockSpec((1, H, 1), lambda b, s, kl: (b, 0, 0),
+                                 memory_space=pltpu.VMEM)
+        stat_shape = jax.ShapeDtypeStruct((B, H, 1), jnp.float32)
+        out_specs = (out_specs, stat_spec, stat_spec)
+        out_shape = (out_shape, stat_shape, stat_shape)
+
     out = pl.pallas_call(
         functools.partial(_mla_body, ts=ts, s_len=S,
-                          scale=float(softmax_scale), quantized=quantized),
+                          scale=float(softmax_scale), quantized=quantized,
+                          partials=partials),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
             in_specs=in_specs,
-            out_specs=pl.BlockSpec((1, H, R), lambda b, s, kl: (b, 0, 0),
-                                   memory_space=pltpu.VMEM),
+            out_specs=out_specs,
             scratch_shapes=[
                 pltpu.VMEM((H, 1), jnp.float32),
                 pltpu.VMEM((H, 1), jnp.float32),
                 pltpu.VMEM((H, R), jnp.float32),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((B, H, R), jnp.float32),
+        out_shape=out_shape,
         interpret=interpret,
     )(*args)
+    if partials:
+        acc, m, l = out
+        return acc, m[..., 0], l[..., 0]
     return out
 
 

@@ -20,7 +20,7 @@ import jax
 import numpy as np
 from jax.sharding import Mesh
 
-AXES = ("data", "expert", "tensor")
+AXES = ("data", "expert", "tensor", "seq")
 
 
 def init_multihost(coordinator_address: Optional[str] = None,
@@ -50,15 +50,20 @@ def make_mesh(
     data: int = 1,
     expert: int = 1,
     tensor: int = 1,
+    seq: int = 1,
     devices: Optional[Sequence[jax.Device]] = None,
 ) -> Mesh:
+    """DP x EP x TP x SP device mesh. The 'seq' axis shards the MLA latent
+    KV cache along the window (sequence-parallel decode attention with a
+    flash-style combine); it defaults to 1 and is fully orthogonal to the
+    other axes."""
     devices = list(devices if devices is not None else jax.devices())
-    n = data * expert * tensor
+    n = data * expert * tensor * seq
     if n > len(devices):
         raise ValueError(
-            f"mesh ({data},{expert},{tensor}) needs {n} devices, "
+            f"mesh ({data},{expert},{tensor},{seq}) needs {n} devices, "
             f"have {len(devices)}")
-    grid = np.asarray(devices[:n]).reshape(data, expert, tensor)
+    grid = np.asarray(devices[:n]).reshape(data, expert, tensor, seq)
     return Mesh(grid, AXES)
 
 

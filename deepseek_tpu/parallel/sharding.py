@@ -94,12 +94,14 @@ def cache_shardings(cache: KVCache, cfg: ModelConfig, mesh: Mesh) -> KVCache:
     return KVCache(
         k=fit(cache.k, (None, "data", None, "tensor", None)),
         v=fit(cache.v, (None, "data", None, "tensor", None)),
-        ckv=fit(cache.ckv, (None, "data", None, None)),
-        krope=fit(cache.krope, (None, "data", None, None)),
+        # the MLA latent cache shards along the window on 'seq' (no-op at
+        # seq=1): sequence-parallel decode attention with a flash merge
+        ckv=fit(cache.ckv, (None, "data", "seq", None)),
+        krope=fit(cache.krope, (None, "data", "seq", None)),
         k_s=fit(cache.k_s, (None, "data", None, "tensor")),
         v_s=fit(cache.v_s, (None, "data", None, "tensor")),
-        ckv_s=fit(cache.ckv_s, (None, "data", None)),
-        krope_s=fit(cache.krope_s, (None, "data", None)),
+        ckv_s=fit(cache.ckv_s, (None, "data", "seq")),
+        krope_s=fit(cache.krope_s, (None, "data", "seq")),
     )
 
 

@@ -35,9 +35,11 @@ class SpmdCtx:
     tp: int = 1                  # size of the tensor axis
     ep: int = 1                  # size of the expert axis
     dp: int = 1                  # size of the data axis
+    sp: int = 1                  # size of the seq axis (MLA KV cache shards)
     lm_head_tp: bool = False     # lm_head vocab dim actually sharded?
     tensor_axis: str = "tensor"
     expert_axis: str = "expert"
+    seq_axis: str = "seq"
 
     def psum_t(self, x):
         """All-reduce a row-parallel matmul's partial sums over TP shards."""
@@ -72,6 +74,21 @@ class SpmdCtx:
         return (jnp.where(owned, idx % e_local, 0),
                 jnp.where(owned, weights, 0.0))
 
+    def seq_shard(self, window: int):
+        """(shard index, local window length) for the seq-sharded cache."""
+        return lax.axis_index(self.seq_axis), window // self.sp
+
+    def seq_merge(self, acc, m, l):
+        """Exact flash-style merge of per-shard partial attention:
+        acc (B,H,R) unnormalized, m/l (B,H) -> normalized (B,H,R)."""
+        if self.sp <= 1:
+            return acc / jnp.maximum(l, 1e-30)[..., None]
+        mg = lax.pmax(m, self.seq_axis)
+        w = jnp.exp(m - mg)
+        num = lax.psum(acc * w[..., None], self.seq_axis)
+        den = lax.psum(l * w, self.seq_axis)
+        return num / jnp.maximum(den, 1e-30)[..., None]
+
     def local_expert_slice(self, wmat, n_experts: int):
         """Slice a (..., E) routing-weight matrix to this shard's experts."""
         if self.ep <= 1:
@@ -97,6 +114,11 @@ def make_ctx(cfg: ModelConfig, mesh: Mesh) -> SpmdCtx:
     tp = mesh.shape.get("tensor", 1)
     ep = mesh.shape.get("expert", 1)
     dp = mesh.shape.get("data", 1)
+    sp = mesh.shape.get("seq", 1)
+    if sp > 1:
+        _check(cfg.use_mla, "use_mla for seq-parallel KV (MHA SP unsupported)")
+        _check(cfg.kv_window % sp == 0,
+               f"kv_window {cfg.kv_window} % seq {sp} == 0")
     if tp > 1:
         _check(cfg.n_heads % tp == 0, f"n_heads {cfg.n_heads} % tensor {tp} == 0")
         _check(cfg.hidden_dim % tp == 0,
@@ -107,5 +129,5 @@ def make_ctx(cfg: ModelConfig, mesh: Mesh) -> SpmdCtx:
     if ep > 1:
         _check(cfg.n_routed_experts % ep == 0,
                f"n_routed_experts {cfg.n_routed_experts} % expert {ep} == 0")
-    return SpmdCtx(tp=tp, ep=ep, dp=dp,
+    return SpmdCtx(tp=tp, ep=ep, dp=dp, sp=sp,
                    lm_head_tp=(tp > 1 and cfg.vocab_size % tp == 0))

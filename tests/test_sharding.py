@@ -167,6 +167,36 @@ def test_shard_map_grouped_gmm_prefill():
                                rtol=2e-3, atol=2e-3)
 
 
+@pytest.mark.parametrize("kv_dtype", ["float32", "int8"])
+def test_seq_parallel_decode_matches(kv_dtype):
+    """Sequence-sharded MLA KV cache (seq axis): guarded slot writes,
+    shard-0 sink re-rotation, and the flash merge must reproduce the
+    unsharded decode logits through ring wraparound."""
+    import dataclasses
+
+    cfg = tiny_config(use_mla=True, rs_original_max_position_embeddings=8)
+    cfg = dataclasses.replace(cfg, kv_cache_dtype=kv_dtype)
+    wd, params = build(cfg, seed=33)
+    tokens = np.random.default_rng(2).integers(3, 60, size=14).tolist()
+
+    step1 = make_forward(cfg, prefill=False, logits_mode="last")
+    c1 = init_cache(cfg, batch=1)
+    lg1 = None
+    for pos, t in enumerate(tokens):
+        lg1, c1 = step1(params, c1, jnp.asarray([[t]], jnp.int32), pos)
+
+    mesh = make_mesh(data=1, expert=2, tensor=2, seq=2)
+    sp = shard_params(params, cfg, mesh)
+    sc = shard_cache(init_cache(cfg, batch=1), cfg, mesh)
+    step2 = make_forward(cfg, prefill=False, logits_mode="last",
+                         mesh=mesh, params=params, cache=sc)
+    lg2 = None
+    for pos, t in enumerate(tokens):
+        lg2, sc = step2(sp, sc, jnp.asarray([[t]], jnp.int32), pos)
+    np.testing.assert_allclose(np.asarray(lg2), np.asarray(lg1),
+                               rtol=2e-3, atol=2e-3)
+
+
 def test_default_mesh_shape():
     cfg = tiny_config()
     d, e, t = default_mesh_shape(8, cfg)
