@@ -72,6 +72,34 @@ def _cache_write(full, rows, layer: int, cache_start, prefill: bool,
     return full.at[layer, bidx, cache_start].set(new)
 
 
+def _sink_update(buf, rows_f32, layer: int, global_start, prefill: bool):
+    """Mirror writes landing in sink slots into the float master buffer
+    (int8 caches only — see KVCache.sink_*). ``global_start`` is the GLOBAL
+    slot index (scalar for prefill, (B,) for decode), so the buffer stays
+    replicated across seq shards."""
+    if buf is None:
+        return None
+    K = buf.shape[2]
+    B = rows_f32.shape[0]
+    rows_f32 = rows_f32.astype(jnp.float32)
+    if prefill:
+        T = rows_f32.shape[1]
+        s = jnp.arange(K)
+        ridx = jnp.clip(s - global_start, 0, T - 1)
+        cand = jnp.take(rows_f32, ridx, axis=1)              # (B, K, ...)
+        valid = (s >= global_start) & (s < global_start + T)
+        msk = valid.reshape((1, K) + (1,) * (cand.ndim - 2))
+        return buf.at[layer].set(jnp.where(msk, cand, buf[layer]))
+    slot = jnp.broadcast_to(jnp.asarray(global_start), (B,))
+    valid = slot < K
+    lclamp = jnp.clip(slot, 0, K - 1)
+    bidx = jnp.arange(B)
+    new = rows_f32[:, 0]
+    msk = valid.reshape((B,) + (1,) * (new.ndim - 1))
+    return buf.at[layer, bidx, lclamp].set(
+        jnp.where(msk, new, buf[layer, bidx, lclamp]))
+
+
 def _attention(lp: LayerParams, cfg: ModelConfig, xb: jnp.ndarray,
                cache: KVCache, layer: int, pos_vec: jnp.ndarray,
                cache_start, kv_len, kv_sink, prefill: bool, impl, ctx
@@ -122,6 +150,7 @@ def _attention(lp: LayerParams, cfg: ModelConfig, xb: jnp.ndarray,
         # under seq parallelism the latent cache is sharded along the
         # window, so decode writes translate to LOCAL slots and only the
         # owning shard commits (guarded scatter)
+        global_start = cache_start
         if not prefill and ctx.sp > 1:
             sidx, s_local = ctx.seq_shard(cfg.kv_window)
             lpos = cache_start - sidx * s_local              # (B,)
@@ -145,6 +174,8 @@ def _attention(lp: LayerParams, cfg: ModelConfig, xb: jnp.ndarray,
                                   prefill, w_mask)
         krope_s_full = _cache_write(cache.krope_s, kr_sc, layer, cache_start,
                                     prefill, w_mask)
+        sink_krope_full = _sink_update(cache.sink_krope, k_rope, layer,
+                                       global_start, prefill)
 
         def sc(full):
             return full[layer] if full is not None else None
@@ -183,15 +214,20 @@ def _attention(lp: LayerParams, cfg: ModelConfig, xb: jnp.ndarray,
                 softmax_scale=sm_scale)                             # (B,T,H,R)
         else:
             # sink re-rotation by +1 (StreamingLLM; infer.cpp:1103-1110);
-            # the sink slots live on seq shard 0
+            # the sink slots live on seq shard 0. For int8 caches the
+            # rotation runs on the float master copy and the slots are
+            # quantized FRESH each step — no compounding round-trip error.
             cdt = krope_full.dtype
-            sink = dequant_rows(
-                krope_full[layer, :, :KV_SINKS],
-                sc(krope_s_full)[:, :KV_SINKS] if q8 else None
-            ).astype(jnp.float32)
+            if q8:
+                sink = sink_krope_full[layer]
+            else:
+                sink = krope_full[layer, :, :KV_SINKS].astype(jnp.float32)
             rot = apply_rope(sink, 1, theta, is_v3, _rotation_only(yarn))
             keep = ((kv_sink > 0) & on_sink_shard)[:, None, None]
             if q8:
+                keep_f = (kv_sink > 0)[:, None, None]  # replicated master
+                sink_krope_full = sink_krope_full.at[layer].set(
+                    jnp.where(keep_f, rot, sink))
                 rot_q, rot_sc = quantize_rows(rot)
                 krope_full = krope_full.at[layer, :, :KV_SINKS].set(
                     jnp.where(keep, rot_q,
@@ -248,7 +284,8 @@ def _attention(lp: LayerParams, cfg: ModelConfig, xb: jnp.ndarray,
                            preferred_element_type=jnp.float32)
         attn = ctx.psum_t(mm(lp.wo, v.reshape(B, T, H * Dv).astype(xb.dtype)))
         cache = KVCache(k=None, v=None, ckv=ckv_full, krope=krope_full,
-                        ckv_s=ckv_s_full, krope_s=krope_s_full)
+                        ckv_s=ckv_s_full, krope_s=krope_s_full,
+                        sink_krope=sink_krope_full)
         return attn, cache
 
     # decompressed path (BlockMHA, infer.cpp:935-1049)
@@ -277,6 +314,7 @@ def _attention(lp: LayerParams, cfg: ModelConfig, xb: jnp.ndarray,
     v_full = _cache_write(cache.v, v_w, layer, cache_start, prefill)
     k_s_full = _cache_write(cache.k_s, k_sc, layer, cache_start, prefill)
     v_s_full = _cache_write(cache.v_s, v_sc, layer, cache_start, prefill)
+    sink_k_full = _sink_update(cache.sink_k, k, layer, cache_start, prefill)
 
     def sc(full):
         return full[layer] if full is not None else None
@@ -289,17 +327,21 @@ def _attention(lp: LayerParams, cfg: ModelConfig, xb: jnp.ndarray,
                                jnp.arange(S, dtype=jnp.int32),
                                softmax_scale=sm_scale)              # (B,T,H,Dv)
     else:
-        # sink re-rotation touches only the rope chunk; int8 rows must be
-        # dequantized whole, rotated, and requantized (one shared row scale)
+        # sink re-rotation touches only the rope chunk; for int8 caches the
+        # rotation runs on the float master rows and the slots requantize
+        # fresh each step (no compounding round-trip error)
         cdt = k_full.dtype
-        sink = dequant_rows(
-            k_full[layer, :, :KV_SINKS],
-            sc(k_s_full)[:, :KV_SINKS] if q8 else None).astype(jnp.float32)
+        if q8:
+            sink = sink_k_full[layer]                 # (B, KV_SINKS, H, Dh)
+        else:
+            sink = k_full[layer, :, :KV_SINKS].astype(jnp.float32)
         rot_pe = apply_rope(sink[..., nope:], 1, theta, is_v3,
                             _rotation_only(yarn))
         rot = jnp.concatenate([sink[..., :nope], rot_pe], axis=-1)
         keep = (kv_sink > 0)[:, None, None, None]
         if q8:
+            sink_k_full = sink_k_full.at[layer].set(
+                jnp.where(keep, rot, sink))
             rot_q, rot_sc = quantize_rows(rot)
             k_full = k_full.at[layer, :, :KV_SINKS].set(
                 jnp.where(keep, rot_q, k_full[layer, :, :KV_SINKS]))
@@ -326,7 +368,7 @@ def _attention(lp: LayerParams, cfg: ModelConfig, xb: jnp.ndarray,
 
     attn = ctx.psum_t(mm(lp.wo, out.reshape(B, T, H * Dv).astype(xb.dtype)))
     cache = KVCache(k=k_full, v=v_full, ckv=None, krope=None,
-                    k_s=k_s_full, v_s=v_s_full)
+                    k_s=k_s_full, v_s=v_s_full, sink_k=sink_k_full)
     return attn, cache
 
 
@@ -347,13 +389,12 @@ def _ffn(lp: LayerParams, cfg: ModelConfig, xb: jnp.ndarray, layer: int,
     weights, idx = moe_gate(router_logits, lp.moegate_bias, cfg)  # (B,T,k)
 
     dtype = xb.dtype
-    pf_impl = kernel_impl(cfg) if prefill else None
     from deepseek_tpu.ops.matmul import grouped_expert_ffn, grouped_ffn_supported
-    if prefill and pf_impl is not None and grouped_ffn_supported(cfg, lp.w1):
+    if prefill and impl is not None and grouped_ffn_supported(cfg, lp.w1):
         # ragged grouped matmul (megablocks gmm): FLOPs scale with the k
         # routed experts per token, not all E — see grouped_expert_ffn
         out = grouped_expert_ffn(lp.w1, lp.w2, lp.w3, xb, weights, idx,
-                                 cfg.act, ctx, interpret=pf_impl["interpret"])
+                                 cfg.act, ctx, interpret=impl["interpret"])
     elif prefill:
         # dense-over-experts fallback: every expert read once per chunk;
         # routing weights scatter-combined through a (B,T,E) matrix

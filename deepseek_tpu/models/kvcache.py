@@ -40,6 +40,12 @@ class KVCache:
     v_s: Optional[jax.Array] = None      # (L, B, S, H)
     ckv_s: Optional[jax.Array] = None    # (L, B, S)
     krope_s: Optional[jax.Array] = None  # (L, B, S)
+    # float master copies of the StreamingLLM sink rows (int8 caches only):
+    # the per-step sink re-rotation would otherwise round-trip the rows
+    # through int8 every step and the rounding error compounds as a random
+    # walk — rotating the float master and quantizing fresh keeps it bounded
+    sink_krope: Optional[jax.Array] = None  # (L, B, KV_SINKS, P) f32
+    sink_k: Optional[jax.Array] = None      # (L, B, KV_SINKS, H, head_dim) f32
 
     @property
     def batch(self) -> int:
@@ -65,7 +71,8 @@ class KVCache:
 
 jax.tree_util.register_dataclass(
     KVCache,
-    data_fields=["k", "v", "ckv", "krope", "k_s", "v_s", "ckv_s", "krope_s"],
+    data_fields=["k", "v", "ckv", "krope", "k_s", "v_s", "ckv_s", "krope_s",
+                 "sink_krope", "sink_k"],
     meta_fields=[])
 
 
@@ -80,6 +87,8 @@ def init_cache(cfg: ModelConfig, batch: int = 1) -> KVCache:
             krope=jnp.zeros((L, batch, S, cfg.qk_rope_head_dim), dt),
             ckv_s=jnp.zeros((L, batch, S), jnp.float32) if q8 else None,
             krope_s=jnp.zeros((L, batch, S), jnp.float32) if q8 else None,
+            sink_krope=(jnp.zeros((L, batch, KV_SINKS, cfg.qk_rope_head_dim),
+                                  jnp.float32) if q8 else None),
         )
     H = cfg.n_heads
     return KVCache(
@@ -88,6 +97,8 @@ def init_cache(cfg: ModelConfig, batch: int = 1) -> KVCache:
         ckv=None, krope=None,
         k_s=jnp.zeros((L, batch, S, H), jnp.float32) if q8 else None,
         v_s=jnp.zeros((L, batch, S, H), jnp.float32) if q8 else None,
+        sink_k=(jnp.zeros((L, batch, KV_SINKS, H, cfg.head_dim), jnp.float32)
+                if q8 else None),
     )
 
 

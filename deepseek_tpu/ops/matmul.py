@@ -117,8 +117,9 @@ def _quantized_grouped_ffn(w1, w2, w3, xb, weights, idx, act, ctx, interpret):
 
     src = jnp.zeros((G * TB,), jnp.int32).at[dest].set(
         jnp.arange(N, dtype=jnp.int32))
-    token_of = jnp.where(src < N, src // k, 0)
-    x_rows = xb.reshape(B * T, dim)[token_of].astype(jnp.float32)
+    # unfilled slots keep src=0 (token 0's row); their outputs are never
+    # gathered back through `dest`
+    x_rows = xb.reshape(B * T, dim)[src // k].astype(jnp.float32)
 
     kq = isinstance(w1, (Q2KTensor, Q3KTensor))
     xin = _perm_x(x_rows, dim) if kq else x_rows

@@ -31,11 +31,13 @@ _NEG_INF = -1e30
 
 
 def _pick_tile(S: int, row_bytes: int, budget: int = 4 * 1024 * 1024) -> int:
-    """KV-tile length: big enough to amortize, small enough to double-buffer."""
-    for ts in (1024, 512, 256, 128):
+    """KV-tile length: big enough to amortize, small enough to double-buffer.
+    The ladder extends down to 8 rows so large-head MHA tiles (all H heads
+    per tile) still fit the VMEM budget."""
+    for ts in (1024, 512, 256, 128, 64, 32, 16, 8):
         if ts <= S and row_bytes * ts <= budget:
             return ts
-    return min(S, 128)
+    return min(S, 8)
 
 
 def _mla_body(kvlen_ref, qc_ref, qr_ref, ckv_ref, kr_ref, *rest,
@@ -60,11 +62,17 @@ def _mla_body(kvlen_ref, qc_ref, qr_ref, ckv_ref, kr_ref, *rest,
 
     ckv = ckv_ref[0].astype(jnp.float32)                    # (TS, R)
     kr = kr_ref[0].astype(jnp.float32)                      # (TS, P)
+    if quantized:
+        ckvs = ckvs_ref[0]                                  # (1, TS)
     if s_len % ts:
-        # last tile reads past the array: padded rows may hold NaN garbage,
-        # and 0 * NaN = NaN in the value matmul — zero them out
+        # last tile reads past the array: padded rows/lanes may hold NaN
+        # garbage, and 0 * NaN = NaN in the value matmul — zero them out
         rpos = si * ts + jax.lax.broadcasted_iota(jnp.int32, ckv.shape, 0)
         ckv = jnp.where(rpos < s_len, ckv, 0.0)
+        if quantized:
+            cpos = si * ts + jax.lax.broadcasted_iota(
+                jnp.int32, ckvs.shape, 1)
+            ckvs = jnp.where(cpos < s_len, ckvs, 0.0)
     qc = qc_ref[0]                                          # (H, R)
     qr = qr_ref[0]                                          # (H, P)
 
@@ -76,7 +84,7 @@ def _mla_body(kvlen_ref, qc_ref, qr_ref, ckv_ref, kr_ref, *rest,
         preferred_element_type=jnp.float32)
     if quantized:
         # per-row cache scales fold into the score rows (lane-aligned)
-        s = s * ckvs_ref[0] + sr * krs_ref[0]               # (H,TS)*(1,TS)
+        s = s * ckvs + sr * krs_ref[0]                      # (H,TS)*(1,TS)
     else:
         s = s + sr
     s = s * scale                                           # (H, TS)
@@ -93,7 +101,7 @@ def _mla_body(kvlen_ref, qc_ref, qr_ref, ckv_ref, kr_ref, *rest,
     l_ref[...] = l_ref[...] * alpha + jnp.sum(p, axis=-1, keepdims=True)
     if quantized:
         # fold the value-side dequant into p as well: out = (p*scale) @ k8
-        p = p * ckvs_ref[0]
+        p = p * ckvs
     acc_ref[...] = acc_ref[...] * alpha + jax.lax.dot_general(
         p, ckv, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
@@ -202,9 +210,14 @@ def _mha_body(kvlen_ref, q_ref, k_ref, v_ref, *rest,
     H = q_ref.shape[1]
     k = k_ref[0].astype(jnp.float32)                        # (TS, H, Dh)
     v = v_ref[0].astype(jnp.float32)                        # (TS, H, Dv)
+    if quantized:
+        vs = vs_ref[0]                                      # (H, TS)
     if s_len % ts:
         rpos = si * ts + jax.lax.broadcasted_iota(jnp.int32, v.shape, 0)
         v = jnp.where(rpos < s_len, v, 0.0)
+        if quantized:
+            cpos = si * ts + jax.lax.broadcasted_iota(jnp.int32, vs.shape, 1)
+            vs = jnp.where(cpos < s_len, vs, 0.0)
     q = q_ref[0]                                            # (H, Dh)
 
     # per-head dots over the (TS, H, ·) tile (H is small; a static loop
@@ -226,7 +239,7 @@ def _mha_body(kvlen_ref, q_ref, k_ref, v_ref, *rest,
     p = jnp.where(mask, jnp.exp(s - m_new), 0.0)
     l_ref[...] = l_ref[...] * alpha + jnp.sum(p, axis=-1, keepdims=True)
     if quantized:
-        p = p * vs_ref[0]
+        p = p * vs
     mix = jnp.concatenate([
         jax.lax.dot_general(p[h:h + 1], v[:, h, :], (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)

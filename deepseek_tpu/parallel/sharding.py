@@ -102,6 +102,8 @@ def cache_shardings(cache: KVCache, cfg: ModelConfig, mesh: Mesh) -> KVCache:
         v_s=fit(cache.v_s, (None, "data", None, "tensor")),
         ckv_s=fit(cache.ckv_s, (None, "data", "seq")),
         krope_s=fit(cache.krope_s, (None, "data", "seq")),
+        sink_krope=fit(cache.sink_krope, (None, "data", None, None)),
+        sink_k=fit(cache.sink_k, (None, "data", None, "tensor", None)),
     )
 
 
