@@ -57,6 +57,8 @@ TPU options:
                               bytes, per-row amax scales)
   --draft <ckpt_dir>          speculative decoding draft model (completion
                               mode; output is exactly the target model's)
+  --mtp-spec                  self-speculative decoding with the checkpoint's
+                              own MTP module (DeepSeek-V3 extra layer)
   --spec-k <int>              draft tokens per speculation round (default 4)
   --chunk <int>               prefill chunk size (default 256)
   --seed <int>                sampler seed
@@ -96,6 +98,7 @@ class Args:
         self.seed: Optional[int] = None
         self.yarn = False
         self.draft: Optional[str] = None
+        self.mtp_spec = False
         self.spec_k = 4
         self.port = 8080
         self.host = "127.0.0.1"
@@ -147,6 +150,8 @@ def parse_mode_flags(args: Args, argv: List[str]) -> Args:
             args.yarn = True
         elif a == "--draft":
             args.draft = val()
+        elif a == "--mtp-spec":
+            args.mtp_spec = True
         elif a == "--spec-k":
             args.spec_k = int(val())
         elif a == "--port":
@@ -200,7 +205,11 @@ def run_completion(engine: Engine, args: Args):
         sys.stdout.flush()
 
     steps = 256 if args.num_steps is None else args.num_steps
-    if args.draft:
+    if args.mtp_spec:
+        out, st = engine.generate_mtp(
+            encoding, steps, temperature=args.temperature,
+            top_p=args.top_p, spec_k=args.spec_k, on_token=emit)
+    elif args.draft:
         draft_engine = Engine(args.draft, seed=0,
                               prefill_chunk=args.chunk)
         out, st = engine.generate_speculative(

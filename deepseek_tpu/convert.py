@@ -237,7 +237,8 @@ def convert_weights(weights: Dict[str, np.ndarray], md: dict,
                     quant: str, use_mla: bool, tie_word_embeddings: bool,
                     bsize: Optional[int],
                     dequant_block: Optional[Tuple[int, int]],
-                    progress: bool = False) -> Iterator[dict]:
+                    progress: bool = False,
+                    mtp_layer: Optional[int] = None) -> Iterator[dict]:
     """Yields tensor dicts, one per 8-layer output shard (convert.py:374-377)."""
     cv = Converter(weights, md, quant, bsize, dequant_block)
     n_layers = int(md["n_layers"])
@@ -254,14 +255,8 @@ def convert_weights(weights: Dict[str, np.ndarray], md: dict,
     tensors: dict = {}
     cv.conv(tensors, "model.embed", "model.embed_tokens.weight")
 
-    for l in range(n_layers):
-        if l % 8 == 0 and l > 0:
-            yield tensors
-            tensors = {}
-        if progress:
-            print(f"\rConverting layer {l + 1}/{n_layers}", end="", flush=True)
-        hf = f"model.layers.{l}"
-        out = f"model.layers.{l}"
+    def convert_block(tensors, hf, out, moe):
+        """One transformer block (shared by main layers and the MTP block)."""
         tensors[f"{out}.attn.norm.weight"] = \
             np.asarray(weights[f"{hf}.input_layernorm.weight"], np.float32)
         tensors[f"{out}.attn.kv_a_norm.weight"] = \
@@ -309,7 +304,7 @@ def convert_weights(weights: Dict[str, np.ndarray], md: dict,
         tensors[f"{out}.mlp.norm.weight"] = \
             np.asarray(weights[f"{hf}.post_attention_layernorm.weight"], np.float32)
 
-        if l < first_dense:
+        if not moe:
             cv.conv(tensors, f"{out}.mlp.w1", f"{hf}.mlp.gate_proj.weight")
             cv.conv(tensors, f"{out}.mlp.w2", f"{hf}.mlp.down_proj.weight")
             cv.conv(tensors, f"{out}.mlp.w3", f"{hf}.mlp.up_proj.weight")
@@ -327,6 +322,31 @@ def convert_weights(weights: Dict[str, np.ndarray], md: dict,
             cv.conv(tensors, f"{out}.shared_mlp.w1", f"{hf}.mlp.shared_experts.gate_proj.weight")
             cv.conv(tensors, f"{out}.shared_mlp.w2", f"{hf}.mlp.shared_experts.down_proj.weight")
             cv.conv(tensors, f"{out}.shared_mlp.w3", f"{hf}.mlp.shared_experts.up_proj.weight")
+
+    for l in range(n_layers):
+        if l % 8 == 0 and l > 0:
+            yield tensors
+            tensors = {}
+        if progress:
+            print(f"\rConverting layer {l + 1}/{n_layers}", end="", flush=True)
+        convert_block(tensors, f"model.layers.{l}", f"model.layers.{l}",
+                      moe=l >= first_dense)
+
+    # DeepSeek-V3 MTP module (HF stores it as one extra layer index):
+    # converted for lossless self-speculative decoding; the reference drops
+    # it entirely. The prediction head is the shared lm_head.
+    if mtp_layer is not None and \
+            f"model.layers.{mtp_layer}.eh_proj.weight" in weights:
+        hf = f"model.layers.{mtp_layer}"
+        tensors["model.mtp.enorm.weight"] = \
+            np.asarray(weights[f"{hf}.enorm.weight"], np.float32)
+        tensors["model.mtp.hnorm.weight"] = \
+            np.asarray(weights[f"{hf}.hnorm.weight"], np.float32)
+        cv.conv(tensors, "model.mtp.eh_proj", f"{hf}.eh_proj.weight")
+        tensors["model.mtp.norm.weight"] = \
+            np.asarray(weights[f"{hf}.shared_head.norm.weight"], np.float32)
+        convert_block(tensors, hf, "model.mtp.block",
+                      moe=mtp_layer >= first_dense)
 
     tensors["model.norm.weight"] = np.asarray(weights["model.norm.weight"], np.float32)
     if not tie_word_embeddings:
@@ -367,10 +387,16 @@ def convert(input_dir: str, output_dir: str, *, quant: str = "fp16",
                          int(md["vocab_size"]))
 
     os.makedirs(output_dir, exist_ok=True)
+    # MTP module lives at HF layer index num_hidden_layers (V3 checkpoints)
+    mtp_layer = int(config["num_hidden_layers"])
+    if f"model.layers.{mtp_layer}.eh_proj.weight" in weights:
+        md["has_mtp"] = "1"
+    else:
+        mtp_layer = None
     shards = convert_weights(
         weights, md, quant, use_mla,
         bool(config.get("tie_word_embeddings", False)), bsize, dequant_block,
-        progress=progress)
+        progress=progress, mtp_layer=mtp_layer)
     for i, shard in enumerate(shards):
         if i == 0:
             shard["tokenizer.tokens"] = codec.pack_tokenizer_tokens(tokens)

@@ -414,6 +414,207 @@ class Engine:
         return out_tokens, stats
 
     # ------------------------------------------------------------------
+    def generate_mtp(
+        self,
+        prompt_tokens: List[int],
+        num_steps: int = 256,
+        temperature: float = 0.0,
+        top_p: float = 0.95,
+        spec_k: int = 2,
+        on_token: Optional[Callable[[int, bytes], None]] = None,
+    ) -> Tuple[List[int], GenerationStats]:
+        """Self-speculative decoding with the checkpoint's own MTP module
+        (DeepSeek-V3's multi-token-prediction layer — weights the reference
+        drops). Same lossless acceptance rule as generate_speculative; the
+        MTP drafter chains its own hidden state for k > 1 (EAGLE-style), and
+        after every verify round its KV cache is re-hydrated from the main
+        model's TRUE hidden states so drafting quality does not drift.
+
+        MTP cache slot j holds the pair (token_{j+1}, hidden_j). Falls back
+        to plain generate() when the prompt+generation cannot stay inside
+        the prefill window.
+        """
+        from deepseek_tpu.models.mtp import init_mtp_cache, make_mtp_forward
+
+        assert self.params.mtp is not None, "checkpoint has no MTP module"
+        cfg = self.cfg
+        window = cfg.kv_window
+        N = len(prompt_tokens)
+        max_new = (cfg.max_seq_len - N) if num_steps == 0 \
+            else (1 << 62) if num_steps < 0 else num_steps
+        if N + spec_k + 2 > window:
+            return self.generate(prompt_tokens, num_steps, temperature,
+                                 top_p, on_token)
+
+        stats = GenerationStats(prompt_tokens=N)
+        try:
+            kd = np.asarray(jax.random.key_data(self._key))
+        except Exception:
+            kd = np.asarray(self._key)
+        rng = np.random.default_rng(int(kd.ravel()[-1]))
+
+        def fns(key, builder):
+            if key not in self._fns:
+                self._fns[key] = builder()
+            return self._fns[key]
+
+        fwd_h = fns(("hid", True, "all"), lambda: make_forward(
+            cfg, prefill=True, logits_mode="all", with_hidden=True))
+        mtp_pre = fns(("mtp", True), lambda: make_mtp_forward(
+            cfg, prefill=True))
+        mtp_step = fns(("mtp", False), lambda: make_mtp_forward(
+            cfg, prefill=False))
+
+        # --- hydrate main cache, collecting hidden states per position ---
+        t0 = time.perf_counter()
+        cache = self.new_cache()
+        mtp_cache = init_mtp_cache(cfg)
+        C = self.prefill_chunk
+        h_rows: List[np.ndarray] = []
+        logits = None
+        i = 0
+        while i < N:
+            # padded chunk must stay inside the ring window (the DUS would
+            # otherwise clamp and corrupt earlier slots)
+            cp = min(C, window - i)
+            r = min(cp, N - i)
+            chunk = list(prompt_tokens[i:i + r]) + [0] * (cp - r)
+            lg, hid, cache = fwd_h(self.params, cache,
+                                   jnp.asarray([chunk], jnp.int32), i)
+            h_rows.append(np.asarray(hid[0, :r]))
+            if i + r == N:
+                logits = np.asarray(lg[0, r - 1])
+            i += r
+        h_prompt = np.concatenate(h_rows)                     # (N, dim)
+        stats.hydrate_s = time.perf_counter() - t0
+
+        out_tokens: List[int] = []
+        prev = prompt_tokens[-1] if prompt_tokens else self.tokenizer.bos_id
+
+        def emit(token: int) -> bool:
+            nonlocal prev
+            out_tokens.append(token)
+            if on_token is not None:
+                on_token(token, self.tokenizer.decode_one(prev, token))
+            prev = token
+            return self.tokenizer.is_eos_or_eot(token)
+
+        def probs_of(lg: np.ndarray) -> np.ndarray:
+            if temperature <= 0:
+                p = np.zeros(lg.shape[-1])
+                p[int(np.argmax(lg))] = 1.0
+                return p
+            z = lg.astype(np.float64) / max(temperature, 1e-6)
+            z -= z.max()
+            p = np.exp(z)
+            p /= p.sum()
+            order = np.argsort(-p)
+            cum = np.cumsum(p[order])
+            keep = np.zeros_like(p, bool)
+            keep[order[:max(1, int(np.searchsorted(cum, top_p) + 1))]] = True
+            p = np.where(keep, p, 0.0)
+            return p / p.sum()
+
+        t0 = time.perf_counter()
+        token = self.sampler.sample(logits, temperature, top_p)
+        stopped = emit(token)
+
+        # MTP pairs for the prompt: slot j = (prompt[j+1], h_j), j<N-1,
+        # plus slot N-1 = (first generated token, h_{N-1})
+        pair_toks = list(prompt_tokens[1:]) + [token]
+        _, _, mtp_cache = mtp_pre(
+            self.params, mtp_cache, jnp.asarray([pair_toks], jnp.int32),
+            jnp.asarray(h_prompt[None], jnp.float32), 0)
+
+        pos = N
+        h_cur = jnp.asarray(h_prompt[None, -1:], jnp.float32)  # (1,1,dim)
+        step_fn = self.fwd(False, "last")
+
+        while not stopped and len(out_tokens) < max_new:
+            k = min(spec_k, max_new - len(out_tokens))
+            if pos + k + 1 > window or k < 1:
+                lg, cache = step_fn(self.params, cache,
+                                    jnp.asarray([[token]], jnp.int32), pos)
+                pos += 1
+                token = self.sampler.sample(np.asarray(lg[0]),
+                                            temperature, top_p)
+                stopped = emit(token)
+                continue
+
+            # 1. MTP drafts k tokens, chaining its own hidden state
+            drafts, qdists = [], []
+            dtok, hh = token, h_cur
+            for j in range(k):
+                lg_d, hh, mtp_cache = mtp_step(
+                    self.params, mtp_cache,
+                    jnp.asarray([[dtok]], jnp.int32), hh,
+                    pos - 1 + j)
+                q = probs_of(np.asarray(lg_d[0, 0]))
+                dtok = int(rng.choice(len(q), p=q)) if temperature > 0 \
+                    else int(np.argmax(q))
+                drafts.append(dtok)
+                qdists.append(q)
+
+            # 2. one target forward scores drafts + bonus, with hiddens
+            chunk = [token] + drafts
+            lg_all, h_all, cache = fwd_h(
+                self.params, cache, jnp.asarray([chunk], jnp.int32), pos)
+            lg_np = np.asarray(lg_all[0])                    # (k+1, V)
+
+            # 3. lossless acceptance
+            n_acc = 0
+            replacement = None
+            for j in range(k):
+                p = probs_of(lg_np[j])
+                q = qdists[j]
+                d = drafts[j]
+                if temperature <= 0:
+                    if int(np.argmax(p)) == d:
+                        n_acc += 1
+                        continue
+                    replacement = int(np.argmax(p))
+                    break
+                if rng.random() < min(1.0, p[d] / max(q[d], 1e-12)):
+                    n_acc += 1
+                    continue
+                res = np.maximum(p - q, 0.0)
+                res = res / res.sum() if res.sum() > 0 else p
+                replacement = int(rng.choice(len(res), p=res))
+                break
+
+            for d in drafts[:n_acc]:
+                stopped = emit(d)
+                if stopped:
+                    break
+            if stopped:
+                break
+            if replacement is not None:
+                token = replacement
+            else:
+                token = int(rng.choice(
+                    len(qdists[0]), p=probs_of(lg_np[k]))) \
+                    if temperature > 0 else int(np.argmax(lg_np[k]))
+
+            # 4. re-hydrate the MTP cache from TRUE hiddens: slots pos..pos+k
+            #    hold pairs (chunk[j+1], h_all[j]); garbage past n_acc is
+            #    rewritten by the next round before it is ever attended
+            pair_toks = drafts + [token]                     # (k+1,)
+            _, _, mtp_cache = mtp_pre(
+                self.params, mtp_cache,
+                jnp.asarray([pair_toks], jnp.int32), h_all, pos)
+
+            h_cur = h_all[:, n_acc:n_acc + 1]
+            pos += n_acc + 1
+            if len(out_tokens) >= max_new:
+                break
+            stopped = emit(token)
+
+        stats.generate_s = time.perf_counter() - t0
+        stats.generated_tokens = len(out_tokens)
+        stats.active_bytes_per_token = self.active_bytes(pos)
+        return out_tokens, stats
+
+    # ------------------------------------------------------------------
     def perplexity(self, tokens: List[int],
                    progress: Optional[Callable[[int, int], None]] = None):
         """ppl over tokens[1:] given prefixes (run_perplexity, main.cpp:371-431).

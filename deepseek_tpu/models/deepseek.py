@@ -448,7 +448,8 @@ def _ffn(lp: LayerParams, cfg: ModelConfig, xb: jnp.ndarray, layer: int,
 
 def _forward_impl(params: ModelParams, cache: KVCache, tokens: jnp.ndarray,
                   pos0, cfg: ModelConfig, prefill: bool, logits_mode: str,
-                  ctx=None) -> Tuple[Optional[jnp.ndarray], KVCache]:
+                  ctx=None, with_hidden: bool = False
+                  ) -> Tuple[Optional[jnp.ndarray], KVCache]:
     if ctx is None:
         from deepseek_tpu.parallel.spmd import NULL_CTX as ctx
     B, T = tokens.shape
@@ -489,8 +490,9 @@ def _forward_impl(params: ModelParams, cache: KVCache, tokens: jnp.ndarray,
         dbg(f"l{layer}.ffn", ffn)
         x = x + ffn
 
+    hidden = x  # (B, T, dim) pre-final-norm — what the MTP module consumes
     if logits_mode == "none":
-        return None, cache
+        return (None, hidden, cache) if with_hidden else (None, cache)
     if logits_mode == "last":
         x = x[:, -1:]
     x = rmsnorm(x, params.final_norm, cfg.norm_eps)
@@ -499,6 +501,8 @@ def _forward_impl(params: ModelParams, cache: KVCache, tokens: jnp.ndarray,
     if logits_mode == "last":
         logits = logits[:, 0]
     dbg("logits", logits)
+    if with_hidden:
+        return logits, hidden, cache
     return logits, cache
 
 
@@ -517,7 +521,8 @@ def _spmd_parts(cfg: ModelConfig, mesh, params, cache):
 
 def make_forward(cfg: ModelConfig, *, prefill: bool = False,
                  logits_mode: str = "last", jit: bool = True,
-                 mesh=None, params=None, cache=None):
+                 mesh=None, params=None, cache=None,
+                 with_hidden: bool = False):
     """Build (and jit) a forward function for a fixed mode.
 
     Returns ``fn(params, cache, tokens (B,T) int32, pos0) -> (logits, cache)``
@@ -531,8 +536,10 @@ def make_forward(cfg: ModelConfig, *, prefill: bool = False,
     """
     assert logits_mode in ("all", "last", "none")
     fn = functools.partial(
-        _forward_impl, cfg=cfg, prefill=prefill, logits_mode=logits_mode)
+        _forward_impl, cfg=cfg, prefill=prefill, logits_mode=logits_mode,
+        with_hidden=with_hidden)
     if mesh is not None:
+        assert not with_hidden, "with_hidden is a single-host engine hook"
         if prefill and mesh.shape.get("seq", 1) > 1:
             raise ValueError(
                 "chunked prefill is not supported with a seq-sharded KV "

@@ -16,7 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from deepseek_tpu.config import ModelConfig, QuantKind
-from deepseek_tpu.models.params import LayerParams, ModelParams
+from deepseek_tpu.models.params import LayerParams, ModelParams, MTPParams
 from deepseek_tpu.quant.kquant import Q2K_BLOCK_BYTES, Q3K_BLOCK_BYTES, QK_K
 from deepseek_tpu.quant.qtensor import Fp8Tensor, PlainTensor, Q2KTensor, Q3KTensor
 from deepseek_tpu.quant.repack import repack_q2k, repack_q3k
@@ -85,16 +85,14 @@ def load_params(
 
         raise ValueError(f"unsupported stored dtype {dt} for {name}")
 
-    layers = []
-    for l in range(cfg.n_layers):
-        p = f"model.layers.{l}"
+    def block_params(p: str) -> LayerParams:
         moegate = norm(f"{p}.moegate")
         moegate_bias = None
         if moegate is not None:
             bias = data.get(f"{p}.moegate.bias")
             if bias is not None:
                 moegate_bias = put(f"{p}.moegate.bias", np.asarray(bias, np.float32))
-        layers.append(LayerParams(
+        return LayerParams(
             attn_norm=norm(f"{p}.attn.norm"),
             ffn_norm=norm(f"{p}.mlp.norm"),
             kv_a_norm=norm(f"{p}.attn.kv_a_norm"),
@@ -116,7 +114,19 @@ def load_params(
             shared_w3=qt(f"{p}.shared_mlp.w3"),
             moegate=moegate,
             moegate_bias=moegate_bias,
-        ))
+        )
+
+    layers = [block_params(f"model.layers.{l}") for l in range(cfg.n_layers)]
+
+    mtp = None
+    if data.get("model.mtp.eh_proj.weight") is not None:
+        mtp = MTPParams(
+            enorm=norm("model.mtp.enorm"),
+            hnorm=norm("model.mtp.hnorm"),
+            eh_proj=qt("model.mtp.eh_proj"),
+            block=block_params("model.mtp.block"),
+            final_norm=norm("model.mtp.norm"),
+        )
 
     embed = qt("model.embed")
     lm_head = qt("model.output")
@@ -128,6 +138,7 @@ def load_params(
         layers=layers,
         final_norm=norm("model.norm"),
         lm_head=lm_head,
+        mtp=mtp,
     )
 
 

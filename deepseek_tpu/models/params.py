@@ -62,11 +62,28 @@ class LayerParams:
 
 @_register
 @dataclasses.dataclass
+class MTPParams:
+    """DeepSeek-V3 multi-token-prediction module (the extra checkpoint
+    layer the reference ignores): predicts token t+2 from the main model's
+    final hidden state at t plus the embedding of token t+1. Used for
+    lossless self-speculative decoding (engine.generate_mtp)."""
+
+    enorm: jax.Array                # (dim,) — norm on the next-token embedding
+    hnorm: jax.Array                # (dim,) — norm on the main hidden state
+    eh_proj: QT                     # (dim, 2*dim) — fuse [emb; hidden]
+    block: "LayerParams"            # one standard transformer block
+    final_norm: jax.Array           # (dim,) — shared_head.norm
+    # the output head is the main model's lm_head (shared)
+
+
+@_register
+@dataclasses.dataclass
 class ModelParams:
     embed: QT                       # (vocab_size, dim)
     layers: List[LayerParams]
     final_norm: jax.Array           # (dim,)
     lm_head: QT                     # (vocab_size, dim); tied checkpoints reuse embed
+    mtp: Optional[MTPParams] = None
 
 
 def embed_lookup(qt, tokens: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:

@@ -37,7 +37,7 @@ def hf_config(dim=32, hidden=48, layers=3, heads=2, vocab=300, q_lora=12,
     }
 
 
-def hf_weights(cfg: dict, seed=0, scale=0.25) -> dict:
+def hf_weights(cfg: dict, seed=0, scale=0.25, mtp=False) -> dict:
     rng = np.random.default_rng(seed)
 
     def w(*shape):
@@ -58,8 +58,15 @@ def hf_weights(cfg: dict, seed=0, scale=0.25) -> dict:
     }
     if not cfg.get("tie_word_embeddings"):
         wd["lm_head.weight"] = w(cfg["vocab_size"], dim)
-    for l in range(cfg["num_hidden_layers"]):
+    n_block_layers = cfg["num_hidden_layers"] + (1 if mtp else 0)
+    for l in range(n_block_layers):
         p = f"model.layers.{l}"
+        if mtp and l == cfg["num_hidden_layers"]:
+            # DeepSeek-V3 MTP module at the extra layer index
+            wd[f"{p}.enorm.weight"] = ones(dim)
+            wd[f"{p}.hnorm.weight"] = ones(dim)
+            wd[f"{p}.eh_proj.weight"] = w(dim, 2 * dim)
+            wd[f"{p}.shared_head.norm.weight"] = ones(dim)
         wd[f"{p}.input_layernorm.weight"] = ones(dim)
         wd[f"{p}.post_attention_layernorm.weight"] = ones(dim)
         wd[f"{p}.self_attn.kv_a_proj_with_mqa.weight"] = w(kv_lora + rope, dim)
