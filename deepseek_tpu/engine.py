@@ -47,6 +47,49 @@ class GenerationStats:
         return self.active_bytes_per_token * self.generated_tokens / self.generate_s / 1e9
 
 
+
+def _nucleus_probs(lg: "np.ndarray", temperature: float, top_p: float
+                   ) -> "np.ndarray":
+    """Host-side nucleus distribution matching the on-device sampler; used
+    by the speculative acceptance rule. temperature<=0 -> one-hot argmax."""
+    if temperature <= 0:
+        p = np.zeros(lg.shape[-1])
+        p[int(np.argmax(lg))] = 1.0
+        return p
+    z = lg.astype(np.float64) / max(temperature, 1e-6)
+    z -= z.max()
+    p = np.exp(z)
+    p /= p.sum()
+    order = np.argsort(-p)
+    cum = np.cumsum(p[order])
+    keep = np.zeros_like(p, bool)
+    keep[order[:max(1, int(np.searchsorted(cum, top_p) + 1))]] = True
+    p = np.where(keep, p, 0.0)
+    return p / p.sum()
+
+
+def _accept_drafts(lg_all: "np.ndarray", drafts: list, qdists: list,
+                   temperature: float, top_p: float, rng) -> tuple:
+    """Speculative acceptance (arXiv 2211.17192 Alg. 1): returns
+    (n_accepted, replacement | None). lg_all rows verify drafts[i]; the
+    caller samples the bonus from lg_all[len(drafts)] on full acceptance."""
+    k = len(drafts)
+    for i in range(k):
+        p = _nucleus_probs(lg_all[i], temperature, top_p)
+        q = qdists[i]
+        d = drafts[i]
+        if temperature <= 0:
+            if int(np.argmax(p)) == d:
+                continue
+            return i, int(np.argmax(p))
+        if rng.random() < min(1.0, p[d] / max(q[d], 1e-12)):
+            continue
+        res = np.maximum(p - q, 0.0)
+        res = res / res.sum() if res.sum() > 0 else p
+        return i, int(rng.choice(len(res), p=res))
+    return k, None
+
+
 class Engine:
     def __init__(
         self,
@@ -304,21 +347,7 @@ class Engine:
             return self.tokenizer.is_eos_or_eot(token)
 
         def probs_of(lg: np.ndarray) -> np.ndarray:
-            if temperature <= 0:
-                p = np.zeros(lg.shape[-1])
-                p[int(np.argmax(lg))] = 1.0
-                return p
-            z = lg.astype(np.float64) / max(temperature, 1e-6)
-            z -= z.max()
-            p = np.exp(z)
-            p /= p.sum()
-            # nucleus truncation, matching the on-device sampler
-            order = np.argsort(-p)
-            cum = np.cumsum(p[order])
-            keep = np.zeros_like(p, bool)
-            keep[order[:max(1, int(np.searchsorted(cum, top_p) + 1))]] = True
-            p = np.where(keep, p, 0.0)
-            return p / p.sum()
+            return _nucleus_probs(lg, temperature, top_p)
 
         t0 = time.perf_counter()
         token = self.sampler.sample(logits, temperature, top_p)
@@ -363,27 +392,9 @@ class Engine:
                 jnp.asarray([chunk], jnp.int32), pos)
             lg_all = np.asarray(lg_all[0])                   # (k+1, V)
 
-            # 3. acceptance loop (output follows the target distribution
-            #    exactly — arXiv 2211.17192 Alg. 1)
-            n_acc = 0
-            replacement = None
-            for i in range(k):
-                p = probs_of(lg_all[i])
-                q = qdists[i]
-                d = drafts[i]
-                if temperature <= 0:
-                    if int(np.argmax(p)) == d:
-                        n_acc += 1
-                        continue
-                    replacement = int(np.argmax(p))
-                    break
-                if rng.random() < min(1.0, p[d] / max(q[d], 1e-12)):
-                    n_acc += 1
-                    continue
-                res = np.maximum(p - q, 0.0)
-                res = res / res.sum() if res.sum() > 0 else p
-                replacement = int(rng.choice(len(res), p=res))
-                break
+            # 3. acceptance (output follows the target distribution exactly)
+            n_acc, replacement = _accept_drafts(
+                lg_all, drafts, qdists, temperature, top_p, rng)
 
             for d in drafts[:n_acc]:
                 stopped = emit(d)
@@ -500,20 +511,7 @@ class Engine:
             return self.tokenizer.is_eos_or_eot(token)
 
         def probs_of(lg: np.ndarray) -> np.ndarray:
-            if temperature <= 0:
-                p = np.zeros(lg.shape[-1])
-                p[int(np.argmax(lg))] = 1.0
-                return p
-            z = lg.astype(np.float64) / max(temperature, 1e-6)
-            z -= z.max()
-            p = np.exp(z)
-            p /= p.sum()
-            order = np.argsort(-p)
-            cum = np.cumsum(p[order])
-            keep = np.zeros_like(p, bool)
-            keep[order[:max(1, int(np.searchsorted(cum, top_p) + 1))]] = True
-            p = np.where(keep, p, 0.0)
-            return p / p.sum()
+            return _nucleus_probs(lg, temperature, top_p)
 
         t0 = time.perf_counter()
         token = self.sampler.sample(logits, temperature, top_p)
@@ -562,25 +560,8 @@ class Engine:
             lg_np = np.asarray(lg_all[0])                    # (k+1, V)
 
             # 3. lossless acceptance
-            n_acc = 0
-            replacement = None
-            for j in range(k):
-                p = probs_of(lg_np[j])
-                q = qdists[j]
-                d = drafts[j]
-                if temperature <= 0:
-                    if int(np.argmax(p)) == d:
-                        n_acc += 1
-                        continue
-                    replacement = int(np.argmax(p))
-                    break
-                if rng.random() < min(1.0, p[d] / max(q[d], 1e-12)):
-                    n_acc += 1
-                    continue
-                res = np.maximum(p - q, 0.0)
-                res = res / res.sum() if res.sum() > 0 else p
-                replacement = int(rng.choice(len(res), p=res))
-                break
+            n_acc, replacement = _accept_drafts(
+                lg_np, drafts, qdists, temperature, top_p, rng)
 
             for d in drafts[:n_acc]:
                 stopped = emit(d)
