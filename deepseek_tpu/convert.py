@@ -389,9 +389,7 @@ def convert(input_dir: str, output_dir: str, *, quant: str = "fp16",
     os.makedirs(output_dir, exist_ok=True)
     # MTP module lives at HF layer index num_hidden_layers (V3 checkpoints)
     mtp_layer = int(config["num_hidden_layers"])
-    if f"model.layers.{mtp_layer}.eh_proj.weight" in weights:
-        md["has_mtp"] = "1"
-    else:
+    if f"model.layers.{mtp_layer}.eh_proj.weight" not in weights:
         mtp_layer = None
     shards = convert_weights(
         weights, md, quant, use_mla,

@@ -104,6 +104,7 @@ class Engine:
         prefill_chunk: int = 256,
         decode_block: int = 32,
         use_yarn: bool = False,
+        load_mtp: bool = True,
     ):
         self.data = load_checkpoint(checkpoint_dir)
         overrides = {}
@@ -118,7 +119,9 @@ class Engine:
         # already copies each tensor device-resident; with -L we additionally
         # force synchronous materialization so no transfer is lazy.
         self.lock_weights = lock_weights
-        self.params = load_params(self.data, self.cfg, runtime_dtype=runtime_dtype)
+        self.params = load_params(self.data, self.cfg,
+                                  runtime_dtype=runtime_dtype,
+                                  load_mtp=load_mtp)
         if lock_weights:
             jax.block_until_ready(jax.tree.leaves(self.params))
         self.tokenizer = Tokenizer.from_checkpoint(self.data)
@@ -471,6 +474,8 @@ class Engine:
 
         fwd_h = fns(("hid", True, "all"), lambda: make_forward(
             cfg, prefill=True, logits_mode="all", with_hidden=True))
+        fwd_h_none = fns(("hid", True, "none"), lambda: make_forward(
+            cfg, prefill=True, logits_mode="none", with_hidden=True))
         mtp_pre = fns(("mtp", True), lambda: make_mtp_forward(
             cfg, prefill=True))
         mtp_step = fns(("mtp", False), lambda: make_mtp_forward(
@@ -490,10 +495,13 @@ class Engine:
             cp = min(C, window - i)
             r = min(cp, N - i)
             chunk = list(prompt_tokens[i:i + r]) + [0] * (cp - r)
-            lg, hid, cache = fwd_h(self.params, cache,
-                                   jnp.asarray([chunk], jnp.int32), i)
+            last = i + r == N
+            # full-vocab logits only for the final chunk
+            fn = fwd_h if last else fwd_h_none
+            lg, hid, cache = fn(self.params, cache,
+                                jnp.asarray([chunk], jnp.int32), i)
             h_rows.append(np.asarray(hid[0, :r]))
-            if i + r == N:
+            if last:
                 logits = np.asarray(lg[0, r - 1])
             i += r
         h_prompt = np.concatenate(h_rows)                     # (N, dim)
@@ -527,10 +535,13 @@ class Engine:
         pos = N
         h_cur = jnp.asarray(h_prompt[None, -1:], jnp.float32)  # (1,1,dim)
         step_fn = self.fwd(False, "last")
+        mtp_live = True  # once the window fallback starts, h_cur and the
+        # MTP cache go stale — never re-enter drafting
 
         while not stopped and len(out_tokens) < max_new:
             k = min(spec_k, max_new - len(out_tokens))
-            if pos + k + 1 > window or k < 1:
+            if pos + k + 1 > window or k < 1 or not mtp_live:
+                mtp_live = False
                 lg, cache = step_fn(self.params, cache,
                                     jnp.asarray([[token]], jnp.int32), pos)
                 pos += 1

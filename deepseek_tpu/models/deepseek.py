@@ -202,7 +202,8 @@ def _attention(lp: LayerParams, cfg: ModelConfig, xb: jnp.ndarray,
             attn = ctx.psum_t(mm(lp.wo, v_out.reshape(B, T, H * Dv)
                                  .astype(xb.dtype)))
             cache = KVCache(k=None, v=None, ckv=ckv_full, krope=krope_full,
-                            ckv_s=ckv_s_full, krope_s=krope_s_full)
+                            ckv_s=ckv_s_full, krope_s=krope_s_full,
+                            sink_krope=sink_krope_full)
             return attn, cache
         if prefill:
             ckv_l = dequant_rows(ckv_full[layer], sc(ckv_s_full))

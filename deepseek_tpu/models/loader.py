@@ -37,6 +37,7 @@ def load_params(
     *,
     runtime_dtype: Optional[str] = None,
     put: PutFn = _default_put,
+    load_mtp: bool = True,
 ) -> ModelParams:
     """runtime_dtype: optionally cast f32/f16 weights at load (e.g. "bfloat16"
     keeps decode matmuls native on the MXU)."""
@@ -119,7 +120,7 @@ def load_params(
     layers = [block_params(f"model.layers.{l}") for l in range(cfg.n_layers)]
 
     mtp = None
-    if data.get("model.mtp.eh_proj.weight") is not None:
+    if load_mtp and data.get("model.mtp.eh_proj.weight") is not None:
         mtp = MTPParams(
             enorm=norm("model.mtp.enorm"),
             hnorm=norm("model.mtp.hnorm"),

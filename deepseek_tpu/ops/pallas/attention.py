@@ -135,6 +135,10 @@ def mla_decode_attn(q_c, q_rope, ckv_cache, krope_cache, kv_len,
     S = ckv_cache.shape[1]
     quantized = ckv_scale is not None
     ts = _pick_tile(S, (R + P) * ckv_cache.dtype.itemsize)
+    if quantized:
+        # scale blocks put ts in the LANE dim: Mosaic needs a multiple of
+        # 128 (or the full extent) there
+        ts = max(ts, min(S, 128))
     grid = (B, pl.cdiv(S, ts))
     kv_len = jnp.broadcast_to(jnp.asarray(kv_len, jnp.int32), (B,))
 
@@ -269,6 +273,8 @@ def mha_decode_attn(q, k_cache, v_cache, kv_len,
     Dv = v_cache.shape[-1]
     quantized = k_scale is not None
     ts = _pick_tile(S, H * (Dh + Dv) * k_cache.dtype.itemsize)
+    if quantized:
+        ts = max(ts, min(S, 128))  # scale blocks: ts is the lane dim
     grid = (B, pl.cdiv(S, ts))
     kv_len = jnp.broadcast_to(jnp.asarray(kv_len, jnp.int32), (B,))
 

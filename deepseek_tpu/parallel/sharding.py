@@ -51,38 +51,56 @@ EXP = ("expert", None, None)    # stacked experts
 REPL = ()
 
 
+def _layer_shardings(lp: LayerParams, moe: bool, mesh: Mesh) -> LayerParams:
+    return LayerParams(
+        attn_norm=_rep(lp.attn_norm, mesh),
+        ffn_norm=_rep(lp.ffn_norm, mesh),
+        kv_a_norm=_rep(lp.kv_a_norm, mesh),
+        q_a_norm=_rep(lp.q_a_norm, mesh),
+        wkv_a=_qt(lp.wkv_a, REPL, mesh),
+        wo=_qt(lp.wo, ROW, mesh),
+        wq=_qt(lp.wq, COL, mesh),
+        wq_a=_qt(lp.wq_a, REPL, mesh),
+        wq_b=_qt(lp.wq_b, COL, mesh),
+        wkv_b=_qt(lp.wkv_b, COL, mesh),
+        wc=_qt(lp.wc, COL, mesh),
+        wq_rope_b=_qt(lp.wq_rope_b, COL, mesh),
+        wv_b=_qt(lp.wv_b, COL, mesh),
+        w1=_qt(lp.w1, EXP if moe else COL, mesh),
+        w2=_qt(lp.w2, EXP if moe else ROW, mesh),
+        w3=_qt(lp.w3, EXP if moe else COL, mesh),
+        shared_w1=_qt(lp.shared_w1, COL, mesh),
+        shared_w2=_qt(lp.shared_w2, ROW, mesh),
+        shared_w3=_qt(lp.shared_w3, COL, mesh),
+        moegate=_rep(lp.moegate, mesh),
+        moegate_bias=_rep(lp.moegate_bias, mesh),
+    )
+
+
 def param_shardings(params: ModelParams, cfg: ModelConfig, mesh: Mesh) -> ModelParams:
-    layers = []
-    for l, lp in enumerate(params.layers):
-        moe = cfg.is_moe_layer(l)
-        layers.append(LayerParams(
-            attn_norm=_rep(lp.attn_norm, mesh),
-            ffn_norm=_rep(lp.ffn_norm, mesh),
-            kv_a_norm=_rep(lp.kv_a_norm, mesh),
-            q_a_norm=_rep(lp.q_a_norm, mesh),
-            wkv_a=_qt(lp.wkv_a, REPL, mesh),
-            wo=_qt(lp.wo, ROW, mesh),
-            wq=_qt(lp.wq, COL, mesh),
-            wq_a=_qt(lp.wq_a, REPL, mesh),
-            wq_b=_qt(lp.wq_b, COL, mesh),
-            wkv_b=_qt(lp.wkv_b, COL, mesh),
-            wc=_qt(lp.wc, COL, mesh),
-            wq_rope_b=_qt(lp.wq_rope_b, COL, mesh),
-            wv_b=_qt(lp.wv_b, COL, mesh),
-            w1=_qt(lp.w1, EXP if moe else COL, mesh),
-            w2=_qt(lp.w2, EXP if moe else ROW, mesh),
-            w3=_qt(lp.w3, EXP if moe else COL, mesh),
-            shared_w1=_qt(lp.shared_w1, COL, mesh),
-            shared_w2=_qt(lp.shared_w2, ROW, mesh),
-            shared_w3=_qt(lp.shared_w3, COL, mesh),
-            moegate=_rep(lp.moegate, mesh),
-            moegate_bias=_rep(lp.moegate_bias, mesh),
-        ))
+    from deepseek_tpu.models.params import MTPParams
+
+    layers = [_layer_shardings(lp, cfg.is_moe_layer(l), mesh)
+              for l, lp in enumerate(params.layers)]
+    mtp = None
+    if params.mtp is not None:
+        # the MTP drafter runs replicated (it is a single-host drafting
+        # loop); its block still follows the layer rules so the weights
+        # shard consistently when present on a mesh
+        mtp = MTPParams(
+            enorm=_rep(params.mtp.enorm, mesh),
+            hnorm=_rep(params.mtp.hnorm, mesh),
+            eh_proj=_qt(params.mtp.eh_proj, REPL, mesh),
+            block=_layer_shardings(
+                params.mtp.block, params.mtp.block.moegate is not None, mesh),
+            final_norm=_rep(params.mtp.final_norm, mesh),
+        )
     return ModelParams(
         embed=_qt(params.embed, REPL, mesh),
         layers=layers,
         final_norm=_rep(params.final_norm, mesh),
         lm_head=_qt(params.lm_head, COL, mesh),
+        mtp=mtp,
     )
 
 

@@ -13,6 +13,30 @@ from deepseek_tpu.engine import Engine
 from tests.util_hf import hf_config, hf_weights, write_hf_dir
 
 
+def test_hybrid_prefill_with_int8_cache(tmp_path):
+    """Decompressed prefill + int8 KV cache: the prefill branch must carry
+    the sink float-master buffer through (regression: it was dropped,
+    crashing the first decode step after hydrate)."""
+    cfg = hf_config(dim=64, hidden=96, q_lora=48, kv_lora=32, nope=16,
+                    rope=16, v_dim=16, layers=2, vocab=300)
+    hf_dir = os.path.join(str(tmp_path), "hf8")
+    write_hf_dir(hf_dir, cfg, hf_weights(cfg, seed=4, scale=0.15))
+    out = os.path.join(str(tmp_path), "mla8")
+    cv.convert(hf_dir, out, quant="fp32", use_mla=True)
+
+    eng = Engine(out, seed=0, prefill_chunk=8, kv_cache_dtype="int8")
+    assert eng.params.layers[0].wkv_b is not None  # hybrid path active
+    toks = eng.tokenizer.encode("hello world", bos=True)
+    out_toks, _ = eng.generate(toks, num_steps=6, temperature=0.0)
+    assert len(out_toks) >= 1
+
+    # parity against the float cache within int8 rounding
+    eng_f = Engine(out, seed=0, prefill_chunk=8)
+    want, _ = eng_f.generate(toks, num_steps=6, temperature=0.0)
+    # greedy tokens may flip on near-ties; just require a sane prefix match
+    assert out_toks[0] == want[0]
+
+
 def test_hybrid_prefill_equals_absorbed(tmp_path):
     cfg = hf_config(dim=64, hidden=96, q_lora=48, kv_lora=32, nope=16,
                     rope=16, v_dim=16, layers=2, vocab=300)
