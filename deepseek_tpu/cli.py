@@ -220,7 +220,11 @@ def run_completion(engine: Engine, args: Args):
             encoding, steps, temperature=args.temperature, top_p=args.top_p,
             on_token=emit)
     print()
+    spec = (f"  speculative: {st.spec_accepted}/{st.spec_drafted} drafts "
+            f"accepted over {st.spec_rounds} rounds "
+            f"({100*st.acceptance_rate:.0f}%)\n") if st.spec_rounds else ""
     print(f"Generation stats:\n"
+          f"{spec}"
           f"  {st.generated_tokens} tokens\n"
           f"  throughput: {st.tok_per_s:.5g} tok/s\n"
           f"  latency: {st.generate_s/max(st.generated_tokens,1):.5g} s/tok\n"

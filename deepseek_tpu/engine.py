@@ -35,6 +35,14 @@ class GenerationStats:
     hydrate_s: float = 0.0
     generate_s: float = 0.0
     active_bytes_per_token: float = 0.0
+    # speculative decoding telemetry
+    spec_rounds: int = 0
+    spec_drafted: int = 0
+    spec_accepted: int = 0
+
+    @property
+    def acceptance_rate(self) -> float:
+        return self.spec_accepted / self.spec_drafted if self.spec_drafted else 0.0
 
     @property
     def tok_per_s(self) -> float:
@@ -398,6 +406,9 @@ class Engine:
             # 3. acceptance (output follows the target distribution exactly)
             n_acc, replacement = _accept_drafts(
                 lg_all, drafts, qdists, temperature, top_p, rng)
+            stats.spec_rounds += 1
+            stats.spec_drafted += k
+            stats.spec_accepted += n_acc
 
             for d in drafts[:n_acc]:
                 stopped = emit(d)
@@ -573,6 +584,9 @@ class Engine:
             # 3. lossless acceptance
             n_acc, replacement = _accept_drafts(
                 lg_np, drafts, qdists, temperature, top_p, rng)
+            stats.spec_rounds += 1
+            stats.spec_drafted += k
+            stats.spec_accepted += n_acc
 
             for d in drafts[:n_acc]:
                 stopped = emit(d)

@@ -1,0 +1,112 @@
+"""Continuous-batching serving throughput at bench scale.
+
+Drives the BatchScheduler directly (the HTTP layer adds only queue hops):
+M requests with P-token prompts, max_tokens each, measured end-to-end
+(admission prefills + fused block decodes). Usage:
+
+    python scripts/bench_serve.py [batch_slots] [n_requests] [max_tokens] [block]
+"""
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+
+import numpy as np
+
+from bench import bench_config
+from deepseek_tpu.models.testing import random_params
+from deepseek_tpu.serving import BatchScheduler, Request
+
+
+class _BenchEngine:
+    """Engine-shaped shim over random bench-scale params (no checkpoint:
+    building one server-side costs minutes of remote transfers)."""
+
+    def __init__(self, cfg):
+        from deepseek_tpu.models import init_cache, make_forward
+        from deepseek_tpu.models.loader import params_active_bytes
+
+        self.cfg = cfg
+        self.params = random_params(cfg, seed=0)
+        jax.block_until_ready(jax.tree.leaves(self.params))
+        self.prefill_chunk = 256
+        self._fns = {}
+        self._init_cache = init_cache
+        self._make_forward = make_forward
+        self._pab = params_active_bytes
+
+        class Tok:
+            bos_id = 1
+
+            def decode_one(self, prev, tok):
+                return b"?"
+
+            def is_eos_or_eot(self, tok):
+                return False  # run all requests to max_tokens
+
+        self.tokenizer = Tok()
+
+        class Sam:
+            def sample(self, logits, t, p):
+                return int(np.argmax(logits))
+
+        self.sampler = Sam()
+
+    def new_cache(self, batch=1):
+        return self._init_cache(self.cfg, batch=batch)
+
+    def fwd(self, prefill, logits_mode):
+        key = (prefill, logits_mode)
+        if key not in self._fns:
+            self._fns[key] = self._make_forward(
+                self.cfg, prefill=prefill, logits_mode=logits_mode)
+        return self._fns[key]
+
+    # BatchScheduler._admit calls engine.hydrate
+    def hydrate(self, cache, tokens, pos0=0, want_last_logits=True,
+                collect_all_logits=False, progress=None):
+        from deepseek_tpu.engine import Engine
+        return Engine.hydrate(self, cache, tokens, pos0, want_last_logits,
+                              collect_all_logits, progress)
+
+
+def main():
+    import jax.numpy as jnp  # noqa: F401
+
+    slots = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    n_req = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+    max_tok = int(sys.argv[3]) if len(sys.argv) > 3 else 64
+    block = int(sys.argv[4]) if len(sys.argv) > 4 else 8
+
+    cfg = bench_config(8 if jax.default_backend() != "cpu" else 2)
+    eng = _BenchEngine(cfg)
+    rng = np.random.default_rng(0)
+
+    sched = BatchScheduler(eng, batch_size=slots, decode_block=block)
+    # warmup: one full mini-workload (compiles admission + decode block)
+    sched.submit(Request(prompt_tokens=rng.integers(
+        2, cfg.vocab_size, 32).tolist(), max_new_tokens=sched.block,
+        temperature=0.0))
+    sched.run()
+
+    sched = BatchScheduler(eng, batch_size=slots, decode_block=block)
+    for _ in range(n_req):
+        sched.submit(Request(
+            prompt_tokens=rng.integers(2, cfg.vocab_size, 64).tolist(),
+            max_new_tokens=max_tok, temperature=0.0))
+    t0 = time.perf_counter()
+    done = sched.run()
+    dt = time.perf_counter() - t0
+    total = sum(len(r.out_tokens) for r in done)
+    print(f"serving: {len(done)} requests, {total} tokens in {dt:.2f}s "
+          f"-> {total/dt:.0f} tok/s aggregate "
+          f"(slots={slots}, block={sched.block})")
+
+
+if __name__ == "__main__":
+    main()
