@@ -94,6 +94,10 @@ def main():
 
     tok_s = n_steps / dt
     gb_s = params_active_bytes(params, cfg, pos0 + n_steps) * tok_s / 1e9
+    # the chip-local roofline fraction is the honest headline: measured HBM
+    # read bandwidth on this v5e is ~820 GB/s (PERFORMANCE.md)
+    HBM_GB_S = 820.0
+    roofline_frac = gb_s / HBM_GB_S
 
     # prefill throughput (chunked hydrate; grouped-gmm MoE path on TPU)
     from deepseek_tpu.models import make_forward
@@ -120,6 +124,11 @@ def main():
         "extra": {
             "layers": layers,
             "active_GB_per_s": round(gb_s, 2),
+            # fraction of this chip's measured HBM roofline — the
+            # apples-to-apples headline (vs_baseline crosses hardware AND
+            # model scale: 8-layer bf16 V2-Lite-oid on TPU vs 671B Q2_K on
+            # a 48-core CPU; it is the only number the reference publishes)
+            "hbm_roofline_frac": round(roofline_frac, 3),
             "prefill_tok_per_s": round(prefill_tok_s, 1),
             "backend": backend,
         },

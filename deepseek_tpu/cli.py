@@ -210,7 +210,15 @@ def run_completion(engine: Engine, args: Args):
             encoding, steps, temperature=args.temperature,
             top_p=args.top_p, spec_k=args.spec_k, on_token=emit)
     elif args.draft:
-        draft_engine = Engine(args.draft, seed=0,
+        # forward the session flags so the draft runs under the same compute
+        # dtype / KV dtype / context / YaRN regime as the target (a
+        # default-built draft would silently run full-window f32)
+        draft_engine = Engine(args.draft,
+                              context=args.context,
+                              compute_dtype=args.dtype,
+                              kv_cache_dtype=args.kv_dtype,
+                              use_yarn=args.yarn,
+                              seed=args.seed if args.seed is not None else 0,
                               prefill_chunk=args.chunk)
         out, st = engine.generate_speculative(
             encoding, draft_engine, steps, temperature=args.temperature,

@@ -124,6 +124,13 @@ class ModelConfig:
     # apply YaRN rope scaling (the reference parses but never applies it —
     # "sinks rather than yarn", README.md:93; opt-in quality improvement)
     use_yarn: bool = False
+    # expert-parallel prefill capacity factor: each EP shard computes only
+    # its OWNED token-expert pairs, compacted into a buffer of
+    # ceil(cf * N / EP) rows (N = B*T*k pairs) — per-shard MoE FLOPs scale
+    # ~cf*k/EP instead of k. Routing skew past the capacity raises the
+    # overflow count returned by the prefill forward; callers retry that
+    # chunk with the exact path (0 disables the capacity, always exact).
+    ep_capacity_factor: float = 2.0
 
     @property
     def head_dim(self) -> int:

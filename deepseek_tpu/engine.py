@@ -23,7 +23,7 @@ from deepseek_tpu.config import ModelConfig
 from deepseek_tpu.models import init_cache, make_forward
 from deepseek_tpu.models.deepseek import make_decode_loop
 from deepseek_tpu.models.loader import load_params, params_active_bytes
-from deepseek_tpu.sampler import Sampler
+from deepseek_tpu.sampler import Sampler, nucleus_probs as _nucleus_probs
 from deepseek_tpu.tokenizer import Tokenizer
 from deepseek_tpu.utils.codec import load_checkpoint
 
@@ -54,26 +54,6 @@ class GenerationStats:
             return 0.0
         return self.active_bytes_per_token * self.generated_tokens / self.generate_s / 1e9
 
-
-
-def _nucleus_probs(lg: "np.ndarray", temperature: float, top_p: float
-                   ) -> "np.ndarray":
-    """Host-side nucleus distribution matching the on-device sampler; used
-    by the speculative acceptance rule. temperature<=0 -> one-hot argmax."""
-    if temperature <= 0:
-        p = np.zeros(lg.shape[-1])
-        p[int(np.argmax(lg))] = 1.0
-        return p
-    z = lg.astype(np.float64) / max(temperature, 1e-6)
-    z -= z.max()
-    p = np.exp(z)
-    p /= p.sum()
-    order = np.argsort(-p)
-    cum = np.cumsum(p[order])
-    keep = np.zeros_like(p, bool)
-    keep[order[:max(1, int(np.searchsorted(cum, top_p) + 1))]] = True
-    p = np.where(keep, p, 0.0)
-    return p / p.sum()
 
 
 def _accept_drafts(lg_all: "np.ndarray", drafts: list, qdists: list,
@@ -120,6 +100,10 @@ class Engine:
             overrides["compute_dtype"] = compute_dtype
         if kv_cache_dtype:
             overrides["kv_cache_dtype"] = kv_cache_dtype
+        elif jax.default_backend() == "tpu":
+            # the TPU has no native f16 (Mosaic rejects it); bf16 is the
+            # hardware half dtype — same cache bytes as the reference's f16
+            overrides["kv_cache_dtype"] = "bfloat16"
         if use_yarn:
             overrides["use_yarn"] = True
         self.cfg = ModelConfig.from_metadata(self.data.metadata, context=context, **overrides)
@@ -161,41 +145,70 @@ class Engine:
         return params_active_bytes(self.params, self.cfg, pos)
 
     # ------------------------------------------------------------------
+    def _target_logprobs(self, logits, targets, r: int) -> np.ndarray:
+        """Gather log_softmax(logits)[i, targets[i]] on device; only the (r,)
+        scored rows cross the (slow) host link, never the (r, V) matrix."""
+        key = "ppl_gather"
+        if key not in self._fns:
+            def g(lg, tg):
+                lsm = jax.nn.log_softmax(lg.astype(jnp.float32), axis=-1)
+                return jnp.take_along_axis(lsm, tg[:, None], axis=-1)[:, 0]
+            self._fns[key] = jax.jit(g)
+        out = self._fns[key](logits, jnp.asarray(targets, jnp.int32))
+        return np.asarray(out[:r])
+
     def hydrate(self, cache, tokens: List[int], pos0: int = 0,
                 want_last_logits: bool = True,
                 collect_all_logits: bool = False,
-                progress: Optional[Callable[[int, int], None]] = None):
+                progress: Optional[Callable[[int, int], None]] = None,
+                target_tokens: Optional[List[int]] = None):
         """Feed ``tokens`` at positions pos0.. into the cache.
 
-        Returns (cache, last_logits | None, all_log_softmax | None, end_pos).
-        ``collect_all_logits`` returns per-position log-softmax rows gathered
-        for perplexity (computed on device per chunk).
+        Returns (cache, last_logits | None, collected | None, end_pos).
+        ``collect_all_logits`` returns per-position log-softmax rows (N, V);
+        ``target_tokens`` (len N, entry i scored against the logits after
+        feeding tokens[i]; the final entry may be a dummy) instead gathers
+        only the per-position target logprobs (N,) ON DEVICE — the full
+        (N, V) matrix never crosses the host link (perplexity mode).
         """
         cfg = self.cfg
         window = cfg.kv_window
         C = self.prefill_chunk
         N = len(tokens)
         last_logits = None
-        chunk_logits: List[np.ndarray] = []  # log_softmax (r, V) per chunk
+        collect = collect_all_logits or target_tokens is not None
+        chunk_logits: List[np.ndarray] = []  # per-chunk (r, V) lsm or (r,) lp
+
+        def collect_rows(out_rows, i: int, r: int):
+            """out_rows: (T, V) logits for rows i..i+r-1 (T >= r)."""
+            if target_tokens is not None:
+                T = out_rows.shape[0]
+                tg = list(target_tokens[i:i + r]) + [0] * (T - r)
+                chunk_logits.append(self._target_logprobs(out_rows, tg, r))
+            else:
+                lsm = jax.nn.log_softmax(out_rows[:r], axis=-1)
+                chunk_logits.append(np.asarray(lsm))
 
         i = 0
         while i < N:
             pos = pos0 + i
             n_left = N - i
-            if pos + C <= window:
-                r = min(C, n_left)
-                chunk = list(tokens[i:i + r]) + [0] * (C - r)
+            if pos < window:
+                # chunk clamped to the window edge (min(C, window-pos)) so a
+                # prompt ending near the edge still prefills instead of
+                # degrading to one-token decode dispatches
+                cp = min(C, window - pos)
+                r = min(cp, n_left)
+                chunk = list(tokens[i:i + r]) + [0] * (cp - r)
                 is_last = i + r == N
-                need_all = collect_all_logits
                 need_last = is_last and want_last_logits
-                mode = "all" if (need_all or (need_last and r < C)) else (
+                mode = "all" if (collect or (need_last and r < cp)) else (
                     "last" if need_last else "none")
                 out, cache = self.fwd(True, mode)(
                     self.params, cache, jnp.asarray([chunk], jnp.int32), pos)
                 if mode == "all":
-                    if collect_all_logits:
-                        lsm = jax.nn.log_softmax(out[0, :r], axis=-1)
-                        chunk_logits.append(np.asarray(lsm))
+                    if collect:
+                        collect_rows(out[0], i, r)
                     if need_last:
                         last_logits = np.asarray(out[0, r - 1])
                 elif mode == "last":
@@ -204,13 +217,12 @@ class Engine:
             else:
                 tok = tokens[i]
                 is_last = i + 1 == N
-                mode = "all" if collect_all_logits else (
+                mode = "all" if collect else (
                     "last" if (is_last and want_last_logits) else "none")
                 if mode == "all":
                     out, cache = self.fwd(False, "last")(
                         self.params, cache, jnp.asarray([[tok]], jnp.int32), pos)
-                    lsm = jax.nn.log_softmax(out[0], axis=-1)
-                    chunk_logits.append(np.asarray(lsm)[None])
+                    collect_rows(out, i, 1)
                     if is_last and want_last_logits:
                         last_logits = np.asarray(out[0])
                 else:
@@ -365,6 +377,45 @@ class Engine:
         stopped = emit(token)
         dstep = draft.fwd(False, "last")
         window = min(cfg.kv_window, draft.cfg.kv_window)
+
+        # fused stage: R complete speculation rounds per dispatch (draft-k,
+        # verify, acceptance all on device — deepseek_tpu.speculative); the
+        # stepwise loop below handles the window boundary and the tail
+        R = 4
+        fused = None
+        while (not stopped and len(out_tokens) < max_new and spec_k >= 1
+               and pos + R * (spec_k + 1) <= window):
+            if fused is None:
+                from deepseek_tpu.speculative import make_spec_rounds
+                key = ("spec_rounds", spec_k, R)
+                if key not in self._fns:
+                    self._fns[key] = make_spec_rounds(
+                        self.cfg, draft.cfg, spec_k, R)
+                fused = self._fns[key]
+            self._key, sub = jax.random.split(self._key)
+            drafts_r, nacc_r, next_r, cache, dcache = fused(
+                self.params, draft.params, cache, dcache,
+                jnp.asarray([[token]], jnp.int32), pos, sub,
+                jnp.float32(temperature), jnp.float32(top_p))
+            drafts_r = np.asarray(drafts_r)
+            nacc_r = np.asarray(nacc_r)
+            next_r = np.asarray(next_r)
+            for r in range(R):
+                na = int(nacc_r[r])
+                stats.spec_rounds += 1
+                stats.spec_drafted += spec_k
+                stats.spec_accepted += na
+                for d in drafts_r[r, :na]:
+                    stopped = emit(int(d))
+                    if stopped or len(out_tokens) >= max_new:
+                        break
+                if stopped or len(out_tokens) >= max_new:
+                    break
+                token = int(next_r[r])
+                pos += na + 1
+                stopped = emit(token)
+                if stopped or len(out_tokens) >= max_new:
+                    break
 
         while not stopped and len(out_tokens) < max_new:
             k = min(spec_k, max_new - len(out_tokens))
@@ -549,6 +600,42 @@ class Engine:
         mtp_live = True  # once the window fallback starts, h_cur and the
         # MTP cache go stale — never re-enter drafting
 
+        # fused stage: R complete MTP speculation rounds per dispatch
+        # (deepseek_tpu.speculative); the stepwise loop below handles the
+        # window boundary and the tail
+        R = 4
+        fused = None
+        while (not stopped and len(out_tokens) < max_new and spec_k >= 1
+               and pos + R * (spec_k + 1) <= window):
+            if fused is None:
+                from deepseek_tpu.speculative import make_mtp_spec_rounds
+                fused = fns(("mtp_rounds", spec_k, R),
+                            lambda: make_mtp_spec_rounds(cfg, spec_k, R))
+            self._key, sub = jax.random.split(self._key)
+            drafts_r, nacc_r, next_r, h_cur, cache, mtp_cache = fused(
+                self.params, cache, mtp_cache,
+                jnp.asarray([[token]], jnp.int32), h_cur, pos, sub,
+                jnp.float32(temperature), jnp.float32(top_p))
+            drafts_r = np.asarray(drafts_r)
+            nacc_r = np.asarray(nacc_r)
+            next_r = np.asarray(next_r)
+            for r in range(R):
+                na = int(nacc_r[r])
+                stats.spec_rounds += 1
+                stats.spec_drafted += spec_k
+                stats.spec_accepted += na
+                for d in drafts_r[r, :na]:
+                    stopped = emit(int(d))
+                    if stopped or len(out_tokens) >= max_new:
+                        break
+                if stopped or len(out_tokens) >= max_new:
+                    break
+                token = int(next_r[r])
+                pos += na + 1
+                stopped = emit(token)
+                if stopped or len(out_tokens) >= max_new:
+                    break
+
         while not stopped and len(out_tokens) < max_new:
             k = min(spec_k, max_new - len(out_tokens))
             if pos + k + 1 > window or k < 1 or not mtp_live:
@@ -631,12 +718,12 @@ class Engine:
         N = len(tokens)
         assert N >= 2, "perplexity needs at least 2 tokens"
         cache = self.new_cache()
-        cache, _, lsm, _ = self.hydrate(
-            cache, tokens, 0, want_last_logits=False, collect_all_logits=True,
-            progress=progress)
-        # lsm[i] = log_softmax of logits after feeding tokens[i]
-        targets = np.asarray(tokens[1:])
-        logprobs = lsm[np.arange(N - 1), targets]
+        # target for the logits after tokens[i] is tokens[i+1]; the final row
+        # (nothing follows) gets a dummy target and is dropped below
+        cache, _, logprobs, _ = self.hydrate(
+            cache, tokens, 0, want_last_logits=False, progress=progress,
+            target_tokens=list(tokens[1:]) + [0])
+        logprobs = logprobs[:N - 1]
         n = N - 1
         s = float(-logprobs.sum())
         ss = float((logprobs ** 2).sum())

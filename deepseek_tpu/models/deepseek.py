@@ -380,9 +380,12 @@ def _dense_glu(w1, w2, w3, xb: jnp.ndarray, cfg: ModelConfig, impl, ctx) -> jnp.
 
 
 def _ffn(lp: LayerParams, cfg: ModelConfig, xb: jnp.ndarray, layer: int,
-         prefill: bool, impl, ctx) -> jnp.ndarray:
+         prefill: bool, impl, ctx):
+    """Returns (out (B,T,dim), ovf | None) — ovf is the EP prefill capacity
+    overflow count (ops.matmul.ep_prefill_capacity), None off that path."""
+    ovf = None
     if not cfg.is_moe_layer(layer):
-        return _dense_glu(lp.w1, lp.w2, lp.w3, xb, cfg, impl, ctx)
+        return _dense_glu(lp.w1, lp.w2, lp.w3, xb, cfg, impl, ctx), ovf
 
     router_logits = jnp.einsum(
         "btd,ed->bte", xb.astype(jnp.float32), lp.moegate,
@@ -393,9 +396,10 @@ def _ffn(lp: LayerParams, cfg: ModelConfig, xb: jnp.ndarray, layer: int,
     from deepseek_tpu.ops.matmul import grouped_expert_ffn, grouped_ffn_supported
     if prefill and impl is not None and grouped_ffn_supported(cfg, lp.w1):
         # ragged grouped matmul (megablocks gmm): FLOPs scale with the k
-        # routed experts per token, not all E — see grouped_expert_ffn
-        out = grouped_expert_ffn(lp.w1, lp.w2, lp.w3, xb, weights, idx,
-                                 cfg.act, ctx, interpret=impl["interpret"])
+        # routed experts per token, not all E — and with ~cf*k/EP under
+        # expert parallelism (owned-pair compaction) — see grouped_expert_ffn
+        out, ovf = grouped_expert_ffn(lp.w1, lp.w2, lp.w3, xb, weights, idx,
+                                      cfg.act, ctx, interpret=impl["interpret"])
     elif prefill:
         # dense-over-experts fallback: every expert read once per chunk;
         # routing weights scatter-combined through a (B,T,E) matrix
@@ -413,21 +417,25 @@ def _ffn(lp: LayerParams, cfg: ModelConfig, xb: jnp.ndarray, layer: int,
         out = ctx.psum_e(jnp.einsum("bted,bte->btd", per_e, wmat)).astype(dtype)
     elif impl is not None:
         # decode hot path: scalar-prefetch expert kernel — only the k active
-        # experts' packed bytes leave HBM (the XLA gather reads all E)
+        # experts' packed bytes leave HBM (the XLA gather reads all E). The
+        # pair list is expert-sorted (EP ownership folded in) so repeated
+        # experts' weight tiles are fetched ONCE: per-shard traffic scales
+        # with distinct owned experts, ~k/EP under expert parallelism.
         from deepseek_tpu.ops.pallas.qmm import qmm_experts
         B, T, k = idx.shape
         assert T == 1
-        idx2, wts = ctx.expert_slots(idx[:, 0], weights[:, 0],
-                                     cfg.n_routed_experts)        # (B, k)
-        x2 = xb[:, 0]                                             # (B, dim)
-        xk = jnp.broadcast_to(x2[:, None], (B, k, x2.shape[-1]))
+        lidx, wts, tok = ctx.dispatch_pairs(idx[:, 0], weights[:, 0],
+                                            cfg.n_routed_experts)  # (N,) each
+        x2 = xb[:, 0]                                              # (B, dim)
+        xk = x2[tok][None]                                         # (1, N, dim)
+        lidx2 = lidx[None]                                         # (1, N)
         h = glu_act(
-            qmm_experts(lp.w1, idx2, xk, interpret=impl["interpret"]).astype(dtype),
-            qmm_experts(lp.w3, idx2, xk, interpret=impl["interpret"]).astype(dtype),
-            cfg.act)                                              # (B, k, m)
-        per_k = qmm_experts(lp.w2, idx2, h, interpret=impl["interpret"])
-        out = ctx.psum_e(
-            (per_k * wts[:, :, None]).sum(axis=1)[:, None]).astype(dtype)
+            qmm_experts(lp.w1, lidx2, xk, interpret=impl["interpret"]).astype(dtype),
+            qmm_experts(lp.w3, lidx2, xk, interpret=impl["interpret"]).astype(dtype),
+            cfg.act)                                               # (1, N, m)
+        per = qmm_experts(lp.w2, lidx2, h, interpret=impl["interpret"])[0]
+        out = jax.ops.segment_sum(per * wts[:, None], tok, num_segments=B)
+        out = ctx.psum_e(out[:, None]).astype(dtype)
     else:
         # decode: gather only the k active experts' quantized weights
         idx, weights = ctx.expert_slots(idx, weights, cfg.n_routed_experts)
@@ -444,12 +452,13 @@ def _ffn(lp: LayerParams, cfg: ModelConfig, xb: jnp.ndarray, layer: int,
     if cfg.n_shared_experts > 0 and lp.shared_w1 is not None:
         out = out + _dense_glu(lp.shared_w1, lp.shared_w2, lp.shared_w3, xb,
                                cfg, impl, ctx)
-    return out
+    return out, ovf
 
 
 def _forward_impl(params: ModelParams, cache: KVCache, tokens: jnp.ndarray,
                   pos0, cfg: ModelConfig, prefill: bool, logits_mode: str,
-                  ctx=None, with_hidden: bool = False
+                  ctx=None, with_hidden: bool = False,
+                  with_ovf: bool = False
                   ) -> Tuple[Optional[jnp.ndarray], KVCache]:
     if ctx is None:
         from deepseek_tpu.parallel.spmd import NULL_CTX as ctx
@@ -477,6 +486,7 @@ def _forward_impl(params: ModelParams, cache: KVCache, tokens: jnp.ndarray,
         cache_start = kv_pos
 
     dbg("embed", x)
+    ovf_total = jnp.int32(0)
     for layer, lp in enumerate(params.layers):
         xb = rmsnorm(x, lp.attn_norm, cfg.norm_eps)
         dbg(f"l{layer}.attn_norm", xb)
@@ -487,13 +497,26 @@ def _forward_impl(params: ModelParams, cache: KVCache, tokens: jnp.ndarray,
         x = x + attn
         xb = rmsnorm(x, lp.ffn_norm, cfg.norm_eps)
         dbg(f"l{layer}.ffn_norm", xb)
-        ffn = _ffn(lp, cfg, xb, layer, prefill, impl, ctx)
+        ffn, ovf = _ffn(lp, cfg, xb, layer, prefill, impl, ctx)
+        if ovf is not None:
+            ovf_total = ovf_total + ovf
         dbg(f"l{layer}.ffn", ffn)
         x = x + ffn
 
+    if with_ovf:
+        ovf_total = ctx.psum_d(ovf_total)   # global count across DP shards
+
+    def ret(logits, cache):
+        out = (logits,)
+        if with_hidden:
+            out += (hidden,)
+        if with_ovf:
+            out += (ovf_total,)
+        return out + (cache,)
+
     hidden = x  # (B, T, dim) pre-final-norm — what the MTP module consumes
     if logits_mode == "none":
-        return (None, hidden, cache) if with_hidden else (None, cache)
+        return ret(None, cache)
     if logits_mode == "last":
         x = x[:, -1:]
     x = rmsnorm(x, params.final_norm, cfg.norm_eps)
@@ -502,9 +525,7 @@ def _forward_impl(params: ModelParams, cache: KVCache, tokens: jnp.ndarray,
     if logits_mode == "last":
         logits = logits[:, 0]
     dbg("logits", logits)
-    if with_hidden:
-        return logits, hidden, cache
-    return logits, cache
+    return ret(logits, cache)
 
 
 def _spmd_parts(cfg: ModelConfig, mesh, params, cache):
@@ -520,6 +541,57 @@ def _spmd_parts(cfg: ModelConfig, mesh, params, cache):
     return ctx, pspec, cspec, P
 
 
+def _params_span_devices(params) -> bool:
+    """True when any param leaf is laid out across >1 device (GSPMD run)."""
+    try:
+        for leaf in jax.tree.leaves(params):
+            sh = getattr(leaf, "sharding", None)
+            if sh is not None and getattr(sh, "num_devices", 1) > 1:
+                return True
+    except Exception:
+        return False
+    return False
+
+
+_warned_gspmd = False
+
+
+def _gspmd_kernel_gate(cfg: ModelConfig, build):
+    """Wrap a jitted-forward builder so multi-device GSPMD calls fall back
+    to the XLA dequant kernels.
+
+    pallas_call is opaque to the GSPMD partitioner: under plain jit with
+    NamedSharding params, XLA would all-gather/replicate the sharded weight
+    operands per chip before a Pallas kernel — defeating TP/EP memory
+    savings (and an OOM risk at full model scale). The shard_map path
+    (make_forward(mesh=...)) is how multi-chip keeps the fused kernels; the
+    plain-jit path detects spanning params on first call and disables them.
+    """
+    import dataclasses as _dc
+    state = {}
+
+    def wrapper(params, *rest):
+        key = "fn"
+        if key not in state:
+            if _params_span_devices(params) and kernel_impl(cfg) is not None:
+                global _warned_gspmd
+                if not _warned_gspmd:
+                    _warned_gspmd = True
+                    import logging
+                    logging.getLogger("deepseek_tpu").warning(
+                        "multi-device params under plain jit (GSPMD): Pallas "
+                        "fused-dequant kernels disabled (opaque to the "
+                        "partitioner — XLA would replicate the sharded "
+                        "weights per chip). Use make_forward(mesh=...) "
+                        "(shard_map path) to keep kernels on multi-chip.")
+                state[key] = build(_dc.replace(cfg, kernel_impl="xla"))
+            else:
+                state[key] = build(cfg)
+        return state[key](params, *rest)
+
+    return wrapper
+
+
 def make_forward(cfg: ModelConfig, *, prefill: bool = False,
                  logits_mode: str = "last", jit: bool = True,
                  mesh=None, params=None, cache=None,
@@ -533,26 +605,40 @@ def make_forward(cfg: ModelConfig, *, prefill: bool = False,
     derivation), the body runs under shard_map with explicit collectives —
     every operand inside is a local shard, so the Pallas kernels stay active
     on the multi-chip path. Logits come back replicated over the model axes
-    and sharded over ``data`` on batch.
+    and sharded over ``data`` on batch. Without ``mesh``, params that span
+    devices (GSPMD jit) disable the Pallas kernels (see _gspmd_kernel_gate).
     """
     assert logits_mode in ("all", "last", "none")
-    fn = functools.partial(
+
+    def build(cfg):
+        fn = functools.partial(
+            _forward_impl, cfg=cfg, prefill=prefill, logits_mode=logits_mode,
+            with_hidden=with_hidden)
+        return jax.jit(fn, donate_argnums=(1,)) if jit else fn
+
+    if mesh is None:
+        return _gspmd_kernel_gate(cfg, build) if jit else build(cfg)
+
+    assert not with_hidden, "with_hidden is a single-host engine hook"
+    if prefill and mesh.shape.get("seq", 1) > 1:
+        raise ValueError(
+            "chunked prefill is not supported with a seq-sharded KV "
+            "cache; hydrate with decode steps (seq parallelism targets "
+            "long-window decode)")
+    ctx, pspec, cspec, P = _spmd_parts(cfg, mesh, params, cache)
+    # EP prefill capacity compaction is INEXACT past the capacity: the
+    # forward then also returns the global overflow count -> (logits, ovf,
+    # cache); callers must retry overflowed chunks with ep_capacity_factor=0
+    with_ovf = (prefill and ctx.ep > 1 and cfg.ep_capacity_factor > 0)
+    body = functools.partial(
         _forward_impl, cfg=cfg, prefill=prefill, logits_mode=logits_mode,
-        with_hidden=with_hidden)
-    if mesh is not None:
-        assert not with_hidden, "with_hidden is a single-host engine hook"
-        if prefill and mesh.shape.get("seq", 1) > 1:
-            raise ValueError(
-                "chunked prefill is not supported with a seq-sharded KV "
-                "cache; hydrate with decode steps (seq parallelism targets "
-                "long-window decode)")
-        ctx, pspec, cspec, P = _spmd_parts(cfg, mesh, params, cache)
-        body = functools.partial(fn, ctx=ctx)
-        fn = jax.shard_map(
-            body, mesh=mesh,
-            in_specs=(pspec, cspec, P("data"), P()),
-            out_specs=(P("data"), cspec),
-            check_vma=False)
+        with_hidden=with_hidden, with_ovf=with_ovf, ctx=ctx)
+    out_specs = (P("data"),) + ((P(),) if with_ovf else ()) + (cspec,)
+    fn = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(pspec, cspec, P("data"), P()),
+        out_specs=out_specs,
+        check_vma=False)
     if jit:
         fn = jax.jit(fn, donate_argnums=(1,))
     return fn
@@ -577,35 +663,56 @@ def make_decode_loop(cfg: ModelConfig, n_steps: int, *, jit: bool = True,
     if mesh is not None:
         ctx, pspec, cspec, P = _spmd_parts(cfg, mesh, params, cache)
 
-    fwd = functools.partial(
-        _forward_impl, cfg=cfg, prefill=False, logits_mode="last", ctx=ctx)
+    def make_loop(cfg):
+        fwd = functools.partial(
+            _forward_impl, cfg=cfg, prefill=False, logits_mode="last",
+            ctx=ctx)
+
+        def loop(params, cache, tok, pos0, key, temperature, top_p):
+            pos0 = jnp.asarray(pos0, jnp.int32)
+            if ctx is not None and ctx.dp > 1:
+                # the key arrives replicated; fold in the data-shard index
+                # so DP shards draw independent sampling noise
+                key = jax.random.fold_in(key, jax.lax.axis_index("data"))
+
+            def body(carry, i):
+                cache, tok, key = carry
+                logits, cache = fwd(params, cache, tok, pos0 + i)
+                key, sub = jax.random.split(key)
+                nxt = sample_token(logits, sub, temperature, top_p)
+                return (cache, nxt[:, None], key), (nxt, logits)
+
+            (cache, _, _), (tokens, logits_all) = jax.lax.scan(
+                body, (cache, tok, key), jnp.arange(n_steps, dtype=jnp.int32))
+            return jnp.swapaxes(tokens, 0, 1), logits_all[-1], cache
+
+        return loop
+
+    if mesh is None:
+        def build(cfg):
+            loop = make_loop(cfg)
+            return jax.jit(loop, donate_argnums=(1,)) if jit else loop
+        return _gspmd_kernel_gate(cfg, build) if jit else build(cfg)
+
+    # whole rollout under one shard_map: the sampled-token feedback and all
+    # collectives stay inside a single scan body per step. pos0/temperature/
+    # top_p are broadcast to per-sequence (B,) vectors OUTSIDE the shard_map
+    # and batch-sharded with the tokens, so per-slot sampling params (the
+    # continuous-batching scheduler) work under dp > 1.
+    inner = jax.shard_map(
+        make_loop(cfg), mesh=mesh,
+        in_specs=(pspec, cspec, P("data"), P("data"), P(), P("data"),
+                  P("data")),
+        out_specs=(P("data"), P("data"), cspec),
+        check_vma=False)
 
     def loop(params, cache, tok, pos0, key, temperature, top_p):
-        pos0 = jnp.asarray(pos0, jnp.int32)
-        if ctx is not None and ctx.dp > 1:
-            # the key arrives replicated; fold in the data-shard index so DP
-            # shards draw independent sampling noise for their batch rows
-            key = jax.random.fold_in(key, jax.lax.axis_index("data"))
+        B = tok.shape[0]
+        bvec = lambda v, dt: jnp.broadcast_to(
+            jnp.asarray(v, dt).reshape(-1), (B,))
+        return inner(params, cache, tok, bvec(pos0, jnp.int32), key,
+                     bvec(temperature, jnp.float32), bvec(top_p, jnp.float32))
 
-        def body(carry, i):
-            cache, tok, key = carry
-            logits, cache = fwd(params, cache, tok, pos0 + i)
-            key, sub = jax.random.split(key)
-            nxt = sample_token(logits, sub, temperature, top_p)
-            return (cache, nxt[:, None], key), (nxt, logits)
-
-        (cache, _, _), (tokens, logits_all) = jax.lax.scan(
-            body, (cache, tok, key), jnp.arange(n_steps, dtype=jnp.int32))
-        return jnp.swapaxes(tokens, 0, 1), logits_all[-1], cache
-
-    if mesh is not None:
-        # whole rollout under one shard_map: the sampled-token feedback and
-        # all collectives stay inside a single scan body per step
-        loop = jax.shard_map(
-            loop, mesh=mesh,
-            in_specs=(pspec, cspec, P("data"), P(), P(), P(), P()),
-            out_specs=(P("data"), P("data"), cspec),
-            check_vma=False)
     if jit:
         loop = jax.jit(loop, donate_argnums=(1,))
     return loop

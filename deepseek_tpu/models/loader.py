@@ -59,6 +59,12 @@ def load_params(
             arr = np.asarray(w)
             if runtime_dtype is not None:
                 arr = arr.astype(jnp.dtype(runtime_dtype))
+            elif dt == "F16" and jax.default_backend() == "tpu":
+                # the TPU has no native f16: Mosaic rejects it outright and
+                # XLA emulates it. bf16 is the hardware dtype — same byte
+                # footprint, MXU-native (reference reads f16 via F16C,
+                # codec.h:23; the TPU equivalent of "native half" is bf16)
+                arr = arr.astype(jnp.bfloat16)
             return PlainTensor(data=put(name, arr))
 
         if dt == "F8_E5M2":

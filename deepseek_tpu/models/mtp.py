@@ -74,7 +74,7 @@ def _mtp_impl(params: ModelParams, cache, tokens, h, pos0,
     xb = rmsnorm(x, lp.ffn_norm, cfg.norm_eps)
     # the block's FFN form follows its own weights (V3's MTP layer is MoE)
     layer_kind = cfg.first_k_dense_replace if lp.moegate is not None else 0
-    x = x + _ffn(lp, cfg, xb, layer_kind, prefill, impl, NULL_CTX)
+    x = x + _ffn(lp, cfg, xb, layer_kind, prefill, impl, NULL_CTX)[0]
 
     logits = qmatmul(params.lm_head,
                      rmsnorm(x, mp.final_norm, cfg.norm_eps)

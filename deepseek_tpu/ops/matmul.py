@@ -77,14 +77,59 @@ def gather_experts(qt, idx: jnp.ndarray):
     return jax.tree.map(lambda a: jnp.take(a, idx, axis=0), qt)
 
 
+def ep_prefill_capacity(n_pairs: int, ep: int, cf: float,
+                        tile: int = 128) -> int:
+    """Static per-shard pair capacity for EP prefill compaction.
+
+    EP prefill dispatch design: activations are replicated across the
+    expert mesh axis, so "dispatch" is a local selection — each shard
+    counting-sorts its OWNED token-expert pairs into a capacity-C buffer
+    and runs the grouped matmuls on those rows only. Per-shard MoE FLOPs
+    therefore scale ~cf*k/EP instead of k (the pre-dispatch path computed
+    every pair on every shard, zero-weighted). Pairs past the capacity
+    (pathological routing skew) are counted and reported; their output
+    contribution is missing, so callers retry the chunk with cf=0 (exact).
+    """
+    if ep <= 1 or cf <= 0:
+        return -(-n_pairs // tile) * tile
+    c = min(n_pairs, int(cf * n_pairs / ep) + 1)
+    return min(-(-c // tile) * tile, -(-n_pairs // tile) * tile)
+
+
+def _ep_owned(flat_idx, flat_w, ctx, e_local: int):
+    """Ownership + per-expert counting-sort ranks for this shard.
+
+    Returns (lidx, owned, within, counts, w): local expert id per pair
+    (0 for non-owned), ownership mask, rank among same-expert owned pairs,
+    per-local-expert owned counts, weights with non-owned zeroed.
+    """
+    if ctx.ep > 1:
+        eid = jax.lax.axis_index(ctx.expert_axis)
+        owned = (flat_idx // e_local) == eid
+        lidx = jnp.where(owned, flat_idx % e_local, 0)
+        flat_w = jnp.where(owned, flat_w, 0.0)
+    else:
+        owned = jnp.ones(flat_idx.shape, bool)
+        lidx = flat_idx
+    cls = jnp.where(owned, lidx, e_local)                    # (N,)
+    oh = jax.nn.one_hot(cls, e_local + 1, dtype=jnp.int32)
+    within = jnp.take_along_axis(
+        jnp.cumsum(oh, axis=0) - 1, cls[:, None], axis=1)[:, 0]
+    counts = oh.sum(axis=0)[:e_local]
+    return lidx, owned, within, counts, flat_w
+
+
 def _quantized_grouped_ffn(w1, w2, w3, xb, weights, idx, act, ctx, interpret):
     """Quantized-expert prefill FFN: counting dispatch into 128-row tiles
     (each tile belongs to one expert) + qmm_grouped, which dequantizes the
     expert's packed bytes in VMEM — no HBM dequant materialization.
 
-    Static tile budget: G = E_local + ceil(N/128) covers the worst ragged
-    fragmentation (each expert wastes < one tile); surplus tiles point at
-    the last expert and compute discarded rows.
+    Static tile budget: G = E_local + C/128 where C is the EP capacity
+    (= all N pairs when ep==1; see ep_prefill_capacity) — each expert
+    wastes < one tile to ragged fragmentation; surplus tiles point at the
+    last expert and compute discarded rows.
+
+    Returns (out (B,T,dim), overflow count).
     """
     from deepseek_tpu.ops.activations import glu_act
     from deepseek_tpu.ops.pallas.qmm import _perm_x, qmm_grouped
@@ -95,28 +140,25 @@ def _quantized_grouped_ffn(w1, w2, w3, xb, weights, idx, act, ctx, interpret):
     dim = xb.shape[-1]
     dtype = xb.dtype
     N = B * T * k
-    flat_idx = idx.reshape(N)
-    flat_w = weights.reshape(N)
-    if ctx.ep > 1:
-        flat_idx, flat_w = ctx.expert_slots(flat_idx, flat_w,
-                                            ctx.ep * w1.shape[0])
     e_local = w1.shape[0]
+    C = ep_prefill_capacity(N, ctx.ep, ctx.ep_capacity_factor, TB)
+    G = e_local + C // TB                                    # static budget
 
-    oh = jax.nn.one_hot(flat_idx, e_local, dtype=jnp.int32)
-    within = jnp.take_along_axis(
-        jnp.cumsum(oh, axis=0) - 1, flat_idx[:, None], axis=1)[:, 0]
-    counts = oh.sum(axis=0)
+    lidx, owned, within, counts, flat_w = _ep_owned(
+        idx.reshape(N), weights.reshape(N), ctx, e_local)
     tiles_e = -(-counts // TB)
     tile_start = jnp.cumsum(tiles_e) - tiles_e               # (E_local,)
-    G = e_local + -(-N // TB)                                # static
     t_idx = jnp.arange(G, dtype=jnp.int32)
     tile_expert = jnp.clip(
         (t_idx[:, None] >= tile_start[None, :]).sum(axis=1) - 1,
         0, e_local - 1).astype(jnp.int32)
-    dest = tile_start[flat_idx] * TB + within                # (N,)
+    dest = jnp.where(owned, tile_start[lidx] * TB + within, G * TB)
+    keep = dest < G * TB
+    ovf = jnp.sum(owned & ~keep).astype(jnp.int32)
 
-    src = jnp.zeros((G * TB,), jnp.int32).at[dest].set(
-        jnp.arange(N, dtype=jnp.int32))
+    src = jnp.zeros((G * TB,), jnp.int32).at[
+        jnp.where(keep, dest, G * TB)].set(jnp.arange(N, dtype=jnp.int32),
+                                           mode="drop")
     # unfilled slots keep src=0 (token 0's row); their outputs are never
     # gathered back through `dest`
     x_rows = xb.reshape(B * T, dim)[src // k].astype(jnp.float32)
@@ -130,9 +172,10 @@ def _quantized_grouped_ffn(w1, w2, w3, xb, weights, idx, act, ctx, interpret):
     hin = _perm_x(h.reshape(G * TB, m), m) if kq else h.reshape(G * TB, m)
     y = gq(w2, tile_expert, hin.reshape(G, TB, m))           # (G, TB, dim)
 
-    y = y.reshape(G * TB, dim)[dest].reshape(B, T, k, dim) \
-        * flat_w.reshape(B, T, k)[..., None]
-    return ctx.psum_e(y.sum(axis=2)).astype(dtype)
+    y = jnp.where(keep[:, None],
+                  y.reshape(G * TB, dim)[jnp.clip(dest, 0, G * TB - 1)], 0.0)
+    y = (y * flat_w[:, None]).reshape(B, T, k, dim)
+    return ctx.psum_e(y.sum(axis=2)).astype(dtype), ctx.psum_e(ovf)
 
 
 def grouped_expert_ffn(w1, w2, w3, xb: jnp.ndarray, weights: jnp.ndarray,
@@ -148,8 +191,9 @@ def grouped_expert_ffn(w1, w2, w3, xb: jnp.ndarray, weights: jnp.ndarray,
 
     w1/w3 (E, m, dim), w2 (E, dim, m) QTensors (dequantized here — same
     materialization class as the dense path), xb (B, T, dim), weights/idx
-    (B, T, k). Under EP (ctx.ep > 1) non-owned pairs are pointed at local
-    expert 0 with zero weight; psum_e restores the full mixture.
+    (B, T, k). Under EP (ctx.ep > 1) only this shard's OWNED pairs are
+    computed, compacted to the static EP capacity (see ep_prefill_capacity);
+    psum_e restores the full mixture. Returns (out, overflow count).
     """
     from jax.experimental.pallas.ops.tpu import megablox
 
@@ -161,32 +205,30 @@ def grouped_expert_ffn(w1, w2, w3, xb: jnp.ndarray, weights: jnp.ndarray,
     dim = xb.shape[-1]
     dtype = xb.dtype
     N = B * T * k
-    Np = -(-N // 128) * 128      # gmm tiles m/k/n by 128
-    flat_idx = idx.reshape(N)
-    flat_w = weights.reshape(N)
-    if ctx.ep > 1:
-        flat_idx, flat_w = ctx.expert_slots(flat_idx, flat_w,
-                                            ctx.ep * w1.shape[0])
     d1, d2, d3 = (w.dequant(dtype) for w in (w1, w2, w3))
     e_local = d1.shape[0]
+    # gmm tiles m/k/n by 128; C = all N pairs (128-padded) when ep == 1
+    C = ep_prefill_capacity(N, ctx.ep, ctx.ep_capacity_factor, 128)
 
-    # padded rows go to the LAST local expert with zero weight. The grouping
-    # permutation is a counting sort built from a one-hot cumsum — a TPU
+    # grouping permutation built from a one-hot-cumsum counting sort — a TPU
     # sort HLO on the pair list costs milliseconds (argsort+gathers measured
-    # 6.3ms at T=512, more than the grouped matmuls themselves); the
-    # counting sort is a few (Np, E) integer passes.
-    pad_idx = jnp.full((Np - N,), e_local - 1, flat_idx.dtype)
-    flat_idx_p = jnp.concatenate([flat_idx, pad_idx])      # (Np,)
-    oh = jax.nn.one_hot(flat_idx_p, e_local, dtype=jnp.int32)
-    within = jnp.take_along_axis(
-        jnp.cumsum(oh, axis=0) - 1, flat_idx_p[:, None], axis=1)[:, 0]
-    sizes = oh.sum(axis=0).astype(jnp.int32)               # (e_local,)
-    starts = jnp.cumsum(sizes) - sizes
-    dest = starts[flat_idx_p] + within                     # (Np,) sorted slot
-    src = jnp.zeros((Np,), jnp.int32).at[dest].set(
-        jnp.arange(Np, dtype=jnp.int32))
-    token_of = jnp.where(src < N, src // k, 0)
-    x_rows = xb.reshape(B * T, dim)[token_of]              # (Np, dim) sorted
+    # 6.3ms at T=512, more than the grouped matmuls themselves)
+    lidx, owned, within, counts, flat_w = _ep_owned(
+        idx.reshape(N), weights.reshape(N), ctx, e_local)
+    starts = jnp.cumsum(counts) - counts
+    dest = jnp.where(owned, starts[lidx] + within, C)      # non-owned OOB
+    keep = dest < C
+    ovf = jnp.sum(owned & ~keep).astype(jnp.int32)
+    src = jnp.zeros((C,), jnp.int32).at[
+        jnp.where(keep, dest, C)].set(jnp.arange(N, dtype=jnp.int32),
+                                      mode="drop")
+    # per-group sizes clipped to the capacity; slack rows (unfilled, src=0)
+    # attach to the LAST expert and their outputs are never gathered back
+    g_start = jnp.minimum(starts, C)
+    g_end = jnp.minimum(starts + counts, C)
+    sizes = (g_end - g_start).astype(jnp.int32)
+    sizes = sizes.at[-1].add(C - sizes.sum())
+    x_rows = xb.reshape(B * T, dim)[src // k]              # (C, dim) sorted
 
     def tiling(k, n):
         # full-k tiles + wide n measured 2.6x over the (128,128,128) default
@@ -208,10 +250,11 @@ def grouped_expert_ffn(w1, w2, w3, xb: jnp.ndarray, weights: jnp.ndarray,
 
     from deepseek_tpu.ops.activations import glu_act
     h = glu_act(mm(x_rows, d1, sizes), mm(x_rows, d3, sizes), act).astype(dtype)
-    y = mm(h, d2, sizes)                                   # (Np, dim) f32
+    y = mm(h, d2, sizes)                                   # (C, dim) f32
 
-    y = y[dest[:N]].reshape(B, T, k, dim) * flat_w.reshape(B, T, k)[..., None]
-    return ctx.psum_e(y.sum(axis=2)).astype(dtype)
+    y = jnp.where(keep[:, None], y[jnp.clip(dest, 0, C - 1)], 0.0)
+    y = (y * flat_w[:, None]).reshape(B, T, k, dim)
+    return ctx.psum_e(y.sum(axis=2)).astype(dtype), ctx.psum_e(ovf)
 
 
 def grouped_ffn_supported(cfg, w1=None) -> bool:

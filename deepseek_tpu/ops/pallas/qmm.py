@@ -344,13 +344,13 @@ def qmm_grouped(qt, tile_expert, x_tiles, interpret: bool = False):
 
 def _squeeze_body(body):
     """Adapt a 2-D kernel body to the singleton block dims:
-    x (1,1,1,n)->.at[0,0] (1,n); weights (1,r,c)->.at[0] (r,c);
-    out (1,1,1,td)->.at[0,0] (1,td). The extra singleton penultimate dim
-    keeps Mosaic's last-two-dims block rule satisfied (1 == full dim)."""
+    x (1,1,n)->.at[0] (1,n); weights (1,r,c)->.at[0] (r,c);
+    out (1,1,td)->.at[0] (1,td). The singleton penultimate dim keeps
+    Mosaic's last-two-dims block rule satisfied (1 == full dim)."""
     def f(idx_ref, x_ref, *refs):
         o_ref = refs[-1]
         sq = [r.at[0] for r in refs[:-1]]
-        body(x_ref.at[0, 0], *sq, o_ref.at[0, 0])
+        body(x_ref.at[0], *sq, o_ref.at[0])
     return f
 
 
@@ -366,12 +366,21 @@ def qmm_experts(qt, idx, x, interpret: bool = False):
     enters the weight BlockSpec index_map via scalar prefetch, so HBM
     traffic is k experts per token — not all E (which is what an XLA gather
     of stacked experts degenerates to).
+
+    The grid runs the flattened pair axis INNERMOST (fixed output tile j,
+    pairs sweep): Mosaic skips the weight-tile DMA whenever the index map
+    repeats between consecutive iterations, so callers that sort the pair
+    list by expert id (ops.matmul / parallel.spmd EP dispatch) pay HBM
+    traffic per DISTINCT expert, not per pair — batched decode and
+    expert-parallel shards read each owned expert once.
     """
     B, k, n = x.shape
     x = x.astype(jnp.float32)
     if isinstance(qt, (Q2KTensor, Q3KTensor)):
         x = _perm_x(x, n)
-    x = x[:, :, None, :]                       # (B, k, 1, n): see _squeeze_body
+    N = B * k
+    x = x.reshape(N, 1, n)                     # pair-flat: see _squeeze_body
+    idx = idx.reshape(N)
     E, d = qt.shape[0], qt.shape[-2]
     td = min(_tile_d(d, n), d)
 
@@ -400,10 +409,10 @@ def qmm_experts(qt, idx, x, interpret: bool = False):
         # scale gets a singleton penultimate dim (Mosaic block rules)
         fields = (qt.data, qt.scale[:, :, None, :])
         extra_specs = [
-            pl.BlockSpec((1, td, n), lambda b, i, j, idx: (idx[b, i], j, 0),
+            pl.BlockSpec((1, td, n), lambda j, p, idx: (idx[p], j, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, td // b0, 1, n // b1),
-                         lambda b, i, j, idx: (idx[b, i], j, 0, 0),
+                         lambda j, p, idx: (idx[p], j, 0, 0),
                          memory_space=pltpu.VMEM),
         ]
 
@@ -412,8 +421,8 @@ def qmm_experts(qt, idx, x, interpret: bool = False):
     else:
         raise TypeError(type(qt))
 
-    grid = (B, k, pl.cdiv(d, td))
-    in_specs = [pl.BlockSpec((1, 1, 1, n), lambda b, i, j, idx: (b, i, 0, 0),
+    grid = (pl.cdiv(d, td), N)
+    in_specs = [pl.BlockSpec((1, 1, n), lambda j, p, idx: (p, 0, 0),
                              memory_space=pltpu.VMEM)]
     if isinstance(qt, Fp8Tensor):
         in_specs += extra_specs
@@ -421,11 +430,11 @@ def qmm_experts(qt, idx, x, interpret: bool = False):
         for f, c in zip(fields, cols):
             blk_rows = td if f.shape[-2] == d else td * f.shape[-2] // d
             in_specs.append(pl.BlockSpec(
-                (1, blk_rows, c), lambda b, i, j, idx: (idx[b, i], j, 0),
+                (1, blk_rows, c), lambda j, p, idx: (idx[p], j, 0),
                 memory_space=pltpu.VMEM))
-    out_spec = pl.BlockSpec((1, 1, 1, td), lambda b, i, j, idx: (b, i, 0, j),
+    out_spec = pl.BlockSpec((1, 1, td), lambda j, p, idx: (p, 0, j),
                             memory_space=pltpu.VMEM)
-    oshape = jax.ShapeDtypeStruct((B, k, 1, d), jnp.float32)
+    oshape = jax.ShapeDtypeStruct((N, 1, d), jnp.float32)
 
     out = pl.pallas_call(
         _squeeze_body(body),
@@ -434,4 +443,4 @@ def qmm_experts(qt, idx, x, interpret: bool = False):
             in_specs=in_specs, out_specs=out_spec),
         out_shape=oshape, interpret=interpret,
     )(idx.astype(jnp.int32), x, *fields)
-    return out[:, :, 0]
+    return out.reshape(B, k, d)

@@ -41,6 +41,31 @@ def _nucleus_mask(probs: jnp.ndarray, top_p) -> jnp.ndarray:
     return (probs >= lo) | (probs >= pmax)
 
 
+def nucleus_dist(logits: jnp.ndarray, temperature, top_p) -> jnp.ndarray:
+    """(..., V) logits -> (..., V) nucleus probabilities, the distribution
+    ``sample_token`` draws from: temperature==0 gives the one-hot argmax,
+    otherwise softmax over the nucleus keep-set (renormalized). Used by the
+    fused speculative-decoding acceptance rule (arXiv 2211.17192 needs the
+    full p and q rows in-graph)."""
+    logits = logits.astype(jnp.float32)
+    lead = logits.shape[:-1]
+    V = logits.shape[-1]
+    flat = logits.reshape(-1, V)
+    B = flat.shape[0]
+    temp = jnp.broadcast_to(jnp.asarray(temperature, jnp.float32), lead)
+    tflat = temp.reshape(-1)
+    topf = jnp.broadcast_to(
+        jnp.asarray(top_p, jnp.float32), lead).reshape(-1)
+    onehot = jax.nn.one_hot(jnp.argmax(flat, axis=-1), V, dtype=jnp.float32)
+    t = jnp.maximum(tflat, 1e-6)
+    probs = jax.nn.softmax(flat / t[:, None], axis=-1)
+    keep = _nucleus_mask(probs, topf[:, None])
+    p = jnp.where(keep, probs, 0.0)
+    p = p / jnp.maximum(p.sum(axis=-1, keepdims=True), 1e-30)
+    p = jnp.where((tflat == 0.0)[:, None], onehot, p)
+    return p.reshape(*lead, V)
+
+
 def sample_token(logits: jnp.ndarray, key, temperature, top_p) -> jnp.ndarray:
     """logits (B, V) f32 -> (B,) int32.
 

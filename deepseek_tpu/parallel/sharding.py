@@ -11,6 +11,7 @@ fp8 scales, odd vocab sizes) rather than failing.
 
 from __future__ import annotations
 
+import logging
 
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -20,14 +21,31 @@ from deepseek_tpu.models.kvcache import KVCache
 from deepseek_tpu.models.params import LayerParams, ModelParams
 
 
+_log = logging.getLogger("deepseek_tpu.sharding")
+_warned: set = set()
+
+
 def _fit(arr, spec: tuple, mesh: Mesh) -> P:
-    """Clamp a logical spec to what the array's shape actually supports."""
+    """Clamp a logical spec to what the array's shape actually supports.
+
+    Dropping an axis replicates the tensor — correct but a silent perf/memory
+    cliff for large tensors, so it is logged once per (shape, axis)."""
     dims = []
     for i in range(arr.ndim):
         ax = spec[i] if i < len(spec) else None
         if ax is not None and arr.shape[i] % mesh.shape[ax] == 0:
             dims.append(ax)
         else:
+            if (ax is not None and mesh.shape[ax] > 1
+                    and arr.size * arr.dtype.itemsize > 1 << 20):
+                key = (arr.shape, i, ax)
+                if key not in _warned:
+                    _warned.add(key)
+                    _log.warning(
+                        "replicating %s dim %d (size %d %% %s=%d != 0): "
+                        "%.1f MB per device instead of sharded",
+                        arr.shape, i, arr.shape[i], ax, mesh.shape[ax],
+                        arr.size * arr.dtype.itemsize / 1e6)
             dims.append(None)
     return P(*dims)
 

@@ -40,6 +40,9 @@ class SpmdCtx:
     tensor_axis: str = "tensor"
     expert_axis: str = "expert"
     seq_axis: str = "seq"
+    # EP prefill capacity factor (see ops.matmul.ep_prefill_capacity);
+    # 0 = exact/no compaction. Only meaningful when ep > 1.
+    ep_capacity_factor: float = 0.0
 
     def psum_t(self, x):
         """All-reduce a row-parallel matmul's partial sums over TP shards."""
@@ -48,6 +51,11 @@ class SpmdCtx:
     def psum_e(self, x):
         """All-reduce routed-expert partial outputs over EP shards."""
         return lax.psum(x, self.expert_axis) if self.ep > 1 else x
+
+    def psum_d(self, x):
+        """All-reduce over data shards (global scalar stats, e.g. the EP
+        prefill overflow count)."""
+        return lax.psum(x, "data") if self.dp > 1 else x
 
     def local_heads(self, n_heads: int) -> int:
         return n_heads // self.tp
@@ -58,6 +66,50 @@ class SpmdCtx:
             return lax.all_gather(logits, self.tensor_axis,
                                   axis=logits.ndim - 1, tiled=True)
         return logits
+
+    def dispatch_pairs(self, idx, weights, n_experts: int):
+        """Decode-path EP dispatch: flatten the (B, k) token-expert pairs,
+        keep only this shard's ownership (non-owned weights zeroed), and
+        SORT the pair list by local expert id with non-owned pairs last,
+        aliased to the last owned expert.
+
+        The sort makes consecutive pairs share their expert whenever
+        possible, and ``qmm_experts`` runs the pair axis innermost in its
+        grid — Mosaic elides the weight-tile DMA on repeated indices, so a
+        shard's HBM expert traffic scales with its DISTINCT owned experts
+        (~k/EP per token under EP; distinct-experts-per-batch when ep == 1)
+        instead of all B*k pairs. Compute for aliased pairs is wasted but
+        decode is bandwidth-bound; psum_e restores the full mixture.
+
+        Returns (local_idx (N,), w (N,), token (N,)) in sorted pair order,
+        N = B*k.
+        """
+        B, k = idx.shape
+        N = B * k
+        flat = idx.reshape(N)
+        w = weights.reshape(N)
+        tok = jnp.arange(N, dtype=jnp.int32) // k
+        if self.ep > 1:
+            e_local = n_experts // self.ep
+            eid = lax.axis_index(self.expert_axis)
+            owned = (flat // e_local) == eid
+            lidx = jnp.where(owned, flat % e_local, 0)
+            w = jnp.where(owned, w, 0.0)
+            key = jnp.where(owned, lidx, e_local)   # non-owned sort last
+        else:
+            owned = None
+            lidx = flat
+            key = lidx
+        order = jnp.argsort(key)                    # N is tiny (B*k)
+        lidx_s, w_s, tok_s = lidx[order], w[order], tok[order]
+        if self.ep > 1:
+            owned_s = owned[order]
+            # alias non-owned pairs to the LAST owned expert id: sorted
+            # ascending, so they immediately follow a pair with that id and
+            # their weight-tile fetch elides (their weight is already 0)
+            alias = jnp.maximum(jnp.max(jnp.where(owned_s, lidx_s, -1)), 0)
+            lidx_s = jnp.where(owned_s, lidx_s, alias)
+        return lidx_s, w_s, tok_s
 
     def expert_slots(self, idx, weights, n_experts: int):
         """Map global top-k expert ids to this shard's local expert table.
@@ -130,4 +182,5 @@ def make_ctx(cfg: ModelConfig, mesh: Mesh) -> SpmdCtx:
         _check(cfg.n_routed_experts % ep == 0,
                f"n_routed_experts {cfg.n_routed_experts} % expert {ep} == 0")
     return SpmdCtx(tp=tp, ep=ep, dp=dp, sp=sp,
-                   lm_head_tp=(tp > 1 and cfg.vocab_size % tp == 0))
+                   lm_head_tp=(tp > 1 and cfg.vocab_size % tp == 0),
+                   ep_capacity_factor=getattr(cfg, "ep_capacity_factor", 0.0))

@@ -15,6 +15,37 @@ from typing import Optional
 import numpy as np
 
 
+def nucleus_probs(logits: np.ndarray, temperature: float, top_p: float
+                  ) -> np.ndarray:
+    """The ONE host-side nucleus distribution, tie-handling identical to the
+    on-device sampler (ops/sampling.py): the keep set is {p >= p_cut} where
+    p_cut is the smallest probability inside the minimal prefix whose mass
+    reaches top_p — boundary ties are all kept, exactly like the device's
+    binary-searched threshold. temperature <= 0 -> one-hot argmax.
+
+    Used by Sampler.sample and by the speculative acceptance rule, so the
+    decode_block>1 (device) and decode_block=1 (host) paths sample from the
+    same distribution.
+    """
+    logits = np.asarray(logits, dtype=np.float32).reshape(-1)
+    if temperature <= 0:
+        p = np.zeros(logits.shape[-1], np.float64)
+        p[int(np.argmax(logits))] = 1.0
+        return p
+    z = logits.astype(np.float64) / max(temperature, 1e-6)
+    z -= z.max()
+    p = np.exp(z)
+    p /= p.sum()
+    if top_p < 1.0:
+        sorted_probs = np.sort(p)[::-1]
+        cum = np.cumsum(sorted_probs)
+        cutoff = int(np.searchsorted(cum, top_p) + 1)
+        p_cut = sorted_probs[min(cutoff, len(sorted_probs)) - 1]
+        p = np.where(p >= p_cut, p, 0.0)
+        p /= p.sum()
+    return p
+
+
 class Sampler:
     def __init__(self, vocab_size: int, seed: Optional[int] = None):
         self.vocab_size = vocab_size
@@ -38,15 +69,5 @@ class Sampler:
         logits = np.asarray(logits, dtype=np.float32).reshape(-1)
         if temperature == 0.0:
             return self.sample_argmax(logits)
-        probs = self._softmax(logits / temperature)
-        if top_p < 1.0:
-            order = np.argsort(-probs, kind="stable")
-            sorted_probs = probs[order]
-            cum = np.cumsum(sorted_probs)
-            # keep the smallest set whose mass >= top_p (always >= 1 token)
-            cutoff = int(np.searchsorted(cum, top_p) + 1)
-            nucleus = order[:cutoff]
-            nucleus_probs = sorted_probs[:cutoff]
-            nucleus_probs = nucleus_probs / nucleus_probs.sum()
-            return int(self.rng.choice(nucleus, p=nucleus_probs))
-        return int(self.rng.choice(self.vocab_size, p=probs))
+        probs = nucleus_probs(logits, temperature, top_p)
+        return int(self.rng.choice(len(probs), p=probs))

@@ -1,0 +1,176 @@
+"""Fused on-device speculative decoding.
+
+The host-orchestrated speculation loop costs one dispatch round trip per
+draft token plus two per verify round — 50-70 ms each on a remote-attached
+chip (CLAUDE.md), which swamps the algorithmic win. These builders fuse
+``rounds`` complete speculation rounds (draft-k via lax.scan, one chunked
+target verify, the arXiv 2211.17192 acceptance rule, cache bookkeeping)
+into ONE jitted dispatch, so a round costs ~1/(k+2) of a host-loop round.
+
+Losslessness: acceptance uses the same nucleus distributions the samplers
+draw from (ops.sampling.nucleus_dist), so outputs follow the target model's
+distribution exactly; greedy (temperature=0) outputs are token-identical to
+plain decode. Rejected draft cache rows need no rollback — a ring slot is
+rewritten whenever its position is actually fed, and kv_len masking never
+exposes a slot before that (the same argument covers rounds the host
+discards after an early EOS: the device may have advanced further, but
+every slot past the host's position is rewritten before it is attended).
+
+Both builders run strictly inside the prefill window (no sink rotation
+interaction); the engine guards ``pos + rounds*(k+1) <= window`` and falls
+back to its stepwise path beyond.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from deepseek_tpu.config import ModelConfig
+from deepseek_tpu.models.deepseek import _forward_impl
+from deepseek_tpu.ops.sampling import nucleus_dist, sample_token
+
+
+def _accept(ps, qs, drafts, spec_k, key):
+    """In-graph speculative acceptance. ps (k+1, V) target nucleus dists,
+    qs (k, V) draft dists, drafts (k,). Returns (n_acc, next_token)."""
+    pd = jnp.take_along_axis(ps[:spec_k], drafts[:, None], axis=1)[:, 0]
+    qd = jnp.take_along_axis(qs, drafts[:, None], axis=1)[:, 0]
+    ku, kr, kb = jax.random.split(key, 3)
+    u = jax.random.uniform(ku, (spec_k,))
+    acc = u < jnp.minimum(1.0, pd / jnp.maximum(qd, 1e-12))
+    n_acc = jnp.cumprod(acc.astype(jnp.int32)).sum()
+    # residual distribution at the first rejected position
+    i = jnp.minimum(n_acc, spec_k - 1)
+    res = jnp.maximum(ps[i] - qs[i], 0.0)
+    rs = res.sum()
+    res = jnp.where(rs > 0, res / jnp.maximum(rs, 1e-30), ps[i])
+    repl = jax.random.categorical(kr, jnp.log(jnp.maximum(res, 1e-30)))
+    bonus = jax.random.categorical(kb, jnp.log(jnp.maximum(ps[spec_k], 1e-30)))
+    nxt = jnp.where(n_acc == spec_k, bonus, repl).astype(jnp.int32)
+    return n_acc, nxt
+
+
+def make_spec_rounds(cfg_t: ModelConfig, cfg_d: ModelConfig,
+                     spec_k: int, rounds: int, jit: bool = True):
+    """Draft-model speculation (engine.generate_speculative's hot loop).
+
+    Returns ``fn(pt, pd, ct, cd, tok (1,1), pos0, key, temperature, top_p)
+    -> (drafts (R, k), n_acc (R,), next (R,), ct, cd)`` with both caches
+    donated. Per round r the host emits drafts[r, :n_acc[r]] then next[r]
+    and advances pos by n_acc[r] + 1.
+    """
+    fwd_t = functools.partial(_forward_impl, cfg=cfg_t, prefill=True,
+                              logits_mode="all")
+    fwd_d = functools.partial(_forward_impl, cfg=cfg_d, prefill=False,
+                              logits_mode="last")
+
+    def fn(pt, pd, ct, cd, tok, pos0, key, temperature, top_p):
+        pos0 = jnp.asarray(pos0, jnp.int32)
+
+        def one_round(carry, _):
+            ct, cd, tok, pos, key = carry
+
+            def dstep(c, i):
+                cd, t, k2 = c
+                lg, cd = fwd_d(pd, cd, t, pos + i)           # (1, V)
+                q = nucleus_dist(lg, temperature, top_p)
+                k2, sub = jax.random.split(k2)
+                d = sample_token(lg, sub, temperature, top_p)  # (1,)
+                return (cd, d[:, None], k2), (d[0], q[0])
+
+            (cd, _, key), (drafts, qs) = jax.lax.scan(
+                dstep, (cd, tok, key), jnp.arange(spec_k, dtype=jnp.int32))
+
+            chunk = jnp.concatenate([tok[0], drafts])[None]  # (1, k+1)
+            lg_all, ct = fwd_t(pt, ct, chunk, pos)
+            ps = nucleus_dist(lg_all[0], temperature, top_p)  # (k+1, V)
+
+            key, ka = jax.random.split(key)
+            n_acc, nxt = _accept(ps, qs, drafts, spec_k, ka)
+
+            # keep the draft cache aligned for the full-accept case (the
+            # bonus token is fed at pos+k+1 next); on partial accept this
+            # writes a junk row that is rewritten before exposure
+            _, cd = fwd_d(pd, cd, drafts[-1][None, None], pos + spec_k)
+
+            pos = pos + n_acc + 1
+            return (ct, cd, nxt[None, None], pos, key), (drafts, n_acc, nxt)
+
+        (ct, cd, _, _, _), (drafts_r, nacc_r, next_r) = jax.lax.scan(
+            one_round, (ct, cd, tok, pos0, key), length=rounds)
+        return drafts_r, nacc_r, next_r, ct, cd
+
+    if jit:
+        fn = jax.jit(fn, donate_argnums=(2, 3))
+    return fn
+
+
+def make_mtp_spec_rounds(cfg: ModelConfig, spec_k: int, rounds: int,
+                         jit: bool = True):
+    """Self-speculation with the checkpoint's MTP layer
+    (engine.generate_mtp's hot loop).
+
+    Returns ``fn(params, ct, mtp_cache, tok (1,1), h_cur (1,1,dim), pos0,
+    key, temperature, top_p) -> (drafts (R,k), n_acc (R,), next (R,),
+    h_next (1,1,dim), ct, mtp_cache)``. MTP cache slot j holds the pair
+    (token_{j+1}, hidden_j); after each verify the cache is re-hydrated
+    from TRUE hidden states so drafting quality does not drift
+    (engine.generate_mtp invariant).
+    """
+    from deepseek_tpu.models.mtp import _mtp_impl
+
+    fwd_t = functools.partial(_forward_impl, cfg=cfg, prefill=True,
+                              logits_mode="all", with_hidden=True)
+    mtp_step = functools.partial(_mtp_impl, cfg=cfg, prefill=False)
+    mtp_pre = functools.partial(_mtp_impl, cfg=cfg, prefill=True)
+
+    def fn(params, ct, cm, tok, h_cur, pos0, key, temperature, top_p):
+        pos0 = jnp.asarray(pos0, jnp.int32)
+
+        def one_round(carry, _):
+            ct, cm, tok, h_cur, pos, key = carry
+
+            def dstep(c, j):
+                cm, t, hh, k2 = c
+                lg, hh, cm = mtp_step(params, cm, t, hh, pos - 1 + j)
+                q = nucleus_dist(lg[:, 0], temperature, top_p)
+                k2, sub = jax.random.split(k2)
+                d = sample_token(lg[:, 0], sub, temperature, top_p)
+                # f32 hidden keeps the scan carry dtype stable
+                return (cm, d[:, None], hh.astype(jnp.float32), k2), \
+                    (d[0], q[0])
+
+            (cm, _, _, key), (drafts, qs) = jax.lax.scan(
+                dstep, (cm, tok, h_cur, key),
+                jnp.arange(spec_k, dtype=jnp.int32))
+
+            chunk = jnp.concatenate([tok[0], drafts])[None]   # (1, k+1)
+            lg_all, h_all, ct = fwd_t(params, ct, chunk, pos)
+            ps = nucleus_dist(lg_all[0], temperature, top_p)  # (k+1, V)
+
+            key, ka = jax.random.split(key)
+            n_acc, nxt = _accept(ps, qs, drafts, spec_k, ka)
+
+            # re-hydrate MTP pairs (chunk[j+1], h_all[j]) at pos..pos+k from
+            # the TRUE hiddens; garbage past n_acc is rewritten next round
+            pair_toks = jnp.concatenate([drafts, nxt[None]])[None]  # (1,k+1)
+            _, _, cm = mtp_pre(params, cm, pair_toks,
+                               h_all.astype(jnp.float32), pos)
+
+            # f32 keeps the scan carry dtype stable across compute dtypes
+            h_next = jax.lax.dynamic_slice_in_dim(
+                h_all, n_acc, 1, axis=1).astype(jnp.float32)
+            pos = pos + n_acc + 1
+            return (ct, cm, nxt[None, None], h_next, pos, key), \
+                (drafts, n_acc, nxt)
+
+        (ct, cm, _, h_cur, _, _), (drafts_r, nacc_r, next_r) = jax.lax.scan(
+            one_round, (ct, cm, tok, h_cur, pos0, key), length=rounds)
+        return drafts_r, nacc_r, next_r, h_cur, ct, cm
+
+    if jit:
+        fn = jax.jit(fn, donate_argnums=(1, 2))
+    return fn

@@ -109,8 +109,9 @@ def test_perplexity_parity(fixture, request):
     eng = Engine(ckpt_dir, seed=0, prefill_chunk=8)
     tokens = eng.tokenizer.encode(prompt, bos=True)
     ppl, err, n = eng.perplexity(tokens)
-    # identical checkpoint + tokens; fp math differs (-ffast-math vs XLA)
-    assert abs(ppl - ref_ppl) / ref_ppl < 0.02, (ppl, ref_ppl)
+    # identical checkpoint + tokens; fp math differs (-ffast-math vs XLA).
+    # BASELINE.md demands ppl within 1% of the reference per quant format.
+    assert abs(ppl - ref_ppl) / ref_ppl < 0.01, (ppl, ref_ppl)
 
 
 def test_greedy_completion_parity(ckpt):

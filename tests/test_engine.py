@@ -68,6 +68,40 @@ def test_hydrate_past_window_equals_stepwise(engine):
     np.testing.assert_allclose(logits, want, rtol=2e-3, atol=2e-3)
 
 
+def test_hydrate_near_window_stays_chunked(ckpt_dir):
+    """A prompt ending just inside the 24-slot window must hydrate with
+    boundary-clamped prefill chunks (min(C, window - pos)), not collapse to
+    one-token decode dispatches (each a full round trip on real hardware)."""
+    eng = Engine(ckpt_dir, seed=0, prefill_chunk=16)
+    rng = np.random.default_rng(5)
+    tokens = rng.integers(3, 250, size=21).tolist()  # ends at window-3
+
+    calls = []
+    orig = eng.fwd
+
+    def counting_fwd(prefill, mode):
+        f = orig(prefill, mode)
+
+        def wrapped(*a, **k):
+            calls.append(prefill)
+            return f(*a, **k)
+        return wrapped
+
+    eng.fwd = counting_fwd
+    cache, logits, _, pos = eng.hydrate(eng.new_cache(), tokens, 0)
+    assert pos == len(tokens)
+    # chunk 16 then the clamped 8-slot boundary chunk — no decode fallback
+    assert calls == [True, True], calls
+
+    step = orig(False, "last")
+    cache2 = eng.new_cache()
+    want = None
+    for p, t in enumerate(tokens):
+        out, cache2 = step(eng.params, cache2, jnp.asarray([[t]], jnp.int32), p)
+        want = np.asarray(out[0])
+    np.testing.assert_allclose(logits, want, rtol=1e-4, atol=1e-4)
+
+
 def test_perplexity_matches_stepwise(engine):
     rng = np.random.default_rng(2)
     tokens = rng.integers(3, 250, size=13).tolist()

@@ -135,7 +135,7 @@ def test_quantized_grouped_ffn(mk):
                       jnp.float32)
 
     got = np.asarray(_quantized_grouped_ffn(
-        w1, w2, w3, xb, wts, idx, ActivationType.SILU, NULL_CTX, True))
+        w1, w2, w3, xb, wts, idx, ActivationType.SILU, NULL_CTX, True)[0])
 
     d1, d2, d3 = (np.asarray(t.dequant(jnp.float32)) for t in (w1, w2, w3))
     x = np.asarray(xb)

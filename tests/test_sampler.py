@@ -1,6 +1,6 @@
 import numpy as np
 
-from deepseek_tpu.sampler import Sampler
+from deepseek_tpu.sampler import Sampler, nucleus_probs
 
 
 def test_argmax_when_temperature_zero():
@@ -36,6 +36,41 @@ def test_full_distribution_sampling_frequencies():
         counts[s.sample(logits, temperature=1.0, top_p=1.0)] += 1
     freq = counts / n
     np.testing.assert_allclose(freq, [0.6, 0.3, 0.1], atol=0.05)
+
+
+def test_host_device_nucleus_same_support():
+    """The host nucleus_probs and the device _nucleus_mask must select the
+    SAME keep set (incl. boundary ties), so decode_block=1 and
+    decode_block>1 paths sample from the same distribution."""
+    import jax.numpy as jnp
+    from deepseek_tpu.ops.sampling import _nucleus_mask
+
+    rng = np.random.default_rng(3)
+    for trial in range(20):
+        v = 64
+        logits = rng.normal(size=v).astype(np.float32)
+        # inject ties so the boundary case is exercised
+        logits[10:14] = logits[10]
+        temperature = float(rng.uniform(0.3, 1.5))
+        top_p = float(rng.uniform(0.2, 0.95))
+
+        host = nucleus_probs(logits, temperature, top_p)
+        scaled = jnp.asarray(logits)[None] / temperature
+        probs = np.asarray(jnp.exp(scaled - jnp.max(scaled)))
+        probs = probs / probs.sum()
+        dev_keep = np.asarray(_nucleus_mask(jnp.asarray(probs), top_p))[0]
+        host_keep = host > 0
+        assert (host_keep == dev_keep).all(), (
+            trial, temperature, top_p,
+            np.nonzero(host_keep != dev_keep))
+
+
+def test_nucleus_keeps_boundary_ties():
+    # three equiprobable tokens; top_p small enough that one would "cover"
+    # the mass — ties at the cut must ALL be kept (device semantics)
+    logits = np.log(np.array([0.3, 0.3, 0.3, 0.1], dtype=np.float32))
+    p = nucleus_probs(logits, 1.0, 0.3)
+    assert (p[:3] > 0).all() and p[3] == 0
 
 
 def test_temperature_sharpens():

@@ -106,7 +106,12 @@ def test_shard_map_matches_single_device(use_mla, shape):
     step = make_forward(cfg, prefill=False, logits_mode="last",
                         mesh=mesh, params=params, cache=sc)
     toks = jnp.asarray([tokens[:3]] * B, jnp.int32)
-    lg, sc = pre(sp, sc, toks, 0)
+    if e > 1:
+        # EP prefill capacity path: (logits, overflow, cache)
+        lg, ovf, sc = pre(sp, sc, toks, 0)
+        assert int(ovf) == 0
+    else:
+        lg, sc = pre(sp, sc, toks, 0)
     outs = [np.asarray(lg)]
     pos = 3
     for tk in tokens[3:]:
@@ -143,6 +148,60 @@ def test_shard_map_decode_loop_matches():
                                rtol=2e-3, atol=2e-3)
 
 
+def test_shard_map_decode_loop_per_slot_params():
+    """Per-sequence temperature/top_p/pos vectors (what the continuous-
+    batching scheduler passes) must work under dp > 1: the vectors are
+    batch-sharded with the tokens."""
+    from deepseek_tpu.models.deepseek import make_decode_loop
+
+    cfg = tiny_config(use_mla=True, vocab_size=64)
+    wd, params = build(cfg, seed=32)
+    B = 4
+    key = jax.random.PRNGKey(9)
+    temps = jnp.asarray([0.0, 0.0, 0.0, 0.0], jnp.float32)
+    topps = jnp.asarray([1.0, 0.9, 1.0, 0.8], jnp.float32)
+    pos = jnp.asarray([0, 0, 0, 0], jnp.int32)
+    tok = jnp.asarray([[3], [5], [7], [9]], jnp.int32)
+
+    loop1 = make_decode_loop(cfg, 4)
+    t1, lg1, _ = loop1(params, init_cache(cfg, batch=B), tok, pos, key,
+                       temps, topps)
+
+    mesh = make_mesh(data=2, expert=2, tensor=2)
+    sp = shard_params(params, cfg, mesh)
+    sc = shard_cache(init_cache(cfg, batch=B), cfg, mesh)
+    loop2 = make_decode_loop(cfg, 4, mesh=mesh, params=params, cache=sc)
+    t2, lg2, _ = loop2(sp, sc, tok, pos, key, temps, topps)
+
+    np.testing.assert_array_equal(np.asarray(t2), np.asarray(t1))
+    np.testing.assert_allclose(np.asarray(lg2), np.asarray(lg1),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_gspmd_jit_disables_pallas_kernels():
+    """Plain-jit (GSPMD) calls with params spanning devices must fall back
+    to the XLA dequant path (pallas_call is opaque to the partitioner)."""
+    import deepseek_tpu.models.deepseek as dsk
+
+    cfg = tiny_config(use_mla=True, vocab_size=64)
+    wd, params = build(cfg, seed=34)
+    mesh = make_mesh(data=1, expert=2, tensor=2)
+    sp = shard_params(params, cfg, mesh)
+
+    assert dsk._params_span_devices(sp)
+    assert not dsk._params_span_devices(params)
+
+    # the gate picks the XLA build for spanning params and still runs
+    step = make_forward(cfg, prefill=False, logits_mode="last")
+    sc = shard_cache(init_cache(cfg, batch=1), cfg, mesh)
+    lg, _ = step(sp, sc, jnp.asarray([[3]], jnp.int32), 0)
+    c1 = init_cache(cfg, batch=1)
+    want, _ = make_forward(cfg, prefill=False, logits_mode="last")(
+        params, c1, jnp.asarray([[3]], jnp.int32), 0)
+    np.testing.assert_allclose(np.asarray(lg), np.asarray(want),
+                               rtol=2e-3, atol=2e-3)
+
+
 def test_shard_map_grouped_gmm_prefill():
     """Grouped-gmm prefill MoE (interpret) under shard_map EP masking must
     match the single-device XLA dense path."""
@@ -162,9 +221,79 @@ def test_shard_map_grouped_gmm_prefill():
     sc = shard_cache(init_cache(cfg_pl, batch=B), cfg_pl, mesh)
     pre = make_forward(cfg_pl, prefill=True, logits_mode="all",
                        mesh=mesh, params=params, cache=sc)
-    got, _ = pre(sp, sc, toks, 0)
+    got, ovf, _ = pre(sp, sc, toks, 0)
+    assert int(ovf) == 0
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-3, atol=2e-3)
+
+
+def test_ep_decode_dispatch_parity_and_traffic():
+    """EP decode uses the sorted-pair dispatch (parallel.spmd.dispatch_pairs
+    + the pair-innermost qmm_experts grid): logits must match the
+    single-device XLA path, and the per-shard weight-fetch count — the
+    number of distinct consecutive expert ids in the sorted pair list,
+    which is exactly what drives Mosaic's repeated-index DMA elision —
+    must equal the shard's distinct owned experts (~k/EP), not B*k."""
+    import dataclasses
+    from jax.sharding import PartitionSpec as P
+    from deepseek_tpu.parallel.spmd import make_ctx
+
+    cfg = tiny_config(use_mla=True, vocab_size=64)
+    cfg_pl = dataclasses.replace(cfg, kernel_impl="pallas")
+    wd, params = build(cfg, seed=40)
+    B = 4
+    tokens = [1, 9, 22, 40, 3]
+
+    step1 = make_forward(cfg, prefill=False, logits_mode="last")
+    c1 = init_cache(cfg, batch=B)
+    lg1 = None
+    for pos, t in enumerate(tokens):
+        lg1, c1 = step1(params, c1, jnp.asarray([[t]] * B, jnp.int32), pos)
+
+    mesh = make_mesh(data=1, expert=4, tensor=2)
+    sp = shard_params(params, cfg_pl, mesh)
+    sc = shard_cache(init_cache(cfg_pl, batch=B), cfg_pl, mesh)
+    step2 = make_forward(cfg_pl, prefill=False, logits_mode="last",
+                         mesh=mesh, params=params, cache=sc)
+    lg2 = None
+    for pos, t in enumerate(tokens):
+        lg2, sc = step2(sp, sc, jnp.asarray([[t]] * B, jnp.int32), pos)
+    np.testing.assert_allclose(np.asarray(lg2), np.asarray(lg1),
+                               rtol=2e-3, atol=2e-3)
+
+    # traffic accounting on the dispatch itself
+    ctx = make_ctx(cfg, mesh)
+    E, k = cfg.n_routed_experts, cfg.n_active_routed
+    rng = np.random.default_rng(0)
+    idx = jnp.asarray(rng.integers(0, E, size=(B, k)), jnp.int32)
+    w = jnp.ones((B, k), jnp.float32)
+
+    def body(idx, w):
+        lidx, ws, tok = ctx.dispatch_pairs(idx, w, E)
+        fetches = (1 + jnp.sum(lidx[1:] != lidx[:-1]))[None]
+        owned = jnp.sum(ws > 0)[None]
+        return lidx[None], ws[None], tok[None], fetches, owned
+
+    f = jax.jit(jax.shard_map(
+        body, mesh=mesh, in_specs=(P(), P()),
+        out_specs=(P("expert"), P("expert"), P("expert"),
+                   P("expert"), P("expert")), check_vma=False))
+    lidx_all, w_all, tok_all, fetches, owned = map(np.asarray, f(idx, w))
+
+    # every pair is owned by exactly one shard
+    assert owned.sum() == B * k
+    # E_local = 1 here: each shard fetches exactly ONE expert tile per
+    # projection, no matter how many of the B*k pairs it owns
+    np.testing.assert_array_equal(fetches, np.ones(4, np.int64))
+
+    # the sorted/aliased pair lists still reconstruct the exact mixture:
+    # owned weights match the original pair weights per (token, expert)
+    for s in range(4):
+        for p in range(B * k):
+            if w_all[s, p] > 0:
+                tok_id = tok_all[s, p]
+                geid = s  # E_local=1 -> global expert id == shard id
+                assert geid in np.asarray(idx)[tok_id]
 
 
 @pytest.mark.parametrize("kv_dtype", ["float32", "int8"])
@@ -195,6 +324,72 @@ def test_seq_parallel_decode_matches(kv_dtype):
         lg2, sc = step2(sp, sc, jnp.asarray([[t]], jnp.int32), pos)
     np.testing.assert_allclose(np.asarray(lg2), np.asarray(lg1),
                                rtol=2e-3, atol=2e-3)
+
+
+def test_ep_prefill_capacity_compaction():
+    """EP prefill computes only OWNED pairs, compacted to the static
+    capacity: FLOP budget per shard is C = ~cf*N/EP rows (vs N before),
+    parity holds when nothing overflows, and pathological routing skew is
+    detected via the overflow count instead of silently dropping pairs."""
+    from jax.sharding import PartitionSpec as P
+    from deepseek_tpu.config import ActivationType
+    from deepseek_tpu.ops.matmul import ep_prefill_capacity, grouped_expert_ffn
+    from deepseek_tpu.parallel.spmd import SpmdCtx
+    from deepseek_tpu.quant.qtensor import PlainTensor
+
+    E, m, dim, B, T, k = 4, 128, 128, 1, 128, 2
+    N = B * T * k
+    rng = np.random.default_rng(50)
+    w1 = jnp.asarray(rng.standard_normal((E, m, dim)) * 0.1, jnp.float32)
+    w2 = jnp.asarray(rng.standard_normal((E, dim, m)) * 0.1, jnp.float32)
+    w3 = jnp.asarray(rng.standard_normal((E, m, dim)) * 0.1, jnp.float32)
+    xb = jnp.asarray(rng.standard_normal((B, T, dim)) * 0.3, jnp.float32)
+    wts = jnp.asarray(rng.uniform(size=(B, T, k)), jnp.float32)
+
+    # static budget scales with cf/EP
+    assert ep_prefill_capacity(N, 1, 0.0) == 256          # exact: all pairs
+    assert ep_prefill_capacity(N, 2, 2.0) == 256
+    assert ep_prefill_capacity(N, 2, 0.5) == 128          # cf*N/EP rounded
+
+    mesh = make_mesh(data=1, expert=2, tensor=1)
+
+    def run(cf, idx):
+        ctx = SpmdCtx(ep=2, ep_capacity_factor=cf)
+
+        def body(w1, w2, w3, xb, wts, idx):
+            return grouped_expert_ffn(
+                PlainTensor(data=w1), PlainTensor(data=w2),
+                PlainTensor(data=w3), xb, wts, idx,
+                ActivationType.SILU, ctx, interpret=True)
+
+        f = jax.jit(jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(P("expert"), P("expert"), P("expert"), P(), P(), P()),
+            out_specs=(P(), P()), check_vma=False))
+        out, ovf = f(w1, w2, w3, xb, wts, idx)
+        return np.asarray(out), int(ovf)
+
+    # balanced routing, ample capacity: exact parity with the dense ref
+    idx = jnp.asarray(rng.integers(0, E, size=(B, T, k)), jnp.int32)
+    out, ovf = run(2.0, idx)
+    assert ovf == 0
+    d = [np.asarray(w) for w in (w1, w2, w3)]
+    want = np.zeros((B, T, dim), np.float32)
+    x = np.asarray(xb)
+    for t in range(T):
+        for s in range(k):
+            e = int(idx[0, t, s])
+            g1 = x[0, t] @ d[0][e].T
+            g3 = x[0, t] @ d[2][e].T
+            h = (g1 / (1 + np.exp(-g1))) * g3
+            want[0, t] += float(wts[0, t, s]) * (h @ d[1][e].T)
+    np.testing.assert_allclose(out, want, rtol=2e-3, atol=2e-3)
+
+    # pathological skew: all pairs on one shard overflows the capacity and
+    # the count says exactly how many contributions are missing
+    idx_skew = jnp.zeros((B, T, k), jnp.int32)
+    _, ovf = run(0.5, idx_skew)                           # C=128, owned=256
+    assert ovf == N - 128
 
 
 def test_default_mesh_shape():
