@@ -143,12 +143,30 @@ def cache_shardings(cache: KVCache, cfg: ModelConfig, mesh: Mesh) -> KVCache:
     )
 
 
+def _place(tree, shardings):
+    """device_put single-process; multi-process (jax.distributed) builds
+    GLOBAL arrays from the per-host copy via make_array_from_callback —
+    every process holds the same host value (deterministic load), each
+    contributes its addressable shards."""
+    if jax.process_count() <= 1:
+        return jax.device_put(tree, shardings)
+    import numpy as np
+
+    def put(arr, ns):
+        if arr is None:
+            return None
+        a = np.asarray(arr)
+        return jax.make_array_from_callback(a.shape, ns, lambda idx: a[idx])
+    return jax.tree.map(put, tree, shardings,
+                        is_leaf=lambda x: x is None)
+
+
 def shard_params(params: ModelParams, cfg: ModelConfig, mesh: Mesh) -> ModelParams:
-    return jax.device_put(params, param_shardings(params, cfg, mesh))
+    return _place(params, param_shardings(params, cfg, mesh))
 
 
 def shard_cache(cache: KVCache, cfg: ModelConfig, mesh: Mesh) -> KVCache:
-    return jax.device_put(cache, cache_shardings(cache, cfg, mesh))
+    return _place(cache, cache_shardings(cache, cfg, mesh))
 
 
 def _specs(tree):

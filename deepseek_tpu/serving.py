@@ -6,6 +6,12 @@ queued requests are admitted by prefilling the slot in place, while decode
 proceeds as one batched step with **per-sequence positions** (the decode
 forward takes pos as a (B,) vector; each slot runs its own ring/sink math).
 
+Admission is CHUNK-INTERLEAVED: a queued request hydrates into a detached
+single-row cache one bounded prefill chunk per scheduler step, spliced
+between fused decode blocks — running sequences never stall behind a whole
+prompt, and the hydrated rows land in the shared cache with ONE donated
+in-place slot merge (no slice-out/copy-back round trip).
+
 This is the DP-axis serving story on one chip; sharding the batch over the
 'data' mesh axis extends it across chips.
 """
@@ -22,6 +28,15 @@ import jax.numpy as jnp
 import numpy as np
 
 from deepseek_tpu.engine import Engine
+
+
+@dataclasses.dataclass
+class _Pending:
+    """An admission in flight: hydrating into a detached 1-row cache."""
+    req: "Request"
+    slot: int
+    cache: object
+    fed: int = 0                     # prompt tokens hydrated so far
 
 
 @dataclasses.dataclass
@@ -51,9 +66,11 @@ class BatchScheduler:
         self.pos = np.zeros(batch_size, np.int64)      # next decode position
         self.cur = np.zeros(batch_size, np.int64)      # token to feed next
         self.queue: Deque[Request] = deque()
+        self.pending: Optional[_Pending] = None
         self._ids = itertools.count()
         self._key = jax.random.PRNGKey(0)
         self._loop = None  # built lazily (jit keyed on block size)
+        self._merge = None  # jitted donated slot merge
 
     # ------------------------------------------------------------------
     def submit(self, req: Request) -> int:
@@ -63,28 +80,52 @@ class BatchScheduler:
 
     @property
     def has_work(self) -> bool:
-        return bool(self.queue) or any(s is not None for s in self.slots)
+        return (bool(self.queue) or self.pending is not None
+                or any(s is not None for s in self.slots))
 
     # ------------------------------------------------------------------
-    def _admit(self, slot: int, req: Request) -> None:
-        """Prefill the request's prompt into one slot of the shared cache."""
+    def _merge_slot(self, cache, sub, slot):
+        """Write the hydrated 1-row cache into batch row ``slot`` of the
+        shared cache, in place (both operands donated; slot is traced so
+        one compilation covers every slot)."""
+        if self._merge is None:
+            def merge(cache, sub, slot):
+                def one(full, part):
+                    if full is None:
+                        return None
+                    return jax.lax.dynamic_update_index_in_dim(
+                        full, part[:, 0], slot, axis=1)
+                return jax.tree.map(one, cache, sub,
+                                    is_leaf=lambda x: x is None)
+            self._merge = jax.jit(merge, donate_argnums=(0, 1))
+        return self._merge(cache, sub, jnp.int32(slot))
+
+    def _advance_pending(self) -> None:
+        """Hydrate ONE bounded chunk of the pending request's prompt; on
+        completion, merge the rows into its slot and start decoding."""
+        p = self.pending
         eng = self.engine
-        # slice out this slot's cache rows, hydrate, write back; jnp.copy
-        # because a full-width slice can alias the original array, which
-        # hydrate's donated calls would delete
-        sub = jax.tree.map(
-            lambda a: jnp.copy(a[:, slot:slot + 1]) if a is not None else None,
-            self.cache)
-        sub, logits, _, pos = eng.hydrate(sub, req.prompt_tokens, 0)
-        self.cache = jax.tree.map(
-            lambda full, part: None if full is None
-            else full.at[:, slot:slot + 1].set(part),
-            self.cache, sub, is_leaf=lambda x: x is None)
-        token = eng.sampler.sample(logits, req.temperature, req.top_p)
-        self._emit(req, token, prev=req.prompt_tokens[-1])
-        self.slots[slot] = req
-        self.pos[slot] = pos
-        self.cur[slot] = token
+        toks = p.req.prompt_tokens
+        window = eng.cfg.kv_window
+        if p.fed < window:
+            r = min(eng.prefill_chunk, window - p.fed, len(toks) - p.fed)
+        else:
+            # past the window the hydrate falls back to per-token decode
+            # dispatches; bound them per step like a decode block
+            r = min(max(1, self.block), len(toks) - p.fed)
+        final = p.fed + r == len(toks)
+        p.cache, logits, _, _ = eng.hydrate(
+            p.cache, toks[p.fed:p.fed + r], p.fed, want_last_logits=final)
+        p.fed += r
+        if not final:
+            return
+        self.cache = self._merge_slot(self.cache, p.cache, p.slot)
+        token = eng.sampler.sample(logits, p.req.temperature, p.req.top_p)
+        self._emit(p.req, token, prev=toks[-1])
+        self.slots[p.slot] = p.req
+        self.pos[p.slot] = len(toks)
+        self.cur[p.slot] = token
+        self.pending = None
 
     def _emit(self, req: Request, token: int, prev: int) -> None:
         req.out_tokens.append(token)
@@ -103,16 +144,21 @@ class BatchScheduler:
 
     # ------------------------------------------------------------------
     def step(self) -> None:
-        """Admit queued requests into free slots, then one fused decode
-        dispatch of ``block`` tokens for the whole batch — sampling stays on
-        device with per-slot temperature/top_p; only the (B, block) token
-        ids come back to the host."""
+        """One bounded admission chunk (if an admission is in flight or can
+        start), then one fused decode dispatch of ``block`` tokens for the
+        whole batch — sampling stays on device with per-slot
+        temperature/top_p; only the (B, block) token ids come back."""
         from deepseek_tpu.models.deepseek import make_decode_loop
 
         self._free_finished()
-        for i in range(self.batch):
-            if self.slots[i] is None and self.queue:
-                self._admit(i, self.queue.popleft())
+        if self.pending is None and self.queue:
+            free = next((i for i in range(self.batch)
+                         if self.slots[i] is None), None)
+            if free is not None:
+                self.pending = _Pending(self.queue.popleft(), free,
+                                        self.engine.new_cache(batch=1))
+        if self.pending is not None:
+            self._advance_pending()
         if not any(s is not None for s in self.slots):
             return
 

@@ -107,6 +107,42 @@ def main():
           f"-> {total/dt:.0f} tok/s aggregate "
           f"(slots={slots}, block={sched.block})")
 
+    # --- decode-latency distribution under concurrent admissions ---------
+    # half the slots run a long generation; the rest of the requests arrive
+    # while it decodes, so every admission chunk splices between blocks.
+    # Reported: per-step decode latency p50/p95 with admissions in flight
+    # vs an idle batch (no queue) — the chunk-interleaving guarantee is
+    # that the former stays within ~2x of the latter.
+    def step_times(sched, n_steps):
+        ts = []
+        while sched.has_work and len(ts) < n_steps:
+            t0 = time.perf_counter()
+            sched.step()
+            ts.append(time.perf_counter() - t0)
+        return ts
+
+    sched = BatchScheduler(eng, batch_size=slots, decode_block=block)
+    for _ in range(max(1, slots // 2)):
+        sched.submit(Request(prompt_tokens=rng.integers(
+            2, cfg.vocab_size, 64).tolist(), max_new_tokens=max_tok,
+            temperature=0.0))
+    while sched.pending is not None or sched.queue:
+        sched.step()                       # finish initial admissions
+    idle = step_times(sched, 12)
+
+    for _ in range(n_req):
+        sched.submit(Request(prompt_tokens=rng.integers(
+            2, cfg.vocab_size, 256).tolist(), max_new_tokens=max_tok,
+            temperature=0.0))
+    busy = step_times(sched, 24)
+    sched.run()
+
+    pct = lambda a, q: float(np.percentile(np.asarray(a), q))
+    print(f"decode step latency idle: p50 {pct(idle,50)*1e3:.1f}ms "
+          f"p95 {pct(idle,95)*1e3:.1f}ms | with admissions: "
+          f"p50 {pct(busy,50)*1e3:.1f}ms p95 {pct(busy,95)*1e3:.1f}ms "
+          f"(ratio p50 {pct(busy,50)/max(pct(idle,50),1e-9):.2f}x)")
+
 
 if __name__ == "__main__":
     main()

@@ -57,6 +57,40 @@ def test_scheduler_streams_tokens(engine):
     assert all(isinstance(p, bytes) for _, p in got)
 
 
+def test_admission_chunks_interleave_with_decode(engine):
+    """A long-prompt admission hydrates one bounded chunk per step while the
+    running sequence keeps decoding between chunks (no full-prompt stall),
+    and the admitted request still matches its individual greedy run."""
+    a_tokens = []
+    sched = BatchScheduler(engine, batch_size=2, decode_block=1)
+    sched.submit(Request(
+        prompt_tokens=engine.tokenizer.encode("hello", bos=True),
+        max_new_tokens=40, temperature=0.0,
+        on_token=lambda t, b: a_tokens.append(t)))
+    sched.step()                      # admit + first decode for A
+    assert len(a_tokens) >= 1
+
+    long_prompt = engine.tokenizer.encode("word " * 40, bos=True)
+    assert len(long_prompt) > engine.cfg.kv_window  # spans chunks AND ring
+    want, _ = engine.generate(long_prompt, num_steps=3, temperature=0.0)
+    reqB = Request(prompt_tokens=long_prompt, max_new_tokens=3,
+                   temperature=0.0)
+    sched.submit(reqB)
+
+    progress = []
+    steps = 0
+    while (sched.pending is not None or sched.queue) and steps < 100:
+        before = len(a_tokens)
+        sched.step()
+        progress.append(len(a_tokens) - before)
+        steps += 1
+    # hydration spanned multiple scheduler steps AND decode advanced
+    assert len(progress) >= 3
+    assert sum(progress) >= 3
+    sched.run()
+    assert reqB.out_tokens == want
+
+
 def test_scheduler_mixed_lengths_interleave(engine):
     """A long and short request share the batch; the short one finishes and a
     third is admitted while the long one continues."""
