@@ -72,6 +72,22 @@ def _cache_write(full, rows, layer: int, cache_start, prefill: bool,
     return full.at[layer, bidx, cache_start].set(new)
 
 
+def _cache_write_sp_prefill(full, rows, layer: int, pos0, sidx, s_local: int):
+    """Prefill write into a seq-sharded cache: each shard commits only the
+    rows of the chunk [pos0, pos0+T) that fall inside its window slice
+    (masked whole-slice update — a clamped DUS would corrupt edge slots)."""
+    if full is None:
+        return None
+    T = rows.shape[1]
+    s = jnp.arange(s_local)
+    g = sidx * s_local + s                               # global slot pos
+    ridx = jnp.clip(g - pos0, 0, T - 1)
+    cand = jnp.take(rows, ridx, axis=1).astype(full.dtype)   # (B, s_local, …)
+    valid = (g >= pos0) & (g < pos0 + T)
+    msk = valid.reshape((1, s_local) + (1,) * (cand.ndim - 2))
+    return full.at[layer].set(jnp.where(msk, cand, full[layer]))
+
+
 def _sink_update(buf, rows_f32, layer: int, global_start, prefill: bool):
     """Mirror writes landing in sink slots into the float master buffer
     (int8 caches only — see KVCache.sink_*). ``global_start`` is the GLOBAL
@@ -148,32 +164,40 @@ def _attention(lp: LayerParams, cfg: ModelConfig, xb: jnp.ndarray,
 
         # cache writes scatter straight into the full (L,B,S,·) arrays;
         # under seq parallelism the latent cache is sharded along the
-        # window, so decode writes translate to LOCAL slots and only the
-        # owning shard commits (guarded scatter)
+        # window: decode writes translate to LOCAL slots with only the
+        # owning shard committing (guarded scatter); prefill chunks commit
+        # each shard's intersection with [pos0, pos0+T) (masked write)
         global_start = cache_start
-        if not prefill and ctx.sp > 1:
+        sp_prefill = prefill and ctx.sp > 1
+        if ctx.sp > 1:
             sidx, s_local = ctx.seq_shard(cfg.kv_window)
+            on_sink_shard = sidx == 0
+        if not prefill and ctx.sp > 1:
             lpos = cache_start - sidx * s_local              # (B,)
             w_mask = (lpos >= 0) & (lpos < s_local)
             cache_start = jnp.clip(lpos, 0, s_local - 1)
-            on_sink_shard = sidx == 0
         else:
             w_mask = None
-            on_sink_shard = True
+            if ctx.sp <= 1:
+                on_sink_shard = True
+        if sp_prefill:
+            def wr(full, rows):
+                return _cache_write_sp_prefill(full, rows, layer,
+                                               global_start, sidx, s_local)
+        else:
+            def wr(full, rows):
+                return _cache_write(full, rows, layer, cache_start,
+                                    prefill, w_mask)
         q8 = cache.ckv_s is not None  # int8 cache: rows + per-row f32 scale
         if q8:
             ckv_w, ckv_sc = quantize_rows(ckv.astype(jnp.float32))
             kr_w, kr_sc = quantize_rows(k_rope)
         else:
             ckv_w, kr_w, ckv_sc, kr_sc = ckv, k_rope, None, None
-        ckv_full = _cache_write(cache.ckv, ckv_w, layer, cache_start,
-                                prefill, w_mask)
-        krope_full = _cache_write(cache.krope, kr_w, layer, cache_start,
-                                  prefill, w_mask)
-        ckv_s_full = _cache_write(cache.ckv_s, ckv_sc, layer, cache_start,
-                                  prefill, w_mask)
-        krope_s_full = _cache_write(cache.krope_s, kr_sc, layer, cache_start,
-                                    prefill, w_mask)
+        ckv_full = wr(cache.ckv, ckv_w)
+        krope_full = wr(cache.krope, kr_w)
+        ckv_s_full = wr(cache.ckv_s, ckv_sc)
+        krope_s_full = wr(cache.krope_s, kr_sc)
         sink_krope_full = _sink_update(cache.sink_krope, k_rope, layer,
                                        global_start, prefill)
 
@@ -184,6 +208,11 @@ def _attention(lp: LayerParams, cfg: ModelConfig, xb: jnp.ndarray,
             ckv_l = dequant_rows(ckv_full[layer], sc(ckv_s_full))
             krope_l = dequant_rows(krope_full[layer], sc(krope_s_full))
             S = ckv_l.shape[1]
+            # under seq sharding S is the LOCAL slice; slots carry their
+            # global positions and shards flash-merge partial attention
+            cache_pos = jnp.arange(S, dtype=jnp.int32)
+            if ctx.sp > 1:
+                cache_pos = cache_pos + sidx * s_local
             nope = cfg.qk_nope_head_dim
             q = mm(lp.wq_b, q_a).reshape(B, T, H, cfg.head_dim)
             q = q.astype(jnp.float32)
@@ -195,10 +224,16 @@ def _attention(lp: LayerParams, cfg: ModelConfig, xb: jnp.ndarray,
                 [kv_dec[..., :nope].astype(jnp.float32),
                  jnp.broadcast_to(krope_l[:, :, None, :].astype(jnp.float32),
                                   (B, S, H, P))], axis=-1)
-            v_out = prefill_attn_mha(
-                q, k_l, kv_dec[..., nope:], pos_vec,
-                jnp.arange(S, dtype=jnp.int32),
-                softmax_scale=sm_scale)                             # (B,T,H,Dv)
+            if ctx.sp > 1:
+                from deepseek_tpu.ops.attention import prefill_attn_mha_partial
+                acc, m_, l_ = prefill_attn_mha_partial(
+                    q, k_l, kv_dec[..., nope:], pos_vec, cache_pos,
+                    softmax_scale=sm_scale)
+                v_out = ctx.seq_merge(acc, m_, l_)
+            else:
+                v_out = prefill_attn_mha(
+                    q, k_l, kv_dec[..., nope:], pos_vec, cache_pos,
+                    softmax_scale=sm_scale)                         # (B,T,H,Dv)
             attn = ctx.psum_t(mm(lp.wo, v_out.reshape(B, T, H * Dv)
                                  .astype(xb.dtype)))
             cache = KVCache(k=None, v=None, ckv=ckv_full, krope=krope_full,
@@ -209,10 +244,19 @@ def _attention(lp: LayerParams, cfg: ModelConfig, xb: jnp.ndarray,
             ckv_l = dequant_rows(ckv_full[layer], sc(ckv_s_full))
             krope_l = dequant_rows(krope_full[layer], sc(krope_s_full))
             S = ckv_l.shape[1]
-            lat = prefill_attn_mla(
-                q_c, q_rope, ckv_l, krope_l, pos_vec,
-                jnp.arange(S, dtype=jnp.int32), cfg.head_dim,
-                softmax_scale=sm_scale)                             # (B,T,H,R)
+            cache_pos = jnp.arange(S, dtype=jnp.int32)
+            if ctx.sp > 1:
+                from deepseek_tpu.ops.attention import prefill_attn_mla_partial
+                acc, m_, l_ = prefill_attn_mla_partial(
+                    q_c, q_rope, ckv_l, krope_l, pos_vec,
+                    cache_pos + sidx * s_local, cfg.head_dim,
+                    softmax_scale=sm_scale)
+                lat = ctx.seq_merge(acc, m_, l_)                    # (B,T,H,R)
+            else:
+                lat = prefill_attn_mla(
+                    q_c, q_rope, ckv_l, krope_l, pos_vec,
+                    cache_pos, cfg.head_dim,
+                    softmax_scale=sm_scale)                         # (B,T,H,R)
         else:
             # sink re-rotation by +1 (StreamingLLM; infer.cpp:1103-1110);
             # the sink slots live on seq shard 0. For int8 caches the
@@ -620,11 +664,6 @@ def make_forward(cfg: ModelConfig, *, prefill: bool = False,
         return _gspmd_kernel_gate(cfg, build) if jit else build(cfg)
 
     assert not with_hidden, "with_hidden is a single-host engine hook"
-    if prefill and mesh.shape.get("seq", 1) > 1:
-        raise ValueError(
-            "chunked prefill is not supported with a seq-sharded KV "
-            "cache; hydrate with decode steps (seq parallelism targets "
-            "long-window decode)")
     ctx, pspec, cspec, P = _spmd_parts(cfg, mesh, params, cache)
     # EP prefill capacity compaction is INEXACT past the capacity: the
     # forward then also returns the global overflow count -> (logits, ovf,

@@ -126,6 +126,61 @@ def prefill_attn_mha(
     return jnp.einsum("bhts,bshv->bthv", w, v_cache.astype(jnp.float32))
 
 
+def prefill_attn_mha_partial(
+    q: jnp.ndarray,        # (B, T, H, head_dim)
+    k_cache: jnp.ndarray,  # (B, S_local, H, head_dim) — one seq shard
+    v_cache: jnp.ndarray,  # (B, S_local, H, v_head_dim)
+    q_pos: jnp.ndarray,    # (T,)
+    cache_pos: jnp.ndarray,  # (S_local,) GLOBAL positions of local slots
+    softmax_scale=None,
+):
+    """Sequence-parallel partial of prefill_attn_mha: unnormalized
+    accumulator + flash stats, merged across shards by SpmdCtx.seq_merge.
+    Returns (acc (B,T,H,Dv), m (B,T,H), l (B,T,H))."""
+    head_dim = q.shape[-1]
+    scale = jnp.float32(softmax_scale) if softmax_scale is not None \
+        else 1.0 / jnp.sqrt(jnp.float32(head_dim))
+    scores = jnp.einsum(
+        "bthd,bshd->bhts", q.astype(jnp.float32),
+        k_cache.astype(jnp.float32)) * scale
+    mask = (cache_pos[None, :] <= q_pos[:, None]) & (cache_pos[None, :] >= 0)
+    scores = jnp.where(mask[None, None], scores, _NEG_INF)
+    m = scores.max(axis=-1)                                     # (B, H, T)
+    e = jnp.where(mask[None, None], jnp.exp(scores - m[..., None]), 0.0)
+    l = e.sum(axis=-1)                                          # (B, H, T)
+    acc = jnp.einsum("bhts,bshv->bthv", e, v_cache.astype(jnp.float32))
+    return acc, jnp.swapaxes(m, 1, 2), jnp.swapaxes(l, 1, 2)
+
+
+def prefill_attn_mla_partial(
+    q_c: jnp.ndarray,       # (B, T, H, kv_lora_rank)
+    q_rope: jnp.ndarray,    # (B, T, H, qk_rope_head_dim)
+    ckv_cache: jnp.ndarray,  # (B, S_local, kv_lora_rank) — one seq shard
+    krope_cache: jnp.ndarray,  # (B, S_local, qk_rope_head_dim)
+    q_pos: jnp.ndarray,     # (T,)
+    cache_pos: jnp.ndarray,  # (S_local,) GLOBAL positions of local slots
+    head_dim: int,
+    softmax_scale=None,
+):
+    """Sequence-parallel partial of prefill_attn_mla (see
+    prefill_attn_mha_partial). Returns (acc (B,T,H,R), m, l (B,T,H))."""
+    scale = jnp.float32(softmax_scale) if softmax_scale is not None \
+        else 1.0 / jnp.sqrt(jnp.float32(head_dim))
+    scores = (
+        jnp.einsum("bthr,bsr->bhts", q_c.astype(jnp.float32),
+                   ckv_cache.astype(jnp.float32))
+        + jnp.einsum("bthp,bsp->bhts", q_rope.astype(jnp.float32),
+                     krope_cache.astype(jnp.float32))
+    ) * scale
+    mask = (cache_pos[None, :] <= q_pos[:, None]) & (cache_pos[None, :] >= 0)
+    scores = jnp.where(mask[None, None], scores, _NEG_INF)
+    m = scores.max(axis=-1)                                     # (B, H, T)
+    e = jnp.where(mask[None, None], jnp.exp(scores - m[..., None]), 0.0)
+    l = e.sum(axis=-1)
+    acc = jnp.einsum("bhts,bsr->bthr", e, ckv_cache.astype(jnp.float32))
+    return acc, jnp.swapaxes(m, 1, 2), jnp.swapaxes(l, 1, 2)
+
+
 def prefill_attn_mla(
     q_c: jnp.ndarray,       # (B, T, H, kv_lora_rank)
     q_rope: jnp.ndarray,    # (B, T, H, qk_rope_head_dim)

@@ -297,6 +297,62 @@ def test_ep_decode_dispatch_parity_and_traffic():
 
 
 @pytest.mark.parametrize("kv_dtype", ["float32", "int8"])
+@pytest.mark.parametrize("hybrid", [False, True])
+def test_seq_parallel_prefill_matches(kv_dtype, hybrid, tmp_path):
+    """Chunked prefill with the MLA KV cache sharded along the window:
+    shard-masked slot writes + flash-merged partial attention reproduce the
+    stepwise single-device logits, for both the latent (absorbed) and the
+    hybrid decompressed prefill paths."""
+    import dataclasses
+
+    if hybrid:
+        # hybrid prefill (wq_b/wkv_b retained) comes from the converter
+        from deepseek_tpu import convert as cv
+        from deepseek_tpu.engine import Engine
+        from tests.util_hf import hf_config, hf_weights, write_hf_dir
+        hcfg = hf_config()
+        hf = str(tmp_path / "hf")
+        write_hf_dir(hf, hcfg, hf_weights(hcfg, seed=36, scale=0.2))
+        out = str(tmp_path / "ck")
+        cv.convert(hf, out, quant="fp32", use_mla=True)
+        eng = Engine(out, seed=0)
+        cfg = dataclasses.replace(eng.cfg, kv_cache_dtype=kv_dtype)
+        params = eng.params
+        assert params.layers[0].wq_b is not None  # hybrid weights present
+        vocab_hi = cfg.vocab_size
+    else:
+        cfg = tiny_config(use_mla=True, vocab_size=64,
+                          rs_original_max_position_embeddings=16)
+        cfg = dataclasses.replace(cfg, kv_cache_dtype=kv_dtype)
+        wd, params = build(cfg, seed=35)
+        vocab_hi = 60
+    tokens = np.random.default_rng(3).integers(3, vocab_hi - 2,
+                                               size=10).tolist()
+
+    # single-device stepwise reference
+    step1 = make_forward(cfg, prefill=False, logits_mode="last")
+    c1 = init_cache(cfg, batch=1)
+    lg1 = None
+    for pos, t in enumerate(tokens):
+        lg1, c1 = step1(params, c1, jnp.asarray([[t]], jnp.int32), pos)
+
+    mesh = make_mesh(data=1, expert=2, tensor=2, seq=2)
+    sp = shard_params(params, cfg, mesh)
+    sc = shard_cache(init_cache(cfg, batch=1), cfg, mesh)
+    pre = make_forward(cfg, prefill=True, logits_mode="last",
+                       mesh=mesh, params=params, cache=sc)
+    step2 = make_forward(cfg, prefill=False, logits_mode="last",
+                         mesh=mesh, params=params, cache=sc)
+    toks = jnp.asarray([tokens[:8]], jnp.int32)
+    out = pre(sp, sc, toks, 0)
+    lg2, sc = (out[0], out[-1])
+    for pos, t in enumerate(tokens[8:], start=8):
+        lg2, sc = step2(sp, sc, jnp.asarray([[t]], jnp.int32), pos)
+    np.testing.assert_allclose(np.asarray(lg2), np.asarray(lg1),
+                               rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.parametrize("kv_dtype", ["float32", "int8"])
 def test_seq_parallel_decode_matches(kv_dtype):
     """Sequence-sharded MLA KV cache (seq axis): guarded slot writes,
     shard-0 sink re-rotation, and the flash merge must reproduce the
