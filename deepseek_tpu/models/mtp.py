@@ -14,6 +14,12 @@ verified by the main model, so draft quality affects speed only, never the
 output distribution. MTP cache entries are keyed by position like the main
 ring cache and self-heal the same way (a slot is rewritten whenever its
 position is re-fed).
+
+Sharding intent: the MTP drafter is a single-host engine hook and always
+runs with NULL_CTX (replicated, no collectives) — one extra layer of
+drafting compute is not worth sharding. parallel.sharding still writes
+replicated placement specs for its weights so GSPMD placement of the full
+param pytree stays well-defined on a mesh.
 """
 
 from __future__ import annotations

@@ -202,8 +202,10 @@ def _mha_body(kvlen_ref, q_ref, k_ref, v_ref, *rest,
         ks_ref, vs_ref, o_ref, m_ref, l_ref, acc_ref = rest
     else:
         o_ref, m_ref, l_ref, acc_ref = rest
-    b, si = pl.program_id(0), pl.program_id(1)
-    last = pl.num_programs(1) - 1
+    # grid (batch, head-group, kv tile); the head split keeps huge-H int8
+    # tiles inside the VMEM budget (scales force ts >= 128 lanes)
+    b, si = pl.program_id(0), pl.program_id(2)
+    last = pl.num_programs(2) - 1
 
     @pl.when(si == 0)
     def _():
@@ -275,20 +277,27 @@ def mha_decode_attn(q, k_cache, v_cache, kv_len,
     ts = _pick_tile(S, H * (Dh + Dv) * k_cache.dtype.itemsize)
     if quantized:
         ts = max(ts, min(S, 128))  # scale blocks: ts is the lane dim
-    grid = (B, pl.cdiv(S, ts))
+    # heads are independent: split them across a grid axis whenever the
+    # (possibly clamped) tile would blow the VMEM budget once converted to
+    # f32 in-kernel (large-H decompressed caches with --kv-dtype int8)
+    hc = H
+    while hc > 1 and ts * hc * (Dh + Dv) * 4 > 6 * 1024 * 1024:
+        d = next((d for d in range(hc - 1, 0, -1) if H % d == 0), 1)
+        hc = d
+    grid = (B, H // hc, pl.cdiv(S, ts))
     kv_len = jnp.broadcast_to(jnp.asarray(kv_len, jnp.int32), (B,))
 
     in_specs = [
-        pl.BlockSpec((1, H, Dh), lambda b, s, kl: (b, 0, 0),
+        pl.BlockSpec((1, hc, Dh), lambda b, h, s, kl: (b, h, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, ts, H, Dh), lambda b, s, kl: (b, s, 0, 0),
+        pl.BlockSpec((1, ts, hc, Dh), lambda b, h, s, kl: (b, s, h, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, ts, H, Dv), lambda b, s, kl: (b, s, 0, 0),
+        pl.BlockSpec((1, ts, hc, Dv), lambda b, h, s, kl: (b, s, h, 0),
                      memory_space=pltpu.VMEM),
     ]
     args = [kv_len, q.astype(jnp.float32), k_cache, v_cache]
     if quantized:
-        in_specs += [pl.BlockSpec((1, H, ts), lambda b, s, kl: (b, 0, s),
+        in_specs += [pl.BlockSpec((1, hc, ts), lambda b, h, s, kl: (b, h, s),
                                   memory_space=pltpu.VMEM)] * 2
         args += [k_scale.astype(jnp.float32), v_scale.astype(jnp.float32)]
 
@@ -299,12 +308,12 @@ def mha_decode_attn(q, k_cache, v_cache, kv_len,
             num_scalar_prefetch=1,
             grid=grid,
             in_specs=in_specs,
-            out_specs=pl.BlockSpec((1, H, Dv), lambda b, s, kl: (b, 0, 0),
+            out_specs=pl.BlockSpec((1, hc, Dv), lambda b, h, s, kl: (b, h, 0),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
-                pltpu.VMEM((H, 1), jnp.float32),
-                pltpu.VMEM((H, 1), jnp.float32),
-                pltpu.VMEM((H, Dv), jnp.float32),
+                pltpu.VMEM((hc, 1), jnp.float32),
+                pltpu.VMEM((hc, 1), jnp.float32),
+                pltpu.VMEM((hc, Dv), jnp.float32),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((B, H, Dv), jnp.float32),

@@ -44,6 +44,32 @@ def test_mha_decode_attn_matches_jnp(B, kv_len):
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
 
 
+def test_mha_decode_attn_head_split_int8():
+    """Large-H int8 cache: the scale clamp forces ts=128, so heads split
+    across a grid axis to stay in the VMEM budget; numerics must match the
+    dequantized jnp reference exactly (per-(slot,head) scales folded in)."""
+    from deepseek_tpu.models.kvcache import quantize_rows
+
+    B, H, Dh, Dv, S = 1, 64, 96, 64, 256
+    q = jnp.asarray(rnd((B, H, Dh), 21, 0.3))
+    kf = rnd((B, S, H, Dh), 22, 0.3).astype(np.float32)
+    vf = rnd((B, S, H, Dv), 23, 0.3).astype(np.float32)
+    k_q, k_s = quantize_rows(jnp.asarray(kf))        # (B,S,H,*) -> (B,S,H)
+    v_q, v_s = quantize_rows(jnp.asarray(vf))
+    kl = jnp.asarray([200], jnp.int32)
+    scale = 1.0 / np.sqrt(Dh)
+
+    k_deq = np.asarray(k_q, np.float32) * np.asarray(k_s)[..., None]
+    v_deq = np.asarray(v_q, np.float32) * np.asarray(v_s)[..., None]
+    want = np.asarray(decode_attn_mha(q, jnp.asarray(k_deq),
+                                      jnp.asarray(v_deq), kl))
+    hs = lambda a: jnp.swapaxes(a, 1, 2)             # (B,S,H) -> (B,H,S)
+    got = np.asarray(mha_decode_attn(
+        q, k_q, v_q, kl, scale, k_scale=hs(k_s), v_scale=hs(v_s),
+        interpret=True))
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
 def test_mla_decode_attn_nondivisible_window():
     # S not a multiple of the kv tile; masked tail must not contribute
     B, H, R, P, S = 1, 2, 32, 16, 192
