@@ -499,6 +499,36 @@ def _ffn(lp: LayerParams, cfg: ModelConfig, xb: jnp.ndarray, layer: int,
     return out, ovf
 
 
+def run_layer_stack(layers, cache, x, pos_vec, cache_start, kv_len, kv_sink,
+                    cfg: ModelConfig, prefill: bool, impl, ctx,
+                    layer_base: int = 0):
+    """Run a contiguous range of transformer layers over activations ``x``.
+
+    ``layers`` index into ``cache`` locally (a pipeline stage's cache holds
+    only its own layers); ``layer_base`` is the global index of layers[0]
+    (MoE/dense selection and debug labels are global). Returns
+    (x, cache, ovf_total) — see _ffn for the EP overflow count.
+    """
+    ovf_total = jnp.int32(0)
+    for local, lp in enumerate(layers):
+        layer = layer_base + local
+        xb = rmsnorm(x, lp.attn_norm, cfg.norm_eps)
+        dbg(f"l{layer}.attn_norm", xb)
+        attn, cache = _attention(
+            lp, cfg, xb, cache, local, pos_vec, cache_start, kv_len, kv_sink,
+            prefill, impl, ctx)
+        dbg(f"l{layer}.attn", attn)
+        x = x + attn
+        xb = rmsnorm(x, lp.ffn_norm, cfg.norm_eps)
+        dbg(f"l{layer}.ffn_norm", xb)
+        ffn, ovf = _ffn(lp, cfg, xb, layer, prefill, impl, ctx)
+        if ovf is not None:
+            ovf_total = ovf_total + ovf
+        dbg(f"l{layer}.ffn", ffn)
+        x = x + ffn
+    return x, cache, ovf_total
+
+
 def _forward_impl(params: ModelParams, cache: KVCache, tokens: jnp.ndarray,
                   pos0, cfg: ModelConfig, prefill: bool, logits_mode: str,
                   ctx=None, with_hidden: bool = False,
@@ -530,22 +560,9 @@ def _forward_impl(params: ModelParams, cache: KVCache, tokens: jnp.ndarray,
         cache_start = kv_pos
 
     dbg("embed", x)
-    ovf_total = jnp.int32(0)
-    for layer, lp in enumerate(params.layers):
-        xb = rmsnorm(x, lp.attn_norm, cfg.norm_eps)
-        dbg(f"l{layer}.attn_norm", xb)
-        attn, cache = _attention(
-            lp, cfg, xb, cache, layer, pos_vec, cache_start, kv_len, kv_sink,
-            prefill, impl, ctx)
-        dbg(f"l{layer}.attn", attn)
-        x = x + attn
-        xb = rmsnorm(x, lp.ffn_norm, cfg.norm_eps)
-        dbg(f"l{layer}.ffn_norm", xb)
-        ffn, ovf = _ffn(lp, cfg, xb, layer, prefill, impl, ctx)
-        if ovf is not None:
-            ovf_total = ovf_total + ovf
-        dbg(f"l{layer}.ffn", ffn)
-        x = x + ffn
+    x, cache, ovf_total = run_layer_stack(
+        params.layers, cache, x, pos_vec, cache_start, kv_len, kv_sink,
+        cfg, prefill, impl, ctx)
 
     if with_ovf:
         ovf_total = ctx.psum_d(ovf_total)   # global count across DP shards
