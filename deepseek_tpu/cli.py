@@ -60,6 +60,9 @@ TPU options:
   --mtp-spec                  self-speculative decoding with the checkpoint's
                               own MTP module (DeepSeek-V3 extra layer)
   --spec-k <int>              draft tokens per speculation round (default 4)
+  --kquant-turbo              expand K-quant weights to pre-scaled int8
+                              planes at load: ~2x faster decode for ~3x
+                              the packed weight memory (still < bf16)
   --chunk <int>               prefill chunk size (default 256)
   --seed <int>                sampler seed
   --yarn                      apply YaRN rope scaling (reference parses but
@@ -94,6 +97,7 @@ class Args:
         self.passkey_pos = -1
         self.dtype: Optional[str] = None
         self.kv_dtype: Optional[str] = None
+        self.kquant_turbo = False
         self.chunk = 256
         self.seed: Optional[int] = None
         self.yarn = False
@@ -142,6 +146,8 @@ def parse_mode_flags(args: Args, argv: List[str]) -> Args:
             args.dtype = val()
         elif a == "--kv-dtype":
             args.kv_dtype = val()
+        elif a == "--kquant-turbo":
+            args.kquant_turbo = True
         elif a == "--chunk":
             args.chunk = int(val())
         elif a == "--seed":
@@ -398,6 +404,7 @@ def main(argv: Optional[List[str]] = None):
         seed=args.seed if args.seed is not None else int(time.time() * 1000) % (1 << 31),
         prefill_chunk=args.chunk,
         use_yarn=args.yarn,
+        kquant_runtime="turbo" if args.kquant_turbo else None,
     )
     md = engine.data.metadata
     print(f"Loaded model: arch={md.get('arch')} quant={md.get('quant')} "

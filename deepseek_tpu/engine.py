@@ -93,6 +93,7 @@ class Engine:
         decode_block: int = 32,
         use_yarn: bool = False,
         load_mtp: bool = True,
+        kquant_runtime: Optional[str] = None,
     ):
         self.data = load_checkpoint(checkpoint_dir)
         overrides = {}
@@ -113,7 +114,8 @@ class Engine:
         self.lock_weights = lock_weights
         self.params = load_params(self.data, self.cfg,
                                   runtime_dtype=runtime_dtype,
-                                  load_mtp=load_mtp)
+                                  load_mtp=load_mtp,
+                                  kquant_runtime=kquant_runtime)
         if lock_weights:
             jax.block_until_ready(jax.tree.leaves(self.params))
         self.tokenizer = Tokenizer.from_checkpoint(self.data)

@@ -38,9 +38,16 @@ def load_params(
     runtime_dtype: Optional[str] = None,
     put: PutFn = _default_put,
     load_mtp: bool = True,
+    kquant_runtime: Optional[str] = None,
 ) -> ModelParams:
     """runtime_dtype: optionally cast f32/f16 weights at load (e.g. "bfloat16"
-    keeps decode matmuls native on the MXU)."""
+    keeps decode matmuls native on the MXU).
+
+    kquant_runtime="turbo": expand K-quant weights to pre-scaled int8
+    planes at load (quant.qtensor.q2k_to_turbo) — ~3x fewer dequant VPU
+    ops per weight at decode for ~3x the packed HBM bytes (still far under
+    bf16). The wire format is unchanged; this is an in-HBM layout choice.
+    """
 
     def norm(name: str) -> Optional[jax.Array]:
         arr = data.get(name + ".weight")
@@ -80,13 +87,21 @@ def load_params(
             if cfg.weight_quant == QuantKind.Q2_K:
                 cols = raw.shape[-1] // Q2K_BLOCK_BYTES * QK_K
                 qs, sm, d, dmin = repack_q2k(raw, rows, cols)
-                return Q2KTensor(qs=put(name + ".qs", qs), sm=put(name + ".sm", sm),
-                                 d=put(name + ".d", d), dmin=put(name + ".dmin", dmin))
+                qt = Q2KTensor(qs=put(name + ".qs", qs), sm=put(name + ".sm", sm),
+                               d=put(name + ".d", d), dmin=put(name + ".dmin", dmin))
+                if kquant_runtime == "turbo":
+                    from deepseek_tpu.quant.qtensor import q2k_to_turbo
+                    qt = q2k_to_turbo(qt)
+                return qt
             if cfg.weight_quant == QuantKind.Q3_K:
                 cols = raw.shape[-1] // Q3K_BLOCK_BYTES * QK_K
                 qs, hm, sc, d = repack_q3k(raw, rows, cols)
-                return Q3KTensor(qs=put(name + ".qs", qs), hm=put(name + ".hm", hm),
-                                 sc=put(name + ".sc", sc), d=put(name + ".d", d))
+                qt = Q3KTensor(qs=put(name + ".qs", qs), hm=put(name + ".hm", hm),
+                               sc=put(name + ".sc", sc), d=put(name + ".d", d))
+                if kquant_runtime == "turbo":
+                    from deepseek_tpu.quant.qtensor import q3k_to_turbo
+                    qt = q3k_to_turbo(qt)
+                return qt
             raise ValueError(
                 f"U8 tensor {name} but weight_quant={cfg.weight_quant}")
 

@@ -132,8 +132,10 @@ def _quantized_grouped_ffn(w1, w2, w3, xb, weights, idx, act, ctx, interpret):
     Returns (out (B,T,dim), overflow count).
     """
     from deepseek_tpu.ops.activations import glu_act
-    from deepseek_tpu.ops.pallas.qmm import _perm_x, qmm_grouped
-    from deepseek_tpu.quant.qtensor import Q2KTensor, Q3KTensor
+    from deepseek_tpu.ops.pallas.qmm import _group_sums, _perm_x, qmm_grouped
+    from deepseek_tpu.quant.qtensor import (
+        Q2KTensor, Q2KTurboTensor, Q3KTensor, Q3KTurboTensor,
+    )
 
     TB = 128
     B, T, k = idx.shape
@@ -163,14 +165,22 @@ def _quantized_grouped_ffn(w1, w2, w3, xb, weights, idx, act, ctx, interpret):
     # gathered back through `dest`
     x_rows = xb.reshape(B * T, dim)[src // k].astype(jnp.float32)
 
-    kq = isinstance(w1, (Q2KTensor, Q3KTensor))
+    kq = isinstance(w1, (Q2KTensor, Q3KTensor, Q2KTurboTensor,
+                         Q3KTurboTensor))
+    turbo2 = isinstance(w1, Q2KTurboTensor)
+    s16x = (_group_sums(x_rows, dim).reshape(G, TB, dim // 16)
+            if turbo2 else None)
     xin = _perm_x(x_rows, dim) if kq else x_rows
     gq = functools.partial(qmm_grouped, interpret=interpret)
-    h = glu_act(gq(w1, tile_expert, xin.reshape(G, TB, dim)),
-                gq(w3, tile_expert, xin.reshape(G, TB, dim)), act)
+    h = glu_act(gq(w1, tile_expert, xin.reshape(G, TB, dim), s16_tiles=s16x),
+                gq(w3, tile_expert, xin.reshape(G, TB, dim), s16_tiles=s16x),
+                act)
     m = h.shape[-1]
+    s16h = None
+    if turbo2:
+        s16h = _group_sums(h.reshape(G * TB, m), m).reshape(G, TB, m // 16)
     hin = _perm_x(h.reshape(G * TB, m), m) if kq else h.reshape(G * TB, m)
-    y = gq(w2, tile_expert, hin.reshape(G, TB, m))           # (G, TB, dim)
+    y = gq(w2, tile_expert, hin.reshape(G, TB, m), s16_tiles=s16h)
 
     y = jnp.where(keep[:, None],
                   y.reshape(G * TB, dim)[jnp.clip(dest, 0, G * TB - 1)], 0.0)
@@ -260,9 +270,12 @@ def grouped_expert_ffn(w1, w2, w3, xb: jnp.ndarray, weights: jnp.ndarray,
 def grouped_ffn_supported(cfg, w1=None) -> bool:
     """Tile/kernel divisibility for the grouped prefill paths: gmm tiles
     m/k/n by 128 (plain weights); qmm_grouped needs K-quant superblocks
-    (256) to divide both contraction dims (quantized weights)."""
-    from deepseek_tpu.quant.qtensor import Q2KTensor, Q3KTensor
-    if w1 is not None and isinstance(w1, (Q2KTensor, Q3KTensor)):
+    (256) to divide both contraction dims (quantized/turbo weights)."""
+    from deepseek_tpu.quant.qtensor import (
+        Q2KTensor, Q2KTurboTensor, Q3KTensor, Q3KTurboTensor,
+    )
+    if w1 is not None and isinstance(w1, (Q2KTensor, Q3KTensor,
+                                          Q2KTurboTensor, Q3KTurboTensor)):
         return (cfg.dim % 256 == 0 and cfg.moe_intermediate_size % 256 == 0)
     return (cfg.dim % 128 == 0 and cfg.moe_intermediate_size % 128 == 0)
 

@@ -36,7 +36,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from deepseek_tpu.quant.qtensor import Fp8Tensor, PlainTensor, Q2KTensor, Q3KTensor
+from deepseek_tpu.quant.qtensor import (
+    Fp8Tensor, PlainTensor, Q2KTensor, Q2KTurboTensor, Q3KTensor,
+    Q3KTurboTensor,
+)
 
 
 def _unpack2(planes):
@@ -117,6 +120,39 @@ def _q3k_body(x_ref, qs_ref, hm_ref, sc_ref, d_ref, o_ref):
     o_ref[...] = jax.lax.dot_general(
         x_ref[...], w, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
+
+
+def _q2kt_body(x_ref, s16_ref, p_ref, d_ref, bm_ref, o_ref):
+    """Q2_K turbo: int8 plane p = sc*q (permuted order), w = d_g * p; the
+    per-16 MIN term is applied through the per-group activation sums s16
+    (one small dot), never per weight. ~3 VPU ops/weight (convert, repeat,
+    multiply) vs ~8 for the packed planes."""
+    pf = p_ref[...].astype(jnp.float32)                    # (TD, n) permuted
+    n16 = bm_ref.shape[-1]
+    d16 = _expand_super(d_ref[...], n16)                   # (TD, n/16)
+    w = _rep16(d16) * pf
+    o_ref[...] = (
+        jax.lax.dot_general(x_ref[...], w, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+        - jax.lax.dot_general(s16_ref[...], bm_ref[...],
+                              (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32))
+
+
+def _q3kt_body(x_ref, p_ref, a_ref, o_ref):
+    """Q3_K turbo: int8 quant plane (permuted) with fused per-16 f32
+    scales a = d*sc. ~3 VPU ops/weight."""
+    pf = p_ref[...].astype(jnp.float32)
+    w = _rep16(a_ref[...]) * pf
+    o_ref[...] = jax.lax.dot_general(
+        x_ref[...], w, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def _group_sums(x, n: int):
+    """Per-16-group sums of NATURAL-order activations x (..., n) ->
+    (..., n//16), the s16 operand of the Q2_K turbo kernels."""
+    return x.reshape(*x.shape[:-1], n // 16, 16).sum(axis=-1)
 
 
 def _fp8_body(x_ref, w_ref, s_ref, o_ref, *, b0: int, b1: int):
@@ -224,6 +260,22 @@ def qmm(qt, x, interpret: bool = False):
                       wspec(n // 16), wspec(n // 256)],
             out_specs=ospec, interpret=interpret,
         )(_perm_x(x2, n), qt.qs, qt.hm, qt.sc, qt.d)
+    elif isinstance(qt, Q2KTurboTensor):
+        s16 = _group_sums(x2, n)
+        s16spec = pl.BlockSpec((tb, n // 16), lambda i, b: (b, 0),
+                               memory_space=pltpu.VMEM)
+        out = pl.pallas_call(
+            _q2kt_body, grid=grid, out_shape=oshape,
+            in_specs=[xspec, s16spec, wspec(n), wspec(n // 256),
+                      wspec(n // 16)],
+            out_specs=ospec, interpret=interpret,
+        )(_perm_x(x2, n), s16, qt.p, qt.d, qt.bm)
+    elif isinstance(qt, Q3KTurboTensor):
+        out = pl.pallas_call(
+            _q3kt_body, grid=grid, out_shape=oshape,
+            in_specs=[xspec, wspec(n), wspec(n // 16)],
+            out_specs=ospec, interpret=interpret,
+        )(_perm_x(x2, n), qt.p, qt.a)
     elif isinstance(qt, Fp8Tensor):
         b0, b1 = qt.block_size
         if (b0, b1) == (0, 0):
@@ -268,13 +320,16 @@ def _tile_squeeze(body):
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def qmm_grouped(qt, tile_expert, x_tiles, interpret: bool = False):
+def qmm_grouped(qt, tile_expert, x_tiles, interpret: bool = False,
+                s16_tiles=None):
     """Ragged grouped matmul over quantized experts (MoE prefill).
 
     W (E, out, n) packed; tile_expert (G,) int32 maps each 128-row token
     tile to the expert all of its rows belong to (built by the counting
     dispatch in ops.matmul.grouped_expert_ffn); x_tiles (G, TB, n) f32
-    (stride-16 PERMUTED for K-quants) -> (G, TB, out) f32.
+    (stride-16 PERMUTED for K-quants) -> (G, TB, out) f32. Q2_K turbo
+    additionally takes ``s16_tiles`` (G, TB, n//16) per-16 group sums of
+    the NATURAL-order rows.
 
     Each expert's packed bytes are DMA'd once per row tile that touches it
     (~1 tile per expert at typical chunk sizes), and the dequantized weight
@@ -294,6 +349,15 @@ def qmm_grouped(qt, tile_expert, x_tiles, interpret: bool = False):
         cols = (n // 4, n // 8, n // 16, n // 256)
         fields = (qt.qs, qt.hm, qt.sc, qt.d)
         body = _q3k_body
+    elif isinstance(qt, Q2KTurboTensor):
+        assert s16_tiles is not None
+        cols = (n, n // 256, n // 16)
+        fields = (qt.p, qt.d, qt.bm)
+        body = _q2kt_body
+    elif isinstance(qt, Q3KTurboTensor):
+        cols = (n, n // 16)
+        fields = (qt.p, qt.a)
+        body = _q3kt_body
     elif isinstance(qt, PlainTensor):
         cols = (n,)
         fields = (qt.data,)
@@ -311,6 +375,12 @@ def qmm_grouped(qt, tile_expert, x_tiles, interpret: bool = False):
     grid = (G, pl.cdiv(d, td))
     in_specs = [pl.BlockSpec((1, TB, n), lambda g, j, te: (g, 0, 0),
                              memory_space=pltpu.VMEM)]
+    args = [x_tiles]
+    if isinstance(qt, Q2KTurboTensor):
+        in_specs.append(pl.BlockSpec((1, TB, n // 16),
+                                     lambda g, j, te: (g, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(s16_tiles.astype(jnp.float32))
     if isinstance(qt, Fp8Tensor):
         in_specs += [
             pl.BlockSpec((1, td, n), lambda g, j, te: (te[g], j, 0),
@@ -335,7 +405,7 @@ def qmm_grouped(qt, tile_expert, x_tiles, interpret: bool = False):
             in_specs=in_specs, out_specs=out_spec),
         out_shape=jax.ShapeDtypeStruct((G, TB, d), jnp.float32),
         interpret=interpret,
-    )(tile_expert.astype(jnp.int32), x_tiles, *fields)
+    )(tile_expert.astype(jnp.int32), *args, *fields)
 
 
 # ---------------------------------------------------------------------------
@@ -376,7 +446,10 @@ def qmm_experts(qt, idx, x, interpret: bool = False):
     """
     B, k, n = x.shape
     x = x.astype(jnp.float32)
-    if isinstance(qt, (Q2KTensor, Q3KTensor)):
+    s16 = None
+    if isinstance(qt, Q2KTurboTensor):
+        s16 = _group_sums(x, n).reshape(B * k, 1, n // 16)
+    if isinstance(qt, (Q2KTensor, Q3KTensor, Q2KTurboTensor, Q3KTurboTensor)):
         x = _perm_x(x, n)
     N = B * k
     x = x.reshape(N, 1, n)                     # pair-flat: see _squeeze_body
@@ -392,6 +465,14 @@ def qmm_experts(qt, idx, x, interpret: bool = False):
         cols = (n // 4, n // 8, n // 16, n // 256)
         fields = (qt.qs, qt.hm, qt.sc, qt.d)
         body = _q3k_body
+    elif isinstance(qt, Q2KTurboTensor):
+        cols = (n, n // 256, n // 16)
+        fields = (qt.p, qt.d, qt.bm)
+        body = _q2kt_body
+    elif isinstance(qt, Q3KTurboTensor):
+        cols = (n, n // 16)
+        fields = (qt.p, qt.a)
+        body = _q3kt_body
     elif isinstance(qt, PlainTensor):
         cols = (n,)
         fields = (qt.data,)
@@ -424,6 +505,12 @@ def qmm_experts(qt, idx, x, interpret: bool = False):
     grid = (pl.cdiv(d, td), N)
     in_specs = [pl.BlockSpec((1, 1, n), lambda j, p, idx: (p, 0, 0),
                              memory_space=pltpu.VMEM)]
+    args = [x]
+    if s16 is not None:                        # Q2_K turbo group sums
+        in_specs.append(pl.BlockSpec((1, 1, n // 16),
+                                     lambda j, p, idx: (p, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(s16)
     if isinstance(qt, Fp8Tensor):
         in_specs += extra_specs
     else:
@@ -442,5 +529,5 @@ def qmm_experts(qt, idx, x, interpret: bool = False):
             num_scalar_prefetch=1, grid=grid,
             in_specs=in_specs, out_specs=out_spec),
         out_shape=oshape, interpret=interpret,
-    )(idx.astype(jnp.int32), x, *fields)
+    )(idx.astype(jnp.int32), *args, *fields)
     return out.reshape(B, k, d)

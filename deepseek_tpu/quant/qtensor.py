@@ -157,7 +157,113 @@ class Q3KTensor:
 _register(Q3KTensor, ["qs", "hm", "sc", "d"], [])
 
 
-QTensorLike = (PlainTensor, Fp8Tensor, Q2KTensor, Q3KTensor)
+@dataclasses.dataclass
+class Q2KTurboTensor:
+    """Q2_K expanded to a pre-scaled int8 plane at load time ("turbo").
+
+    p[i] = sc_g(i) * q_i — exact in int8 (sc<=15, q<=3) — so the kernel is
+    w = rep16(expand_super(d)) * p, with the per-16 MIN term folded OUT of
+    the per-weight path: y -= sum_j (dmin*mn)_j * s16_j where s16 are
+    per-16-group activation sums (one tiny MXU dot). ~3 VPU ops per weight
+    instead of the packed kernel's ~8 (VERDICT r1 #2), at 8.25+ bits of
+    HBM per weight instead of 2.625 — a speed/capacity trade selected per
+    session (Engine kquant_runtime="turbo"). The plane keeps the packed
+    tensors' stride-16 PERMUTED column order; d/bm follow the natural
+    per-group order like the packed scale arrays.
+    """
+
+    p: jax.Array    # (..., out, in) int8 = sc * q, PERMUTED column order
+    d: jax.Array    # (..., out, in//256) f32 super scale
+    bm: jax.Array   # (..., out, in//16) f32 = dmin * mn (min term)
+
+    @property
+    def shape(self) -> Tuple[int, ...]:
+        return tuple(self.p.shape)
+
+    @property
+    def nbytes_active(self) -> int:
+        return self.p.size + self.d.size * 4 + self.bm.size * 4
+
+    def dequant(self, dtype=jnp.float32) -> jax.Array:
+        from deepseek_tpu.quant.repack import stride16_inv_perm
+        n = self.p.shape[-1]
+        n16 = n // 16
+        # per-16 d in natural group order, then permuted-order expansion
+        # (tile concatenation) and inverse permutation back
+        d16 = jnp.repeat(self.d.astype(dtype), 16, axis=-1)   # (out, n/16)
+        w = jnp.concatenate([d16] * 16, axis=-1) * self.p.astype(dtype)
+        w = jnp.take(w, jnp.asarray(stride16_inv_perm(n)), axis=-1)
+        return w - jnp.repeat(self.bm.astype(dtype), 16, axis=-1)
+
+
+_register(Q2KTurboTensor, ["p", "d", "bm"], [])
+
+
+@dataclasses.dataclass
+class Q3KTurboTensor:
+    """Q3_K expanded to an int8 quant plane + per-16 fused f32 scales.
+
+    p = (qlow + 4*hbit - 4) in [-4, 3]; a = d * sc per 16 columns, so the
+    kernel is w = rep16(a) * p — convert + repeat + multiply, ~3 VPU ops
+    per weight vs ~8 for the packed planes. 10 bits/weight of HBM vs
+    3.4375 packed. Columns are in the stride-16 PERMUTED order (the per-16
+    scale expansion is a lane-tile repeat, like the packed kernels).
+    """
+
+    p: jax.Array    # (..., out, in) int8, PERMUTED column order
+    a: jax.Array    # (..., out, in//16) f32 fused scale, permuted-compatible
+
+    @property
+    def shape(self) -> Tuple[int, ...]:
+        return tuple(self.p.shape)
+
+    @property
+    def nbytes_active(self) -> int:
+        return self.p.size + self.a.size * 4
+
+    def dequant(self, dtype=jnp.float32) -> jax.Array:
+        from deepseek_tpu.quant.repack import stride16_inv_perm
+        n = self.p.shape[-1]
+        # per-16 expansion in permuted order = tile concatenation
+        a_full = jnp.concatenate([self.a.astype(dtype)] * 16, axis=-1)
+        w = a_full * self.p.astype(dtype)
+        return jnp.take(w, jnp.asarray(stride16_inv_perm(n)), axis=-1)
+
+
+_register(Q3KTurboTensor, ["p", "a"], [])
+
+
+def q2k_to_turbo(qt: Q2KTensor) -> Q2KTurboTensor:
+    """One-time load conversion Q2_K planes -> pre-scaled int8 plane (kept
+    in the stride-16 permuted order the kernels consume)."""
+    # PERMUTED-order unpack (no inverse permutation)
+    q = jnp.concatenate([(qt.qs >> s) & 3 for s in (0, 2, 4, 6)], axis=-1)
+    sc = (qt.sm & 0xF).astype(jnp.int32)                 # (out, n/16) natural
+    mn = (qt.sm >> 4).astype(jnp.float32)
+    # permuted-order per-16 expansion of sc = tile concatenation
+    sc_full = jnp.concatenate([sc] * 16, axis=-1)
+    p = (sc_full * q).astype(jnp.int8)                   # exact, <= 45
+    bm = jnp.repeat(qt.dmin.astype(jnp.float32), 16, axis=-1) * mn
+    return Q2KTurboTensor(p=p, d=qt.d.astype(jnp.float32), bm=bm)
+
+
+def q3k_to_turbo(qt: Q3KTensor) -> Q3KTurboTensor:
+    """One-time load conversion Q3_K planes -> int8 plane + fused scales.
+
+    The plane keeps the packed tensors' PERMUTED column order: position c'
+    of the permuted row belongs to scale group c' mod (n/16), matching the
+    kernel's tile-repeat expansion."""
+    from deepseek_tpu.quant.repack import stride16_perm
+    qlow = jnp.concatenate([(qt.qs >> s) & 3 for s in (0, 2, 4, 6)], axis=-1)
+    hbit = jnp.concatenate([(qt.hm >> b) & 1 for b in range(8)], axis=-1)
+    p = (qlow.astype(jnp.int8) + (hbit.astype(jnp.int8) << 2) - 4)
+    a = jnp.repeat(qt.d.astype(jnp.float32), 16, axis=-1) \
+        * qt.sc.astype(jnp.float32)                      # (out, in//16)
+    return Q3KTurboTensor(p=p, a=a)
+
+
+QTensorLike = (PlainTensor, Fp8Tensor, Q2KTensor, Q3KTensor,
+               Q2KTurboTensor, Q3KTurboTensor)
 
 
 def bits_per_weight(quant: QuantKind, block_size: Tuple[int, int] = (0, 0)) -> float:

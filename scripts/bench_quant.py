@@ -5,7 +5,10 @@ Synthesizes random packed quantized weights on device (values don't affect
 throughput; encode/decode correctness is covered by the golden tests) and
 measures the fused-kernel decode loop. Usage:
 
-    python scripts/bench_quant.py [q2_k|q3_k|f8e5m2] [layers]
+    python scripts/bench_quant.py [q2_k|q3_k|f8e5m2|q2_k_turbo|q3_k_turbo] [layers]
+
+The *_turbo modes run the pre-scaled int8-plane runtime layout
+(quant.qtensor.Q2KTurboTensor): ~3x fewer dequant VPU ops per weight.
 """
 
 import sys
@@ -22,7 +25,9 @@ from deepseek_tpu.models import init_cache
 from deepseek_tpu.models.deepseek import make_decode_loop
 from deepseek_tpu.models.loader import params_active_bytes
 from deepseek_tpu.models.params import LayerParams, ModelParams
-from deepseek_tpu.quant.qtensor import Fp8Tensor, PlainTensor, Q2KTensor, Q3KTensor
+from deepseek_tpu.quant.qtensor import (
+    Fp8Tensor, PlainTensor, Q2KTensor, Q3KTensor, q2k_to_turbo, q3k_to_turbo,
+)
 
 
 _KEY = [jax.random.PRNGKey(1234)]
@@ -43,6 +48,8 @@ def _quantize(shape, quant: str):
     """
     rows, cols = shape[-2], shape[-1]
     lead = shape[:-2]
+    turbo = quant.endswith("_turbo")
+    quant = quant[:-6] if turbo else quant
     if quant in ("q2_k", "q3_k") and cols % 256 == 0:
         qs = jax.random.randint(_k(), (*lead, rows, cols // 4), 0, 256, jnp.int32
                                 ).astype(jnp.uint8)
@@ -52,12 +59,14 @@ def _quantize(shape, quant: str):
             sm = jax.random.randint(_k(), (*lead, rows, cols // 16), 0, 256,
                                     jnp.int32).astype(jnp.uint8)
             dmin = jax.random.uniform(_k(), d.shape, jnp.float32, 0.001, 0.01)
-            return Q2KTensor(qs=qs, sm=sm, d=d, dmin=dmin)
+            qt = Q2KTensor(qs=qs, sm=sm, d=d, dmin=dmin)
+            return q2k_to_turbo(qt) if turbo else qt
         hm = jax.random.randint(_k(), (*lead, rows, cols // 8), 0, 256,
                                 jnp.int32).astype(jnp.uint8)
         sc = jax.random.randint(_k(), (*lead, rows, cols // 16), -32, 32,
                                 jnp.int32).astype(jnp.int8)
-        return Q3KTensor(qs=qs, hm=hm, sc=sc, d=d)
+        qt = Q3KTensor(qs=qs, hm=hm, sc=sc, d=d)
+        return q3k_to_turbo(qt) if turbo else qt
     if quant == "f8e5m2" and rows % 128 == 0 and cols % 128 == 0:
         data = (jax.random.normal(_k(), (*lead, rows, cols), jnp.bfloat16)
                 ).astype(jnp.float8_e5m2)
@@ -115,7 +124,7 @@ def main():
     cfg = bench_config(layers)
     # moe_intermediate 1408 is not 256-divisible; use 1536 for K-quant rows
     import dataclasses
-    if quant in ("q2_k", "q3_k"):
+    if quant.startswith(("q2_k", "q3_k")):
         cfg = dataclasses.replace(cfg, moe_intermediate_size=1536)
 
     t0 = time.perf_counter()

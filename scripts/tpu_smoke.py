@@ -90,6 +90,18 @@ def main():
     for s in range(3):
         ok &= check(f"q2k expert slot {s}", got[0, s], xk[0, s] @ deq[idx[0, s]].T)
 
+    # turbo K-quant runtime layout (pre-scaled int8 planes)
+    from deepseek_tpu.quant.qtensor import q2k_to_turbo, q3k_to_turbo
+    tq2 = q2k_to_turbo(qt)
+    ok &= check("q2k-turbo qmm", np.asarray(qmm(tq2, jnp.asarray(x))), want)
+    tq3 = q3k_to_turbo(qt3)
+    ok &= check("q3k-turbo qmm", np.asarray(qmm(tq3, jnp.asarray(x))), want3)
+    teqt = q2k_to_turbo(eqt)
+    got = np.asarray(qmm_experts(teqt, jnp.asarray(idx), jnp.asarray(xk)))
+    for s in range(3):
+        ok &= check(f"q2k-turbo expert slot {s}", got[0, s],
+                    xk[0, s] @ deq[idx[0, s]].T)
+
     # flash-decode attention (bf16 + int8 caches) vs jnp formulation
     from deepseek_tpu.models.kvcache import dequant_rows, quantize_rows
     from deepseek_tpu.ops.attention import decode_attn_mla

@@ -11,7 +11,9 @@ import pytest
 
 from deepseek_tpu.ops.pallas.qmm import qmm, qmm_experts
 from deepseek_tpu.quant import fp8, kquant, repack
-from deepseek_tpu.quant.qtensor import Fp8Tensor, PlainTensor, Q2KTensor, Q3KTensor
+from deepseek_tpu.quant.qtensor import (
+    Fp8Tensor, PlainTensor, Q2KTensor, Q3KTensor, q2k_to_turbo, q3k_to_turbo,
+)
 
 
 def rnd(shape, seed=0, scale=1.0):
@@ -34,7 +36,18 @@ def q3k_tensor(w):
                      sc=jnp.asarray(sc), d=jnp.asarray(d))
 
 
-@pytest.mark.parametrize("mk", [q2k_tensor, q3k_tensor])
+def q2kt_tensor(w):
+    return q2k_to_turbo(q2k_tensor(w))
+
+
+def q3kt_tensor(w):
+    return q3k_to_turbo(q3k_tensor(w))
+
+
+_ALL_KQ = [q2k_tensor, q3k_tensor, q2kt_tensor, q3kt_tensor]
+
+
+@pytest.mark.parametrize("mk", _ALL_KQ)
 @pytest.mark.parametrize("B", [1, 4])
 def test_kquant_qmm_matches_dequant_path(mk, B):
     w = rnd((64, 512), seed=1)
@@ -64,7 +77,7 @@ def test_fp8_qmm_matches_dequant_path():
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
 
 
-@pytest.mark.parametrize("mk", [q2k_tensor, q3k_tensor])
+@pytest.mark.parametrize("mk", _ALL_KQ)
 def test_expert_gather_qmm(mk):
     E, m, n = 8, 32, 512
     w = rnd((E, m, n), seed=7)
@@ -117,7 +130,7 @@ def test_plain_matvec_pallas_path():
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
 
 
-@pytest.mark.parametrize("mk", [q2k_tensor, q3k_tensor])
+@pytest.mark.parametrize("mk", _ALL_KQ)
 def test_quantized_grouped_ffn(mk):
     """qmm_grouped tile dispatch == per-pair dequant reference."""
     from deepseek_tpu.config import ActivationType
@@ -149,6 +162,40 @@ def test_quantized_grouped_ffn(mk):
                 h = (g1 / (1 + np.exp(-g1))) * g3
                 want[b, t] += float(wts[b, t, s]) * (h @ d2[e].T)
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
+def test_turbo_runtime_matches_packed_engine(tmp_path):
+    """kquant_runtime='turbo' (pre-scaled int8 planes) produces the same
+    greedy tokens and perplexity as the packed layout on the same Q2_K
+    checkpoint — the layouts encode identical weight values."""
+    import os
+    from deepseek_tpu import convert as cv
+    from deepseek_tpu.engine import Engine
+    from deepseek_tpu.quant.qtensor import Q2KTensor, Q2KTurboTensor
+    from tests.util_hf import hf_config, hf_weights, write_hf_dir
+
+    cfg = hf_config(dim=256, hidden=256, q_lora=256, kv_lora=256, nope=128,
+                    rope=64, v_dim=128, moe_inter=256, layers=2, vocab=300,
+                    n_experts=4, n_active=2)
+    hf_dir = os.path.join(str(tmp_path), "hf")
+    write_hf_dir(hf_dir, cfg, hf_weights(cfg, seed=17, scale=0.1))
+    out = os.path.join(str(tmp_path), "q2k")
+    cv.convert(hf_dir, out, quant="q2_k", use_mla=True)
+
+    e_pk = Engine(out, seed=0, prefill_chunk=4, decode_block=1)
+    e_tb = Engine(out, seed=0, prefill_chunk=4, decode_block=1,
+                  kquant_runtime="turbo")
+    assert isinstance(e_pk.params.layers[1].w1, Q2KTensor)
+    assert isinstance(e_tb.params.layers[1].w1, Q2KTurboTensor)
+
+    prompt = e_pk.tokenizer.encode("hello", bos=True)
+    out1, _ = e_pk.generate(prompt, num_steps=6, temperature=0.0)
+    out2, _ = e_tb.generate(prompt, num_steps=6, temperature=0.0)
+    assert out1 == out2
+
+    p1 = e_pk.perplexity(prompt + out1)[0]
+    p2 = e_tb.perplexity(prompt + out1)[0]
+    np.testing.assert_allclose(p2, p1, rtol=1e-4)
 
 
 def test_full_model_pallas_impl_matches_xla(tmp_path):
