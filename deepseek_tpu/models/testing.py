@@ -30,10 +30,37 @@ def random_params(cfg: ModelConfig, seed: int = 0, dtype=jnp.bfloat16,
     c = cfg
     H, hd, nope, P, Dv, R = (c.n_heads, c.head_dim, c.qk_nope_head_dim,
                              c.qk_rope_head_dim, c.v_head_dim, c.kv_lora_rank)
+
+    def mla_weights():
+        """Hybrid MLA weights with a CONSISTENT factorization: random
+        wq_b/wkv_b, and wc/wq_rope_b/wv_b DERIVED from them exactly like
+        the converter's offline absorption (convert.py c_proj math) — the
+        decompressed prefill path and the absorbed decode path must compute
+        the same function, or prefill==decode parity (and speculative
+        acceptance) silently breaks on random checkpoints."""
+        wq_b = w(H * hd, c.q_lora_rank)
+        wkv_b = w(H * (nope + Dv), R)
+        qb = wq_b.data.astype(jnp.float32).reshape(H, hd, c.q_lora_rank)
+        kvb = wkv_b.data.astype(jnp.float32).reshape(H, nope + Dv, R)
+        q_nope_b, q_rope_b = qb[:, :nope], qb[:, nope:]
+        k_nope_b, v_b = kvb[:, :nope], kvb[:, nope:]
+        c_proj = jnp.einsum("hnr,hnq->hrq", k_nope_b, q_nope_b)
+        mk = lambda a: PlainTensor(data=a.astype(dtype))
+        return (wq_b, wkv_b,
+                mk(c_proj.reshape(H * R, c.q_lora_rank)),
+                mk(q_rope_b.reshape(H * P, c.q_lora_rank)),
+                mk(v_b.reshape(H * Dv, R)))
+
     layers = []
     for l in range(c.n_layers):
         moe = c.is_moe_layer(l)
         E, m = c.n_routed_experts, c.moe_intermediate_size
+        if c.use_mla:
+            wq_b, wkv_b, wc, wq_rope_b, wv_b = mla_weights()
+        else:
+            wq_b = w(H * hd, c.q_lora_rank) if c.q_lora_rank > 0 else None
+            wkv_b = w(H * (nope + Dv), R)
+            wc = wq_rope_b = wv_b = None
         layers.append(LayerParams(
             attn_norm=ones(c.dim), ffn_norm=ones(c.dim),
             kv_a_norm=ones(R),
@@ -44,11 +71,11 @@ def random_params(cfg: ModelConfig, seed: int = 0, dtype=jnp.bfloat16,
             wq_a=w(c.q_lora_rank, c.dim) if c.q_lora_rank > 0 else None,
             # MLA checkpoints keep the decompressed projections too
             # (hybrid prefill path, see convert.py / models/deepseek.py)
-            wq_b=w(H * hd, c.q_lora_rank) if c.q_lora_rank > 0 else None,
-            wkv_b=w(H * (nope + Dv), R),
-            wc=w(H * R, c.q_lora_rank) if c.use_mla else None,
-            wq_rope_b=w(H * P, c.q_lora_rank) if c.use_mla else None,
-            wv_b=w(H * Dv, R) if c.use_mla else None,
+            wq_b=wq_b,
+            wkv_b=wkv_b,
+            wc=wc,
+            wq_rope_b=wq_rope_b,
+            wv_b=wv_b,
             w1=w(E, m, c.dim) if moe else w(c.hidden_dim, c.dim),
             w2=w(E, c.dim, m) if moe else w(c.dim, c.hidden_dim),
             w3=w(E, m, c.dim) if moe else w(c.hidden_dim, c.dim),

@@ -1,0 +1,113 @@
+"""Speculative-decoding dispatch benchmark (real chip).
+
+Measures the fused speculation round (deepseek_tpu.speculative) against the
+plain fused decode loop on the bench-scale model:
+
+- plain: make_decode_loop tok/s (the 343 tok/s baseline path)
+- self-draft spec: target == draft -> greedy acceptance is 100%, giving the
+  measured UPPER BOUND tok/s of the fused rounds
+- cost model: a round emits (accepted + 1) tokens; with round time t_r and
+  acceptance rate a (model-pair dependent), tok/s = R*(a*k+1)/(R*t_r);
+  the printed table evaluates the measured t_r at several a values.
+
+Usage: python scripts/bench_spec.py [layers] [k] [rounds]
+"""
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bench import bench_config
+from deepseek_tpu.models import init_cache
+from deepseek_tpu.models.deepseek import make_decode_loop
+from deepseek_tpu.models.testing import random_params
+from deepseek_tpu.speculative import make_spec_rounds
+
+
+def main():
+    layers = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    k = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    R = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+    backend = jax.default_backend()
+    if backend == "cpu":
+        layers, block = 2, 4
+    else:
+        block = 32
+    cfg = bench_config(layers)
+    dcfg = bench_config(max(1, layers // 4))      # 4x shallower draft
+
+    params = random_params(cfg, seed=0)
+    dparams = random_params(dcfg, seed=1)
+    jax.block_until_ready(jax.tree.leaves(params))
+
+    key = jax.random.PRNGKey(0)
+    t0f = jnp.float32(0.0)
+    t1f = jnp.float32(1.0)
+
+    # --- plain fused decode loop ---------------------------------------
+    loop = make_decode_loop(cfg, block)
+    cache = init_cache(cfg, batch=1)
+    tok = jnp.zeros((1, 1), jnp.int32)
+    for wu in range(2):
+        toks, _, cache = loop(params, cache, tok, jnp.int32(wu * block),
+                              key, t0f, t1f)
+        tok = toks[:, -1:]
+        _ = int(np.asarray(tok)[0, 0])
+    reps = 6 if backend != "cpu" else 1
+    t0 = time.perf_counter()
+    for i in range(reps):
+        toks, _, cache = loop(params, cache, tok,
+                              jnp.int32(block * (2 + i)), key, t0f, t1f)
+        tok = toks[:, -1:]
+    _ = int(np.asarray(tok)[0, 0])
+    plain_tok_s = reps * block / (time.perf_counter() - t0)
+    print(f"plain decode: {plain_tok_s:.1f} tok/s (block {block})")
+
+    # --- fused speculative rounds, self-draft (acceptance == 1) --------
+    def run_spec(pt, pd, cfg_d, tag):
+        fn = make_spec_rounds(cfg, cfg_d, k, R)
+        ct = init_cache(cfg, batch=1)
+        cd = init_cache(cfg_d, batch=1)
+        tok = jnp.zeros((1, 1), jnp.int32)
+        pos = 0
+        # warmup x2 with CORRECT position tracking; acceptance measured here
+        accs = []
+        for _ in range(2):
+            dr, na, nx, ct, cd = fn(pt, pd, ct, cd, tok, jnp.int32(pos),
+                                    key, t0f, t1f)
+            na_np = np.asarray(na)
+            accs.append(na_np.mean() / k)
+            pos += int(na_np.sum()) + R
+            tok = nx[-1][None, None]
+        acc = float(accs[-1])
+        # timing loop measures DISPATCH COST only (pos bookkeeping is
+        # approximate — compute cost does not depend on token values)
+        n_disp = 6 if backend != "cpu" else 1
+        t0 = time.perf_counter()
+        for _ in range(n_disp):
+            dr, na, nx, ct, cd = fn(pt, pd, ct, cd, tok, jnp.int32(pos),
+                                    key, t0f, t1f)
+            tok = nx[-1][None, None]
+            pos += R
+        _ = np.asarray(na)              # syncs
+        dt = time.perf_counter() - t0
+        t_round = dt / (n_disp * R)
+        print(f"{tag}: {t_round*1e3:.2f} ms/round (k={k}, R={R}/dispatch), "
+              f"measured acceptance {acc:.2f}")
+        for a in (acc, 0.6, 0.8, 1.0):
+            eff = (a * k + 1) / t_round
+            print(f"   acceptance {a:.2f} -> {eff:.1f} tok/s "
+                  f"({eff / plain_tok_s:.2f}x plain)")
+        return t_round
+
+    run_spec(params, params, cfg, "self-draft spec (upper bound)")
+    run_spec(params, dparams, dcfg, f"{max(1, layers // 4)}-layer draft spec")
+
+
+if __name__ == "__main__":
+    main()

@@ -182,3 +182,31 @@ def test_active_bytes_model():
     import dataclasses
     cfg_all = dataclasses.replace(cfg, n_active_routed=cfg.n_routed_experts)
     assert params_active_bytes(params, cfg_all, pos=4) > b
+
+
+def test_random_params_hybrid_factorization_consistent():
+    """random_params must derive the absorbed MLA weights from the random
+    decompressed ones (converter math): prefill (decompressed path) ==
+    stepwise decode (absorbed path) on a random checkpoint. A previously
+    independent wc/wq_b broke speculative acceptance on bench models."""
+    import jax.numpy as jnp
+    from deepseek_tpu.models import init_cache, make_forward
+    from deepseek_tpu.models.testing import random_params
+    from tests.util_tinymodel import tiny_config
+
+    cfg = tiny_config(use_mla=True, vocab_size=64)
+    params = random_params(cfg, seed=3, dtype=jnp.float32)
+    assert params.layers[0].wq_b is not None     # hybrid weights present
+    tokens = [1, 9, 22, 40, 3]
+
+    pre = make_forward(cfg, prefill=True, logits_mode="all")
+    lg_all, _ = pre(params, init_cache(cfg, batch=1),
+                    jnp.asarray([tokens], jnp.int32), 0)
+
+    step = make_forward(cfg, prefill=False, logits_mode="last")
+    cache = init_cache(cfg, batch=1)
+    for pos, t in enumerate(tokens):
+        lg, cache = step(params, cache, jnp.asarray([[t]], jnp.int32), pos)
+        np.testing.assert_allclose(
+            np.asarray(lg[0]), np.asarray(lg_all[0, pos]),
+            rtol=2e-3, atol=2e-3)
