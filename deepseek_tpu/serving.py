@@ -54,14 +54,28 @@ class Request:
 
 class BatchScheduler:
     def __init__(self, engine: Engine, batch_size: int = 4,
-                 decode_block: int = 8):
+                 decode_block: int = 8, mesh=None):
+        """``mesh``: run the fused decode block over a device mesh — the
+        batch DP-shards over 'data' (with TP/EP/seq per the mesh axes) and
+        per-slot sampling params shard with it. Admissions hydrate through
+        the engine's replicated single-row path and merge into the sharded
+        cache (B=1 prefill cannot split over 'data')."""
         self.engine = engine
         self.batch = batch_size
         # tokens decoded per dispatch for the whole batch: amortizes the
         # per-dispatch round trip (~tens of ms on remote-attached chips) at
         # the cost of up to block-1 wasted positions after a sequence stops
         self.block = max(1, decode_block)
+        self.mesh = mesh
         self.cache = engine.new_cache(batch=batch_size)
+        self.params = engine.params
+        if mesh is not None:
+            from deepseek_tpu.parallel import shard_cache, shard_params
+            if mesh.shape.get("data", 1) > 1:
+                assert batch_size % mesh.shape["data"] == 0, \
+                    "batch must divide the data axis"
+            self.params = shard_params(engine.params, engine.cfg, mesh)
+            self.cache = shard_cache(self.cache, engine.cfg, mesh)
         self.slots: List[Optional[Request]] = [None] * batch_size
         self.pos = np.zeros(batch_size, np.int64)      # next decode position
         self.cur = np.zeros(batch_size, np.int64)      # token to feed next
@@ -163,7 +177,10 @@ class BatchScheduler:
             return
 
         if self._loop is None:
-            self._loop = make_decode_loop(self.engine.cfg, self.block)
+            self._loop = make_decode_loop(
+                self.engine.cfg, self.block, mesh=self.mesh,
+                params=self.engine.params if self.mesh is not None else None,
+                cache=self.cache if self.mesh is not None else None)
 
         temps = np.zeros(self.batch, np.float32)
         topps = np.ones(self.batch, np.float32)
@@ -173,7 +190,7 @@ class BatchScheduler:
                 topps[i] = req.top_p
         self._key, sub = jax.random.split(self._key)
         toks_dev, _, self.cache = self._loop(
-            self.engine.params, self.cache,
+            self.params, self.cache,
             jnp.asarray(self.cur.reshape(-1, 1), jnp.int32),
             jnp.asarray(self.pos, jnp.int32), sub,
             jnp.asarray(temps), jnp.asarray(topps))

@@ -91,6 +91,32 @@ def test_admission_chunks_interleave_with_decode(engine):
     assert reqB.out_tokens == want
 
 
+def test_scheduler_dp_sharded_matches_unsharded(engine):
+    """Continuous batching over a (data=2, expert=2, tensor=2) mesh: the
+    batch DP-shards across chips with per-slot sampling params, and greedy
+    outputs match the unsharded scheduler exactly."""
+    import jax
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from deepseek_tpu.parallel import make_mesh
+
+    prompts = ["hello", "abc xyz", "q"]
+    lens = [5, 4, 3]
+
+    def run(mesh):
+        sched = BatchScheduler(engine, batch_size=2, decode_block=2,
+                               mesh=mesh)
+        for p, n in zip(prompts, lens):
+            sched.submit(Request(
+                prompt_tokens=engine.tokenizer.encode(p, bos=True),
+                max_new_tokens=n, temperature=0.0))
+        return [r.out_tokens for r in sched.run()]
+
+    want = run(None)
+    got = run(make_mesh(data=2, expert=2, tensor=2))
+    assert got == want
+
+
 def test_scheduler_mixed_lengths_interleave(engine):
     """A long and short request share the batch; the short one finishes and a
     third is admitted while the long one continues."""
