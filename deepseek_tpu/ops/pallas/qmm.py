@@ -75,10 +75,15 @@ def _expand_super(d, n16: int):
 
 
 def _perm_x(x, n: int):
-    """Permute activations into the stride-16 column order (outside kernels;
-    a small XLA gather on (B, n))."""
-    from deepseek_tpu.quant.repack import stride16_perm
-    return jnp.take(x, jnp.asarray(stride16_perm(n)), axis=-1)
+    """Permute activations into the stride-16 column order (outside
+    kernels). The permutation IS a (n/16, 16) transpose — expressed as
+    reshape/swapaxes so XLA lowers it as a cheap transpose instead of a
+    general gather (measured 16.4 us -> ~2 us per (1, 2048) call on v5e;
+    at ~10 K-quant matmuls x 8 layers per decoded token the gather was
+    ~1 ms/token, most of the quantized-vs-bf16 decode gap)."""
+    lead = x.shape[:-1]
+    n16 = n // 16
+    return x.reshape(*lead, n16, 16).swapaxes(-1, -2).reshape(*lead, n)
 
 
 def _tile_d(d: int, n: int) -> int:
