@@ -142,14 +142,22 @@ def _attention(lp: LayerParams, cfg: ModelConfig, xb: jnp.ndarray,
     def mm(qt, x):
         return qmatmul(qt, x, impl=impl)
 
-    kv_a = mm(lp.wkv_a, xb)                            # (B, T, R + P)
+    if lp.wkvq is not None:
+        # fused [wkv_a; wq_a] (loader.fuse_projections): one sweep
+        kvq = mm(lp.wkvq, xb)
+        kv_a = kvq[..., :R + P]                        # (B, T, R + P)
+        q_a_raw = kvq[..., R + P:]
+    else:
+        kv_a = mm(lp.wkv_a, xb)                        # (B, T, R + P)
+        q_a_raw = None
     k_rope = apply_rope(
         kv_a[..., R:].astype(jnp.float32), pos_bt, theta, is_v3, yarn)
     ckv = rmsnorm(kv_a[..., :R], lp.kv_a_norm, cfg.norm_eps)
 
     if cfg.use_mla:
         # absorbed path (BlockMLA, infer.cpp:1052-1141)
-        q_a = rmsnorm(mm(lp.wq_a, xb), lp.q_a_norm, cfg.norm_eps)
+        q_a = rmsnorm(q_a_raw if q_a_raw is not None else mm(lp.wq_a, xb),
+                      lp.q_a_norm, cfg.norm_eps)
         # hybrid MLA: prefill attends in decompressed head space when the
         # checkpoint kept wq_b/wkv_b — identical math (the absorption is a
         # linear factorization), ~2-3x fewer score/mix FLOPs than the
@@ -157,10 +165,16 @@ def _attention(lp: LayerParams, cfg: ModelConfig, xb: jnp.ndarray,
         # uses the absorbed path (minimal cache reads per step).
         decompress = prefill and lp.wkv_b is not None and lp.wq_b is not None
         if not decompress:
-            q_rope = mm(lp.wq_rope_b, q_a).reshape(B, T, H, P)
+            if lp.wcr is not None:
+                # fused [wq_rope_b; wc]: one sweep over both projections
+                qcr = mm(lp.wcr, q_a)
+                q_rope = qcr[..., :H * P].reshape(B, T, H, P)
+                q_c = qcr[..., H * P:].reshape(B, T, H, R).astype(jnp.float32)
+            else:
+                q_rope = mm(lp.wq_rope_b, q_a).reshape(B, T, H, P)
+                q_c = mm(lp.wc, q_a).reshape(B, T, H, R).astype(jnp.float32)
             q_rope = apply_rope(q_rope.astype(jnp.float32), posb, theta,
                                 is_v3, yarn)
-            q_c = mm(lp.wc, q_a).reshape(B, T, H, R).astype(jnp.float32)
 
         # cache writes scatter straight into the full (L,B,S,·) arrays;
         # under seq parallelism the latent cache is sharded along the
@@ -335,7 +349,8 @@ def _attention(lp: LayerParams, cfg: ModelConfig, xb: jnp.ndarray,
 
     # decompressed path (BlockMHA, infer.cpp:935-1049)
     if cfg.q_lora_rank > 0:
-        q_a = rmsnorm(mm(lp.wq_a, xb), lp.q_a_norm, cfg.norm_eps)
+        q_a = rmsnorm(q_a_raw if q_a_raw is not None else mm(lp.wq_a, xb),
+                      lp.q_a_norm, cfg.norm_eps)
         q = mm(lp.wq_b, q_a)
     else:
         q = mm(lp.wq, xb)
@@ -417,9 +432,17 @@ def _attention(lp: LayerParams, cfg: ModelConfig, xb: jnp.ndarray,
     return attn, cache
 
 
-def _dense_glu(w1, w2, w3, xb: jnp.ndarray, cfg: ModelConfig, impl, ctx) -> jnp.ndarray:
-    """Column-parallel w1/w3, row-parallel w2: psum restores the full sum."""
-    h = glu_act(qmatmul(w1, xb, impl=impl), qmatmul(w3, xb, impl=impl), cfg.act)
+def _dense_glu(w1, w2, w3, xb: jnp.ndarray, cfg: ModelConfig, impl, ctx,
+               w13=None) -> jnp.ndarray:
+    """Column-parallel w1/w3, row-parallel w2: psum restores the full sum.
+    With a fused [w1;w3] (loader.fuse_projections) one sweep feeds both."""
+    if w13 is not None:
+        h2 = qmatmul(w13, xb, impl=impl)
+        m = h2.shape[-1] // 2
+        h = glu_act(h2[..., :m], h2[..., m:], cfg.act)
+    else:
+        h = glu_act(qmatmul(w1, xb, impl=impl), qmatmul(w3, xb, impl=impl),
+                    cfg.act)
     return ctx.psum_t(qmatmul(w2, h, impl=impl))
 
 
@@ -429,7 +452,8 @@ def _ffn(lp: LayerParams, cfg: ModelConfig, xb: jnp.ndarray, layer: int,
     overflow count (ops.matmul.ep_prefill_capacity), None off that path."""
     ovf = None
     if not cfg.is_moe_layer(layer):
-        return _dense_glu(lp.w1, lp.w2, lp.w3, xb, cfg, impl, ctx), ovf
+        return _dense_glu(lp.w1, lp.w2, lp.w3, xb, cfg, impl, ctx,
+                          w13=lp.w13), ovf
 
     router_logits = jnp.einsum(
         "btd,ed->bte", xb.astype(jnp.float32), lp.moegate,
@@ -438,20 +462,28 @@ def _ffn(lp: LayerParams, cfg: ModelConfig, xb: jnp.ndarray, layer: int,
 
     dtype = xb.dtype
     from deepseek_tpu.ops.matmul import grouped_expert_ffn, grouped_ffn_supported
-    if prefill and impl is not None and grouped_ffn_supported(cfg, lp.w1):
+    w1_probe = lp.w13 if lp.w13 is not None else lp.w1
+    if prefill and impl is not None and grouped_ffn_supported(cfg, w1_probe):
         # ragged grouped matmul (megablocks gmm): FLOPs scale with the k
         # routed experts per token, not all E — and with ~cf*k/EP under
         # expert parallelism (owned-pair compaction) — see grouped_expert_ffn
         out, ovf = grouped_expert_ffn(lp.w1, lp.w2, lp.w3, xb, weights, idx,
-                                      cfg.act, ctx, interpret=impl["interpret"])
+                                      cfg.act, ctx,
+                                      interpret=impl["interpret"],
+                                      w13=lp.w13)
     elif prefill:
         # dense-over-experts fallback: every expert read once per chunk;
         # routing weights scatter-combined through a (B,T,E) matrix
         E = cfg.n_routed_experts
         wmat = jax.nn.one_hot(idx, E, dtype=jnp.float32) * weights[..., None]
         wmat = ctx.local_expert_slice(wmat.sum(axis=-2), E)       # (B,T,E_l)
-        d1 = lp.w1.dequant(dtype)                                 # (E_l,m,dim)
-        d3 = lp.w3.dequant(dtype)
+        if lp.w13 is not None:
+            d13 = lp.w13.dequant(dtype)                           # (E_l,2m,dim)
+            m = d13.shape[-2] // 2
+            d1, d3 = d13[..., :m, :], d13[..., m:, :]
+        else:
+            d1 = lp.w1.dequant(dtype)                             # (E_l,m,dim)
+            d3 = lp.w3.dequant(dtype)
         h = glu_act(
             jnp.einsum("btn,emn->btem", xb, d1, preferred_element_type=jnp.float32).astype(dtype),
             jnp.einsum("btn,emn->btem", xb, d3, preferred_element_type=jnp.float32).astype(dtype),
@@ -473,18 +505,29 @@ def _ffn(lp: LayerParams, cfg: ModelConfig, xb: jnp.ndarray, layer: int,
         x2 = xb[:, 0]                                              # (B, dim)
         xk = x2[tok][None]                                         # (1, N, dim)
         lidx2 = lidx[None]                                         # (1, N)
-        h = glu_act(
-            qmm_experts(lp.w1, lidx2, xk, interpret=impl["interpret"]).astype(dtype),
-            qmm_experts(lp.w3, lidx2, xk, interpret=impl["interpret"]).astype(dtype),
-            cfg.act)                                               # (1, N, m)
+        if lp.w13 is not None:
+            h2 = qmm_experts(lp.w13, lidx2, xk,
+                             interpret=impl["interpret"]).astype(dtype)
+            m = h2.shape[-1] // 2
+            h = glu_act(h2[..., :m], h2[..., m:], cfg.act)         # (1, N, m)
+        else:
+            h = glu_act(
+                qmm_experts(lp.w1, lidx2, xk, interpret=impl["interpret"]).astype(dtype),
+                qmm_experts(lp.w3, lidx2, xk, interpret=impl["interpret"]).astype(dtype),
+                cfg.act)                                           # (1, N, m)
         per = qmm_experts(lp.w2, lidx2, h, interpret=impl["interpret"])[0]
         out = jax.ops.segment_sum(per * wts[:, None], tok, num_segments=B)
         out = ctx.psum_e(out[:, None]).astype(dtype)
     else:
         # decode: gather only the k active experts' quantized weights
         idx, weights = ctx.expert_slots(idx, weights, cfg.n_routed_experts)
-        w1k = gather_experts(lp.w1, idx).dequant(dtype)           # (B,T,k,m,dim)
-        w3k = gather_experts(lp.w3, idx).dequant(dtype)
+        if lp.w13 is not None:
+            d13 = gather_experts(lp.w13, idx).dequant(dtype)      # (B,T,k,2m,dim)
+            m = d13.shape[-2] // 2
+            w1k, w3k = d13[..., :m, :], d13[..., m:, :]
+        else:
+            w1k = gather_experts(lp.w1, idx).dequant(dtype)       # (B,T,k,m,dim)
+            w3k = gather_experts(lp.w3, idx).dequant(dtype)
         h = glu_act(
             jnp.einsum("btn,btkmn->btkm", xb, w1k, preferred_element_type=jnp.float32).astype(dtype),
             jnp.einsum("btn,btkmn->btkm", xb, w3k, preferred_element_type=jnp.float32).astype(dtype),
@@ -493,9 +536,10 @@ def _ffn(lp: LayerParams, cfg: ModelConfig, xb: jnp.ndarray, layer: int,
         per_k = jnp.einsum("btkm,btkdm->btkd", h, w2k, preferred_element_type=jnp.float32)
         out = ctx.psum_e((per_k * weights[..., None]).sum(axis=2)).astype(dtype)
 
-    if cfg.n_shared_experts > 0 and lp.shared_w1 is not None:
+    if cfg.n_shared_experts > 0 and (lp.shared_w1 is not None
+                                     or lp.shared_w13 is not None):
         out = out + _dense_glu(lp.shared_w1, lp.shared_w2, lp.shared_w3, xb,
-                               cfg, impl, ctx)
+                               cfg, impl, ctx, w13=lp.shared_w13)
     return out, ovf
 
 
@@ -592,12 +636,14 @@ def _forward_impl(params: ModelParams, cache: KVCache, tokens: jnp.ndarray,
 def _spmd_parts(cfg: ModelConfig, mesh, params, cache):
     """(ctx, in/out pspecs) for wrapping a forward body in shard_map."""
     from jax.sharding import PartitionSpec as P
+    from deepseek_tpu.models.loader import unfuse_projections
     from deepseek_tpu.parallel.sharding import cache_pspecs, param_pspecs
     from deepseek_tpu.parallel.spmd import make_ctx
     assert params is not None and cache is not None, \
         "mesh execution needs example params/cache pytrees to derive specs"
     ctx = make_ctx(cfg, mesh)
-    pspec = param_pspecs(params, cfg, mesh)
+    # specs describe the UNFUSED layout shard_params produces
+    pspec = param_pspecs(unfuse_projections(params, cfg), cfg, mesh)
     cspec = cache_pspecs(cache, cfg, mesh)
     return ctx, pspec, cspec, P
 

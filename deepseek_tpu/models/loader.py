@@ -164,6 +164,105 @@ def load_params(
     )
 
 
+def _qt_concat_rows(a, b):
+    """Concatenate two same-type QTensors along their output-rows axis
+    (every field of the K-quant/plain layouts scales with the rows).
+    Returns None when the pair cannot be fused losslessly."""
+    if a is None or b is None or type(a) is not type(b):
+        return None
+    if isinstance(a, Fp8Tensor):
+        if a.block_size != b.block_size or a.block_size == (0, 0):
+            return None   # per-tensor scales differ; can't merge scalars
+        b0 = a.block_size[0]
+        if a.shape[-2] % b0 or b.shape[-2] % b0:
+            return None   # scale grid would straddle the seam
+    return jax.tree.map(lambda x, y: jnp.concatenate([x, y], axis=-2), a, b)
+
+
+def _qt_split_rows(qt, rows_a: int, rows_b: int):
+    """Inverse of _qt_concat_rows."""
+    total = rows_a + rows_b
+
+    def cut(x):
+        r = x.shape[-2]
+        ra = r * rows_a // total
+        return x[..., :ra, :], x[..., ra:, :]
+    parts = jax.tree.map(cut, qt)
+    a = jax.tree.map(lambda p: p[0], parts,
+                     is_leaf=lambda v: isinstance(v, tuple))
+    b = jax.tree.map(lambda p: p[1], parts,
+                     is_leaf=lambda v: isinstance(v, tuple))
+    return a, b
+
+
+def fuse_projections(params: ModelParams, cfg: ModelConfig) -> ModelParams:
+    """Single-chip decode optimization: concatenate projection pairs that
+    consume the same activation ([w1;w3], [shared_w1;shared_w3],
+    [wq_rope_b;wc], [wkv_a;wq_a]) so one kernel dispatch and one weight
+    sweep replace two — ~4 fewer matmul dispatches per layer per token.
+    Component fields become None. Mesh runs need the unfused layout (TP
+    splits rows per projection); parallel.sharding.shard_params unfuses
+    automatically."""
+    import dataclasses
+
+    def fuse_layer(lp: LayerParams) -> LayerParams:
+        w13 = _qt_concat_rows(lp.w1, lp.w3)
+        s13 = _qt_concat_rows(lp.shared_w1, lp.shared_w3)
+        wcr = _qt_concat_rows(lp.wq_rope_b, lp.wc)
+        wkvq = _qt_concat_rows(lp.wkv_a, lp.wq_a)
+        return dataclasses.replace(
+            lp,
+            w13=w13, w1=None if w13 is not None else lp.w1,
+            w3=None if w13 is not None else lp.w3,
+            shared_w13=s13,
+            shared_w1=None if s13 is not None else lp.shared_w1,
+            shared_w3=None if s13 is not None else lp.shared_w3,
+            wcr=wcr, wq_rope_b=None if wcr is not None else lp.wq_rope_b,
+            wc=None if wcr is not None else lp.wc,
+            wkvq=wkvq, wkv_a=None if wkvq is not None else lp.wkv_a,
+            wq_a=None if wkvq is not None else lp.wq_a,
+        )
+
+    layers = [fuse_layer(lp) for lp in params.layers]
+    mtp = params.mtp
+    if mtp is not None:
+        mtp = dataclasses.replace(mtp, block=fuse_layer(mtp.block))
+    return dataclasses.replace(params, layers=layers, mtp=mtp)
+
+
+def unfuse_projections(params: ModelParams, cfg: ModelConfig) -> ModelParams:
+    """Exact inverse of fuse_projections (row slices)."""
+    import dataclasses
+
+    H, P, R = cfg.n_heads, cfg.qk_rope_head_dim, cfg.kv_lora_rank
+
+    def unfuse_layer(lp: LayerParams) -> LayerParams:
+        kw = {}
+        if lp.w13 is not None:
+            m = lp.w13.shape[-2] // 2
+            kw["w1"], kw["w3"] = _qt_split_rows(lp.w13, m, m)
+            kw["w13"] = None
+        if lp.shared_w13 is not None:
+            m = lp.shared_w13.shape[-2] // 2
+            kw["shared_w1"], kw["shared_w3"] = _qt_split_rows(
+                lp.shared_w13, m, m)
+            kw["shared_w13"] = None
+        if lp.wcr is not None:
+            kw["wq_rope_b"], kw["wc"] = _qt_split_rows(lp.wcr, H * P, H * R)
+            kw["wcr"] = None
+        if lp.wkvq is not None:
+            kw["wkv_a"], kw["wq_a"] = _qt_split_rows(
+                lp.wkvq, R + P, cfg.q_lora_rank)
+            kw["wkvq"] = None
+        return dataclasses.replace(lp, **kw) if kw else lp
+
+    layers = [unfuse_layer(lp) for lp in params.layers]
+    mtp = params.mtp
+    if mtp is not None:
+        mtp = dataclasses.replace(mtp, block=unfuse_layer(mtp.block))
+    return dataclasses.replace(params, layers=layers, mtp=mtp)
+
+
 def params_active_bytes(params: ModelParams, cfg: ModelConfig, pos: int = 0) -> float:
     """Analytical bytes touched per decode token (reference active_bytes,
     model.cpp:324-352,885-901): full dense weights + only n_active_routed
@@ -172,7 +271,7 @@ def params_active_bytes(params: ModelParams, cfg: ModelConfig, pos: int = 0) -> 
     kv_len = min(pos + 1, cfg.kv_window)
     for l, lp in enumerate(params.layers):
         for name in ("wkv_a", "wo", "wq", "wq_a", "wq_b", "wkv_b",
-                     "wc", "wq_rope_b", "wv_b"):
+                     "wc", "wq_rope_b", "wv_b", "wcr", "wkvq"):
             t = getattr(lp, name)
             if t is not None:
                 total += t.nbytes_active
@@ -182,9 +281,12 @@ def params_active_bytes(params: ModelParams, cfg: ModelConfig, pos: int = 0) -> 
                 total += a.nbytes
         if cfg.is_moe_layer(l):
             frac = cfg.n_active_routed / cfg.n_routed_experts
-            for name in ("w1", "w2", "w3"):
-                total += getattr(lp, name).nbytes_active * frac
-            for name in ("shared_w1", "shared_w2", "shared_w3"):
+            for name in ("w1", "w2", "w3", "w13"):
+                t = getattr(lp, name)
+                if t is not None:
+                    total += t.nbytes_active * frac
+            for name in ("shared_w1", "shared_w2", "shared_w3",
+                         "shared_w13"):
                 t = getattr(lp, name)
                 if t is not None:
                     total += t.nbytes_active
@@ -192,8 +294,10 @@ def params_active_bytes(params: ModelParams, cfg: ModelConfig, pos: int = 0) -> 
             if lp.moegate_bias is not None:
                 total += lp.moegate_bias.nbytes
         else:
-            for name in ("w1", "w2", "w3"):
-                total += getattr(lp, name).nbytes_active
+            for name in ("w1", "w2", "w3", "w13"):
+                t = getattr(lp, name)
+                if t is not None:
+                    total += t.nbytes_active
         # KV cache traffic for this layer
         itemsize = jnp.dtype(cfg.kv_cache_dtype).itemsize
         if cfg.use_mla:

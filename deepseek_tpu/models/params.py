@@ -59,6 +59,17 @@ class LayerParams:
     moegate: Optional[jax.Array]    # (E, dim) f32
     moegate_bias: Optional[jax.Array]  # (E,) f32 — V3 e-score correction
 
+    # --- fused projection pairs (single-chip decode optimization) -------
+    # Built by models.loader.fuse_projections: pairs that consume the same
+    # activation are concatenated along their output rows so one kernel
+    # dispatch (and one weight sweep) replaces two. The component fields
+    # are set to None when a fused field is present. Mesh/sharded runs
+    # keep the UNFUSED layout (TP splits rows per projection).
+    w13: Optional[QT] = None        # [w1; w3] rows — (2*hidden, dim) or (E, 2m, dim)
+    shared_w13: Optional[QT] = None  # [shared_w1; shared_w3]
+    wcr: Optional[QT] = None        # [wq_rope_b; wc] rows (absorbed MLA)
+    wkvq: Optional[QT] = None       # [wkv_a; wq_a] rows
+
 
 @_register
 @dataclasses.dataclass

@@ -119,7 +119,8 @@ def _ep_owned(flat_idx, flat_w, ctx, e_local: int):
     return lidx, owned, within, counts, flat_w
 
 
-def _quantized_grouped_ffn(w1, w2, w3, xb, weights, idx, act, ctx, interpret):
+def _quantized_grouped_ffn(w1, w2, w3, xb, weights, idx, act, ctx, interpret,
+                           w13=None):
     """Quantized-expert prefill FFN: counting dispatch into 128-row tiles
     (each tile belongs to one expert) + qmm_grouped, which dequantizes the
     expert's packed bytes in VMEM — no HBM dequant materialization.
@@ -142,7 +143,7 @@ def _quantized_grouped_ffn(w1, w2, w3, xb, weights, idx, act, ctx, interpret):
     dim = xb.shape[-1]
     dtype = xb.dtype
     N = B * T * k
-    e_local = w1.shape[0]
+    e_local = (w13 if w13 is not None else w1).shape[0]
     C = ep_prefill_capacity(N, ctx.ep, ctx.ep_capacity_factor, TB)
     G = e_local + C // TB                                    # static budget
 
@@ -165,16 +166,23 @@ def _quantized_grouped_ffn(w1, w2, w3, xb, weights, idx, act, ctx, interpret):
     # gathered back through `dest`
     x_rows = xb.reshape(B * T, dim)[src // k].astype(jnp.float32)
 
-    kq = isinstance(w1, (Q2KTensor, Q3KTensor, Q2KTurboTensor,
+    wp = w13 if w13 is not None else w1
+    kq = isinstance(wp, (Q2KTensor, Q3KTensor, Q2KTurboTensor,
                          Q3KTurboTensor))
-    turbo2 = isinstance(w1, Q2KTurboTensor)
+    turbo2 = isinstance(wp, Q2KTurboTensor)
     s16x = (_group_sums(x_rows, dim).reshape(G, TB, dim // 16)
             if turbo2 else None)
     xin = _perm_x(x_rows, dim) if kq else x_rows
     gq = functools.partial(qmm_grouped, interpret=interpret)
-    h = glu_act(gq(w1, tile_expert, xin.reshape(G, TB, dim), s16_tiles=s16x),
-                gq(w3, tile_expert, xin.reshape(G, TB, dim), s16_tiles=s16x),
-                act)
+    if w13 is not None:
+        h2 = gq(w13, tile_expert, xin.reshape(G, TB, dim), s16_tiles=s16x)
+        mh = h2.shape[-1] // 2
+        h = glu_act(h2[..., :mh], h2[..., mh:], act)
+    else:
+        h = glu_act(
+            gq(w1, tile_expert, xin.reshape(G, TB, dim), s16_tiles=s16x),
+            gq(w3, tile_expert, xin.reshape(G, TB, dim), s16_tiles=s16x),
+            act)
     m = h.shape[-1]
     s16h = None
     if turbo2:
@@ -189,8 +197,8 @@ def _quantized_grouped_ffn(w1, w2, w3, xb, weights, idx, act, ctx, interpret):
 
 
 def grouped_expert_ffn(w1, w2, w3, xb: jnp.ndarray, weights: jnp.ndarray,
-                       idx: jnp.ndarray, act, ctx, interpret: bool = False
-                       ) -> jnp.ndarray:
+                       idx: jnp.ndarray, act, ctx, interpret: bool = False,
+                       w13=None) -> jnp.ndarray:
     """Prefill MoE FFN as a ragged grouped matmul (megablocks-style).
 
     Sorts the (B*T*k) token-expert pairs by expert id and runs the three
@@ -207,16 +215,19 @@ def grouped_expert_ffn(w1, w2, w3, xb: jnp.ndarray, weights: jnp.ndarray,
     """
     from jax.experimental.pallas.ops.tpu import megablox
 
-    if not isinstance(w1, PlainTensor):
+    if not isinstance(w13 if w13 is not None else w1, PlainTensor):
         return _quantized_grouped_ffn(w1, w2, w3, xb, weights, idx, act,
-                                      ctx, interpret)
+                                      ctx, interpret, w13=w13)
 
     B, T, k = idx.shape
     dim = xb.shape[-1]
     dtype = xb.dtype
     N = B * T * k
-    d1, d2, d3 = (w.dequant(dtype) for w in (w1, w2, w3))
-    e_local = d1.shape[0]
+    d13 = w13.dequant(dtype) if w13 is not None else None
+    if d13 is None:
+        d1, d3 = w1.dequant(dtype), w3.dequant(dtype)
+    d2 = w2.dequant(dtype)
+    e_local = d2.shape[0]
     # gmm tiles m/k/n by 128; C = all N pairs (128-padded) when ep == 1
     C = ep_prefill_capacity(N, ctx.ep, ctx.ep_capacity_factor, 128)
 
@@ -259,7 +270,13 @@ def grouped_expert_ffn(w1, w2, w3, xb: jnp.ndarray, weights: jnp.ndarray,
                             interpret=interpret)
 
     from deepseek_tpu.ops.activations import glu_act
-    h = glu_act(mm(x_rows, d1, sizes), mm(x_rows, d3, sizes), act).astype(dtype)
+    if d13 is not None:
+        h2 = mm(x_rows, d13, sizes)
+        mh = h2.shape[-1] // 2
+        h = glu_act(h2[:, :mh], h2[:, mh:], act).astype(dtype)
+    else:
+        h = glu_act(mm(x_rows, d1, sizes), mm(x_rows, d3, sizes),
+                    act).astype(dtype)
     y = mm(h, d2, sizes)                                   # (C, dim) f32
 
     y = jnp.where(keep[:, None], y[jnp.clip(dest, 0, C - 1)], 0.0)

@@ -162,6 +162,10 @@ def _place(tree, shardings):
 
 
 def shard_params(params: ModelParams, cfg: ModelConfig, mesh: Mesh) -> ModelParams:
+    # fused projection pairs (loader.fuse_projections) are a single-chip
+    # layout: TP splits rows per projection, so unfuse before placing
+    from deepseek_tpu.models.loader import unfuse_projections
+    params = unfuse_projections(params, cfg)
     return _place(params, param_shardings(params, cfg, mesh))
 
 

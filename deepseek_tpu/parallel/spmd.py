@@ -16,6 +16,19 @@ Two ways to run the model on a mesh:
 
 ``SpmdCtx`` carries the mesh-axis facts the model body needs; the default
 instance is a no-op so the single-chip path pays nothing.
+
+EP dispatch design note (BASELINE config #5 asks for "all-to-all overlapped
+with expert GEMMs"): activations enter the body replicated across the
+expert axis (tokens shard over 'data' only), so routing a token to its
+expert's shard needs NO all-to-all — each shard locally selects the pairs
+it owns (``dispatch_pairs`` for decode, the capacity compaction in
+ops.matmul for prefill) and one psum over the expert axis combines the
+mixtures. That psum is the only EP collective; it is independent of the
+shared-expert/dense compute that follows, so XLA's async collectives hide
+it behind those GEMMs — the overlap falls out of the dataflow instead of
+being hand-scheduled. An activation all-to-all would only pay off if the
+batch were also sharded over the expert axis (dp*ep data shards), which
+contradicts serving's replicated-routing layout.
 """
 
 from __future__ import annotations

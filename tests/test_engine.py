@@ -123,6 +123,33 @@ def test_perplexity_matches_stepwise(engine):
     assert err > 0
 
 
+def test_fused_projections_match_unfused(ckpt_dir):
+    """loader.fuse_projections ([w1;w3], [wq_rope_b;wc], [wkv_a;wq_a]) is a
+    pure layout change: greedy tokens and perplexity match the unfused
+    engine, and unfuse_projections round-trips exactly."""
+    import jax
+    import jax.numpy as jnp
+    from deepseek_tpu.models.loader import fuse_projections, unfuse_projections
+
+    e_fused = Engine(ckpt_dir, seed=0, prefill_chunk=8)           # default
+    e_plain = Engine(ckpt_dir, seed=0, prefill_chunk=8, fuse=False)
+    lp = e_fused.params.layers[0]
+    assert lp.wcr is not None and lp.wkvq is not None and lp.wc is None
+
+    toks = e_plain.tokenizer.encode("hello world", bos=True)
+    out1, _ = e_plain.generate(toks, num_steps=8, temperature=0.0)
+    out2, _ = e_fused.generate(toks, num_steps=8, temperature=0.0)
+    assert out1 == out2
+    p1 = e_plain.perplexity(toks + out1)[0]
+    p2 = e_fused.perplexity(toks + out1)[0]
+    np.testing.assert_allclose(p2, p1, rtol=1e-4)
+
+    # exact unfuse round trip
+    back = unfuse_projections(e_fused.params, e_fused.cfg)
+    for a, b in zip(jax.tree.leaves(back), jax.tree.leaves(e_plain.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_cli_completion_smoke(ckpt_dir, capsys):
     from deepseek_tpu.cli import main
     main([ckpt_dir, "-m", "completion", "-i", "hi", "-n", "3", "-t", "0",

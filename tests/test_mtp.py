@@ -30,7 +30,8 @@ def test_mtp_weights_loaded(mtp_engine):
     mp = mtp_engine.params.mtp
     assert mp is not None
     assert mp.eh_proj.shape[-1] == 2 * mtp_engine.cfg.dim
-    assert mp.block.wkv_a is not None
+    # wkv_a rides inside the fused [wkv_a; wq_a] pair by default
+    assert mp.block.wkv_a is not None or mp.block.wkvq is not None
 
 
 def test_mtp_greedy_matches_vanilla(mtp_engine):
