@@ -55,6 +55,8 @@ def main():
     cfg = bench_config(layers)
 
     params = random_params(cfg, seed=0)
+    from deepseek_tpu.models.loader import fuse_projections
+    params = fuse_projections(params, cfg)   # engine-default layout
     jax.block_until_ready(jax.tree.leaves(params))
     cache = init_cache(cfg, batch=1)
 

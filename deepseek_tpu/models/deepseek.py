@@ -238,7 +238,17 @@ def _attention(lp: LayerParams, cfg: ModelConfig, xb: jnp.ndarray,
                 [kv_dec[..., :nope].astype(jnp.float32),
                  jnp.broadcast_to(krope_l[:, :, None, :].astype(jnp.float32),
                                   (B, S, H, P))], axis=-1)
-            if ctx.sp > 1:
+            base = cache_pos[0]
+            if impl is not None:
+                # flash prefill kernel: scores tiled in VMEM, never (T,S)
+                # in HBM (long-window memory bound)
+                from deepseek_tpu.ops.pallas.attention import mha_prefill_attn
+                res = mha_prefill_attn(
+                    q, k_l.astype(xb.dtype), kv_dec[..., nope:],
+                    global_start, base, float(sm_scale),
+                    partials=ctx.sp > 1, interpret=impl["interpret"])
+                v_out = ctx.seq_merge(*res) if ctx.sp > 1 else res
+            elif ctx.sp > 1:
                 from deepseek_tpu.ops.attention import prefill_attn_mha_partial
                 acc, m_, l_ = prefill_attn_mha_partial(
                     q, k_l, kv_dec[..., nope:], pos_vec, cache_pos,
@@ -255,22 +265,36 @@ def _attention(lp: LayerParams, cfg: ModelConfig, xb: jnp.ndarray,
                             sink_krope=sink_krope_full)
             return attn, cache
         if prefill:
-            ckv_l = dequant_rows(ckv_full[layer], sc(ckv_s_full))
-            krope_l = dequant_rows(krope_full[layer], sc(krope_s_full))
-            S = ckv_l.shape[1]
-            cache_pos = jnp.arange(S, dtype=jnp.int32)
-            if ctx.sp > 1:
-                from deepseek_tpu.ops.attention import prefill_attn_mla_partial
-                acc, m_, l_ = prefill_attn_mla_partial(
-                    q_c, q_rope, ckv_l, krope_l, pos_vec,
-                    cache_pos + sidx * s_local, cfg.head_dim,
-                    softmax_scale=sm_scale)
-                lat = ctx.seq_merge(acc, m_, l_)                    # (B,T,H,R)
+            base = (sidx * s_local) if ctx.sp > 1 else 0
+            if impl is not None:
+                # flash prefill over the (possibly int8) latent cache:
+                # scores tiled in VMEM, scales folded in-kernel — no
+                # dequantized cache or (T,S) scores in HBM
+                from deepseek_tpu.ops.pallas.attention import mla_prefill_attn
+                res = mla_prefill_attn(
+                    q_c, q_rope, ckv_full[layer], krope_full[layer],
+                    global_start, base, float(sm_scale),
+                    ckv_scale=sc(ckv_s_full), krope_scale=sc(krope_s_full),
+                    partials=ctx.sp > 1, interpret=impl["interpret"])
+                lat = ctx.seq_merge(*res) if ctx.sp > 1 else res
             else:
-                lat = prefill_attn_mla(
-                    q_c, q_rope, ckv_l, krope_l, pos_vec,
-                    cache_pos, cfg.head_dim,
-                    softmax_scale=sm_scale)                         # (B,T,H,R)
+                ckv_l = dequant_rows(ckv_full[layer], sc(ckv_s_full))
+                krope_l = dequant_rows(krope_full[layer], sc(krope_s_full))
+                S = ckv_l.shape[1]
+                cache_pos = jnp.arange(S, dtype=jnp.int32)
+                if ctx.sp > 1:
+                    from deepseek_tpu.ops.attention import \
+                        prefill_attn_mla_partial
+                    acc, m_, l_ = prefill_attn_mla_partial(
+                        q_c, q_rope, ckv_l, krope_l, pos_vec,
+                        cache_pos + base, cfg.head_dim,
+                        softmax_scale=sm_scale)
+                    lat = ctx.seq_merge(acc, m_, l_)                # (B,T,H,R)
+                else:
+                    lat = prefill_attn_mla(
+                        q_c, q_rope, ckv_l, krope_l, pos_vec,
+                        cache_pos, cfg.head_dim,
+                        softmax_scale=sm_scale)                     # (B,T,H,R)
         else:
             # sink re-rotation by +1 (StreamingLLM; infer.cpp:1103-1110);
             # the sink slots live on seq shard 0. For int8 caches the
@@ -380,12 +404,20 @@ def _attention(lp: LayerParams, cfg: ModelConfig, xb: jnp.ndarray,
         return full[layer] if full is not None else None
 
     if prefill:
-        k_l = dequant_rows(k_full[layer], sc(k_s_full))
-        v_l = dequant_rows(v_full[layer], sc(v_s_full))
-        S = k_l.shape[1]
-        out = prefill_attn_mha(q, k_l, v_l, pos_vec,
-                               jnp.arange(S, dtype=jnp.int32),
-                               softmax_scale=sm_scale)              # (B,T,H,Dv)
+        if impl is not None:
+            from deepseek_tpu.ops.pallas.attention import mha_prefill_attn
+            hs = (lambda a: jnp.swapaxes(a, 1, 2) if a is not None else None)
+            out = mha_prefill_attn(
+                q, k_full[layer], v_full[layer], cache_start, 0,
+                float(sm_scale), k_scale=hs(sc(k_s_full)),
+                v_scale=hs(sc(v_s_full)), interpret=impl["interpret"])
+        else:
+            k_l = dequant_rows(k_full[layer], sc(k_s_full))
+            v_l = dequant_rows(v_full[layer], sc(v_s_full))
+            S = k_l.shape[1]
+            out = prefill_attn_mha(q, k_l, v_l, pos_vec,
+                                   jnp.arange(S, dtype=jnp.int32),
+                                   softmax_scale=sm_scale)          # (B,T,H,Dv)
     else:
         # sink re-rotation touches only the rope chunk; for int8 caches the
         # rotation runs on the float master rows and the slots requantize

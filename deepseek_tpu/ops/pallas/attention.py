@@ -320,3 +320,312 @@ def mha_decode_attn(q, k_cache, v_cache, kv_len,
         interpret=interpret,
     )(*args)
     return out
+
+
+# ---------------------------------------------------------------------------
+# flash PREFILL kernels (chunked causal attention, scores never in HBM)
+# ---------------------------------------------------------------------------
+#
+# The jnp prefill formulations materialize (B, H, T, S) scores — ~134 MB per
+# layer at T=512, S=4096, H=16 — so long windows become memory-bound. These
+# kernels tile S with online softmax like the decode kernels, one query tile
+# per program; positions are affine (q_pos = q_pos0 + t, slot position =
+# cache_pos0 + s), so causal masks are built from two prefetched scalars.
+
+
+def _mha_prefill_body(scal_ref, q_ref, k_ref, v_ref, *rest,
+                      ts: int, tq: int, s_len: int, t_len: int,
+                      scale: float, quantized: bool, partials: bool):
+    if quantized:
+        ks_ref, vs_ref, *outs = rest
+    else:
+        outs = list(rest)
+    if partials:
+        o_ref, mo_ref, lo_ref, m_ref, l_ref, acc_ref = outs
+    else:
+        o_ref, m_ref, l_ref, acc_ref = outs
+    ti, si = pl.program_id(2), pl.program_id(3)
+    last = pl.num_programs(3) - 1
+
+    @pl.when(si == 0)
+    def _():
+        m_ref[...] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    k = k_ref[0].astype(jnp.float32)                       # (ts, hc, Dh)
+    v = v_ref[0].astype(jnp.float32)
+    if quantized:
+        vs = vs_ref[0]                                     # (hc, ts)
+    if s_len % ts:
+        # padded tail rows may hold NaN garbage; 0 * NaN = NaN in the
+        # value matmul — zero them out (decode bodies do the same)
+        rpos = si * ts + jax.lax.broadcasted_iota(jnp.int32, v.shape, 0)
+        v = jnp.where(rpos < s_len, v, 0.0)
+        if quantized:
+            cpos = si * ts + jax.lax.broadcasted_iota(jnp.int32, vs.shape, 1)
+            vs = jnp.where(cpos < s_len, vs, 0.0)
+    q = q_ref[0]                                           # (tq, hc, Dh)
+    hc = q.shape[1]
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (tq, ts), 0) + ti * tq
+    cols = jax.lax.broadcasted_iota(jnp.int32, (tq, ts), 1) + si * ts
+    mask = ((scal_ref[1] + cols <= scal_ref[0] + rows)
+            & (cols < s_len) & (rows < t_len))
+
+    for h in range(hc):
+        s = jax.lax.dot_general(
+            q[:, h, :], k[:, h, :], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        if quantized:
+            s = s * ks_ref[0, h:h + 1]
+        s = s * scale
+        s = jnp.where(mask, s, _NEG_INF)
+        m_old = m_ref[h]                                   # (tq, 1)
+        m_new = jnp.maximum(m_old, jnp.max(s, axis=-1, keepdims=True))
+        alpha = jnp.exp(m_old - m_new)
+        p = jnp.where(mask, jnp.exp(s - m_new), 0.0)
+        l_ref[h] = l_ref[h] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        if quantized:
+            p = p * vs[h:h + 1]
+        acc_ref[h] = acc_ref[h] * alpha + jax.lax.dot_general(
+            p, v[:, h, :], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        m_ref[h] = m_new
+
+    @pl.when(si == last)
+    def _():
+        for h in range(hc):
+            if partials:
+                o_ref[0, :, h, :] = acc_ref[h]
+                mo_ref[0, :, h] = m_ref[h][:, 0]
+                lo_ref[0, :, h] = l_ref[h][:, 0]
+            else:
+                # fully-masked query rows (tail padding) have l == 0
+                o_ref[0, :, h, :] = acc_ref[h] / jnp.maximum(l_ref[h], 1e-30)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "softmax_scale", "partials", "interpret"))
+def mha_prefill_attn(q, k_cache, v_cache, q_pos0, cache_pos0,
+                     softmax_scale: float, k_scale=None, v_scale=None,
+                     partials: bool = False, interpret: bool = False):
+    """Chunked causal MHA attention (hybrid-MLA prefill / pure MHA models).
+
+    q (B,T,H,Dh) f32, k_cache (B,S,H,Dh), v_cache (B,S,H,Dv); query t has
+    absolute position q_pos0 + t and cache slot s holds position
+    cache_pos0 + s (cache_pos0 = sidx*s_local under seq sharding). For
+    int8 caches pass k_scale/v_scale (B,H,S) f32 head-major. Returns
+    (B,T,H,Dv), or with ``partials`` the (acc, m (B,T,H), l) triple for
+    the seq-parallel flash merge.
+    """
+    B, T, H, Dh = q.shape
+    S = k_cache.shape[1]
+    Dv = v_cache.shape[-1]
+    quantized = k_scale is not None
+    ts = _pick_tile(S, H * (Dh + Dv) * k_cache.dtype.itemsize)
+    if quantized:
+        ts = max(ts, min(S, 128))
+    tq = min(T, 128)
+    hc = H
+    while hc > 1 and (ts + tq) * hc * (Dh + Dv) * 4 > 6 * 1024 * 1024:
+        hc = next((d for d in range(hc - 1, 0, -1) if H % d == 0), 1)
+    grid = (B, H // hc, pl.cdiv(T, tq), pl.cdiv(S, ts))
+
+    scal = jnp.stack([jnp.asarray(q_pos0, jnp.int32),
+                      jnp.asarray(cache_pos0, jnp.int32)])
+    in_specs = [
+        pl.BlockSpec((1, tq, hc, Dh), lambda b, h, t, s, sc: (b, t, h, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, ts, hc, Dh), lambda b, h, t, s, sc: (b, s, h, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, ts, hc, Dv), lambda b, h, t, s, sc: (b, s, h, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [scal, q.astype(jnp.float32), k_cache, v_cache]
+    if quantized:
+        in_specs += [pl.BlockSpec((1, hc, ts),
+                                  lambda b, h, t, s, sc: (b, h, s),
+                                  memory_space=pltpu.VMEM)] * 2
+        args += [k_scale.astype(jnp.float32), v_scale.astype(jnp.float32)]
+
+    ospec = pl.BlockSpec((1, tq, hc, Dv), lambda b, h, t, s, sc: (b, t, h, 0),
+                         memory_space=pltpu.VMEM)
+    oshape = jax.ShapeDtypeStruct((B, T, H, Dv), jnp.float32)
+    if partials:
+        mspec = pl.BlockSpec((1, tq, hc), lambda b, h, t, s, sc: (b, t, h),
+                             memory_space=pltpu.VMEM)
+        out_specs = (ospec, mspec, mspec)
+        out_shape = (oshape, jax.ShapeDtypeStruct((B, T, H), jnp.float32),
+                     jax.ShapeDtypeStruct((B, T, H), jnp.float32))
+    else:
+        out_specs = ospec
+        out_shape = oshape
+
+    return pl.pallas_call(
+        functools.partial(_mha_prefill_body, ts=ts, tq=tq, s_len=S, t_len=T,
+                          scale=float(softmax_scale), quantized=quantized,
+                          partials=partials),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=grid,
+            in_specs=in_specs, out_specs=out_specs,
+            scratch_shapes=[
+                pltpu.VMEM((hc, tq, 1), jnp.float32),
+                pltpu.VMEM((hc, tq, 1), jnp.float32),
+                pltpu.VMEM((hc, tq, Dv), jnp.float32),
+            ],
+        ),
+        out_shape=out_shape, interpret=interpret,
+    )(*args)
+
+
+def _mla_prefill_body(scal_ref, qc_ref, qr_ref, ckv_ref, kr_ref, *rest,
+                      ts: int, tq: int, s_len: int, t_len: int,
+                      scale: float, quantized: bool, partials: bool):
+    if quantized:
+        ckvs_ref, krs_ref, *outs = rest
+    else:
+        outs = list(rest)
+    if partials:
+        o_ref, mo_ref, lo_ref, m_ref, l_ref, acc_ref = outs
+    else:
+        o_ref, m_ref, l_ref, acc_ref = outs
+    ti, si = pl.program_id(2), pl.program_id(3)
+    last = pl.num_programs(3) - 1
+
+    @pl.when(si == 0)
+    def _():
+        m_ref[...] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    ckv = ckv_ref[0].astype(jnp.float32)                   # (ts, R)
+    kr = kr_ref[0].astype(jnp.float32)                     # (ts, P)
+    if quantized:
+        ckvs = ckvs_ref[0]                                 # (1, ts)
+    if s_len % ts:
+        # zero NaN-padded tail rows: the value matmul mixes ckv directly
+        rpos = si * ts + jax.lax.broadcasted_iota(jnp.int32, ckv.shape, 0)
+        ckv = jnp.where(rpos < s_len, ckv, 0.0)
+        if quantized:
+            cpos = si * ts + jax.lax.broadcasted_iota(
+                jnp.int32, ckvs.shape, 1)
+            ckvs = jnp.where(cpos < s_len, ckvs, 0.0)
+    qc = qc_ref[0]                                         # (tq, hc, R)
+    qr = qr_ref[0]                                         # (tq, hc, P)
+    hc = qc.shape[1]
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (tq, ts), 0) + ti * tq
+    cols = jax.lax.broadcasted_iota(jnp.int32, (tq, ts), 1) + si * ts
+    mask = ((scal_ref[1] + cols <= scal_ref[0] + rows)
+            & (cols < s_len) & (rows < t_len))
+
+    for h in range(hc):
+        sc_ = jax.lax.dot_general(qc[:, h, :], ckv, (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        sr_ = jax.lax.dot_general(qr[:, h, :], kr, (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        if quantized:
+            # scores were computed on int8 rows: fold per-row scales in
+            s = sc_ * ckvs + sr_ * krs_ref[0]
+        else:
+            s = sc_ + sr_
+        s = s * scale
+        s = jnp.where(mask, s, _NEG_INF)
+        m_old = m_ref[h]
+        m_new = jnp.maximum(m_old, jnp.max(s, axis=-1, keepdims=True))
+        alpha = jnp.exp(m_old - m_new)
+        p = jnp.where(mask, jnp.exp(s - m_new), 0.0)
+        l_ref[h] = l_ref[h] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        if quantized:
+            p = p * ckvs
+        acc_ref[h] = acc_ref[h] * alpha + jax.lax.dot_general(
+            p, ckv, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        m_ref[h] = m_new
+
+    @pl.when(si == last)
+    def _():
+        for h in range(hc):
+            if partials:
+                o_ref[0, :, h, :] = acc_ref[h]
+                mo_ref[0, :, h] = m_ref[h][:, 0]
+                lo_ref[0, :, h] = l_ref[h][:, 0]
+            else:
+                o_ref[0, :, h, :] = acc_ref[h] / jnp.maximum(l_ref[h], 1e-30)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "softmax_scale", "partials", "interpret"))
+def mla_prefill_attn(q_c, q_rope, ckv_cache, krope_cache, q_pos0, cache_pos0,
+                     softmax_scale: float, ckv_scale=None, krope_scale=None,
+                     partials: bool = False, interpret: bool = False):
+    """Chunked causal absorbed-MLA attention (MQA-shaped latent cache).
+
+    q_c (B,T,H,R), q_rope (B,T,H,P), ckv_cache (B,S,R), krope_cache
+    (B,S,P); int8 caches pass per-row scales (B,S). Returns attended
+    latents (B,T,H,R), or the (acc, m, l) partials triple.
+    """
+    B, T, H, R = q_c.shape
+    S = ckv_cache.shape[1]
+    P = q_rope.shape[-1]
+    quantized = ckv_scale is not None
+    ts = _pick_tile(S, (R + P) * ckv_cache.dtype.itemsize)
+    if quantized:
+        ts = max(ts, min(S, 128))
+    tq = min(T, 128)
+    hc = H
+    # scratch acc is (hc, tq, R) f32 — keep it + tiles inside ~6MB
+    while hc > 1 and hc * tq * R * 4 + (ts + tq) * (R + P) * 4 > 6 * 1024 * 1024:
+        hc = next((d for d in range(hc - 1, 0, -1) if H % d == 0), 1)
+    grid = (B, H // hc, pl.cdiv(T, tq), pl.cdiv(S, ts))
+
+    scal = jnp.stack([jnp.asarray(q_pos0, jnp.int32),
+                      jnp.asarray(cache_pos0, jnp.int32)])
+    in_specs = [
+        pl.BlockSpec((1, tq, hc, R), lambda b, h, t, s, sc: (b, t, h, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tq, hc, P), lambda b, h, t, s, sc: (b, t, h, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, ts, R), lambda b, h, t, s, sc: (b, s, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, ts, P), lambda b, h, t, s, sc: (b, s, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [scal, q_c.astype(jnp.float32), q_rope.astype(jnp.float32),
+            ckv_cache, krope_cache]
+    if quantized:
+        in_specs += [pl.BlockSpec((1, 1, ts),
+                                  lambda b, h, t, s, sc: (b, 0, s),
+                                  memory_space=pltpu.VMEM)] * 2
+        args += [ckv_scale.astype(jnp.float32)[:, None, :],
+                 krope_scale.astype(jnp.float32)[:, None, :]]
+
+    ospec = pl.BlockSpec((1, tq, hc, R), lambda b, h, t, s, sc: (b, t, h, 0),
+                         memory_space=pltpu.VMEM)
+    oshape = jax.ShapeDtypeStruct((B, T, H, R), jnp.float32)
+    if partials:
+        mspec = pl.BlockSpec((1, tq, hc), lambda b, h, t, s, sc: (b, t, h),
+                             memory_space=pltpu.VMEM)
+        out_specs = (ospec, mspec, mspec)
+        out_shape = (oshape, jax.ShapeDtypeStruct((B, T, H), jnp.float32),
+                     jax.ShapeDtypeStruct((B, T, H), jnp.float32))
+    else:
+        out_specs = ospec
+        out_shape = oshape
+
+    return pl.pallas_call(
+        functools.partial(_mla_prefill_body, ts=ts, tq=tq, s_len=S, t_len=T,
+                          scale=float(softmax_scale), quantized=quantized,
+                          partials=partials),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=grid,
+            in_specs=in_specs, out_specs=out_specs,
+            scratch_shapes=[
+                pltpu.VMEM((hc, tq, 1), jnp.float32),
+                pltpu.VMEM((hc, tq, 1), jnp.float32),
+                pltpu.VMEM((hc, tq, R), jnp.float32),
+            ],
+        ),
+        out_shape=out_shape, interpret=interpret,
+    )(*args)

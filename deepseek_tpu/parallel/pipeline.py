@@ -22,7 +22,6 @@ the layout that matters for fitting a model across hosts.
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import List, Optional, Sequence
 
 import jax

@@ -253,7 +253,6 @@ def q3k_to_turbo(qt: Q3KTensor) -> Q3KTurboTensor:
     The plane keeps the packed tensors' PERMUTED column order: position c'
     of the permuted row belongs to scale group c' mod (n/16), matching the
     kernel's tile-repeat expansion."""
-    from deepseek_tpu.quant.repack import stride16_perm
     qlow = jnp.concatenate([(qt.qs >> s) & 3 for s in (0, 2, 4, 6)], axis=-1)
     hbit = jnp.concatenate([(qt.hm >> b) & 1 for b in range(8)], axis=-1)
     p = (qlow.astype(jnp.int8) + (hbit.astype(jnp.int8) << 2) - 4)

@@ -82,3 +82,104 @@ def test_mla_decode_attn_nondivisible_window():
     got = np.asarray(mla_decode_attn(q_c, q_r, ckv, kr, kl,
                                      1.0 / np.sqrt(48.0), interpret=True))
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
+def test_mha_prefill_attn_kernel_matches_jnp():
+    from deepseek_tpu.ops.attention import prefill_attn_mha
+    from deepseek_tpu.ops.pallas.attention import mha_prefill_attn
+
+    B, T, H, Dh, Dv, S = 2, 12, 3, 48, 32, 64
+    pos0, base = 7, 0
+    q = jnp.asarray(rnd((B, T, H, Dh), 30, 0.3))
+    k = jnp.asarray(rnd((B, S, H, Dh), 31, 0.3), jnp.bfloat16)
+    v = jnp.asarray(rnd((B, S, H, Dv), 32, 0.3), jnp.bfloat16)
+    scale = 1.0 / np.sqrt(Dh)
+    q_pos = pos0 + jnp.arange(T, dtype=jnp.int32)
+    cache_pos = jnp.arange(S, dtype=jnp.int32)
+    want = np.asarray(prefill_attn_mha(q, k, v, q_pos, cache_pos,
+                                       softmax_scale=scale))
+    got = np.asarray(mha_prefill_attn(q, k, v, pos0, base, scale,
+                                      interpret=True))
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
+def test_mha_prefill_attn_kernel_int8_and_partials():
+    from deepseek_tpu.models.kvcache import quantize_rows
+    from deepseek_tpu.ops.attention import prefill_attn_mha
+    from deepseek_tpu.ops.pallas.attention import mha_prefill_attn
+
+    B, T, H, Dh, Dv, S = 1, 8, 2, 32, 32, 48
+    pos0 = 5
+    q = jnp.asarray(rnd((B, T, H, Dh), 33, 0.3))
+    kf = jnp.asarray(rnd((B, S, H, Dh), 34, 0.3))
+    vf = jnp.asarray(rnd((B, S, H, Dv), 35, 0.3))
+    k8, ks = quantize_rows(kf)
+    v8, vs = quantize_rows(vf)
+    scale = 1.0 / np.sqrt(Dh)
+    q_pos = pos0 + jnp.arange(T, dtype=jnp.int32)
+    k_deq = jnp.asarray(np.asarray(k8, np.float32)
+                        * np.asarray(ks)[..., None])
+    v_deq = jnp.asarray(np.asarray(v8, np.float32)
+                        * np.asarray(vs)[..., None])
+    want = np.asarray(prefill_attn_mha(
+        q, k_deq, v_deq, q_pos, jnp.arange(S, dtype=jnp.int32),
+        softmax_scale=scale))
+    hs = lambda a: jnp.swapaxes(a, 1, 2)
+    got = np.asarray(mha_prefill_attn(
+        q, k8, v8, pos0, 0, scale, k_scale=hs(ks), v_scale=hs(vs),
+        interpret=True))
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+    # two half-window shards merged with the flash formula == full result
+    def merge(parts):
+        accs, ms, ls = zip(*parts)
+        mg = np.maximum(*ms)
+        num = sum(a * np.exp(m - mg)[..., None] for a, m in zip(accs, ms))
+        den = sum(l * np.exp(m - mg) for l, m in zip(ls, ms))
+        return num / np.maximum(den, 1e-30)[..., None]
+
+    half = S // 2
+    parts = []
+    for sidx in range(2):
+        sl = slice(sidx * half, (sidx + 1) * half)
+        acc, m, l = mha_prefill_attn(
+            q, k8[:, sl], v8[:, sl], pos0, sidx * half, scale,
+            k_scale=hs(ks[:, sl]), v_scale=hs(vs[:, sl]),
+            partials=True, interpret=True)
+        parts.append((np.asarray(acc), np.asarray(m), np.asarray(l)))
+    np.testing.assert_allclose(merge(parts), want, rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.parametrize("quantized", [False, True])
+def test_mla_prefill_attn_kernel_matches_jnp(quantized):
+    from deepseek_tpu.models.kvcache import quantize_rows
+    from deepseek_tpu.ops.attention import prefill_attn_mla
+    from deepseek_tpu.ops.pallas.attention import mla_prefill_attn
+
+    B, T, H, R, P, S = 2, 10, 4, 32, 16, 40
+    pos0 = 3
+    q_c = jnp.asarray(rnd((B, T, H, R), 36, 0.3))
+    q_r = jnp.asarray(rnd((B, T, H, P), 37, 0.3))
+    ckv_f = jnp.asarray(rnd((B, S, R), 38, 0.3))
+    kr_f = jnp.asarray(rnd((B, S, P), 39, 0.3))
+    scale = 1.0 / np.sqrt(48.0)
+    q_pos = pos0 + jnp.arange(T, dtype=jnp.int32)
+    cache_pos = jnp.arange(S, dtype=jnp.int32)
+    if quantized:
+        ckv, cs = quantize_rows(ckv_f)
+        kr, rs = quantize_rows(kr_f)
+        ckv_ref = jnp.asarray(np.asarray(ckv, np.float32)
+                              * np.asarray(cs)[..., None])
+        kr_ref = jnp.asarray(np.asarray(kr, np.float32)
+                             * np.asarray(rs)[..., None])
+        got = np.asarray(mla_prefill_attn(
+            q_c, q_r, ckv, kr, pos0, 0, scale, ckv_scale=cs,
+            krope_scale=rs, interpret=True))
+    else:
+        ckv_ref, kr_ref = ckv_f.astype(jnp.bfloat16), kr_f.astype(jnp.bfloat16)
+        got = np.asarray(mla_prefill_attn(
+            q_c, q_r, ckv_ref, kr_ref, pos0, 0, scale, interpret=True))
+    want = np.asarray(prefill_attn_mla(
+        q_c, q_r, ckv_ref, kr_ref, q_pos, cache_pos, 48,
+        softmax_scale=scale))
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
