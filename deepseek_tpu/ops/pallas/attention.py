@@ -40,6 +40,20 @@ def _pick_tile(S: int, row_bytes: int, budget: int = 4 * 1024 * 1024) -> int:
     return min(S, 8)
 
 
+def _pick_head_chunk(H: int, fits) -> int:
+    """Head-split chunk for the (…, hc, D) blocks: Mosaic's block rule needs
+    the penultimate dim to be a multiple of 8 OR equal to the full array
+    dim, so valid chunks are H itself or 8-multiple divisors of H. Picks
+    the largest valid chunk passing ``fits`` (a VMEM-budget predicate);
+    falls back to the smallest valid chunk when none fit."""
+    cands = [H] + [d for d in range(H - 1, 0, -1)
+                   if H % d == 0 and d % 8 == 0]
+    for hc in cands:
+        if fits(hc):
+            return hc
+    return cands[-1]
+
+
 def _mla_body(kvlen_ref, qc_ref, qr_ref, ckv_ref, kr_ref, *rest,
               ts: int, s_len: int, scale: float, quantized: bool,
               partials: bool = False):
@@ -280,10 +294,8 @@ def mha_decode_attn(q, k_cache, v_cache, kv_len,
     # heads are independent: split them across a grid axis whenever the
     # (possibly clamped) tile would blow the VMEM budget once converted to
     # f32 in-kernel (large-H decompressed caches with --kv-dtype int8)
-    hc = H
-    while hc > 1 and ts * hc * (Dh + Dv) * 4 > 6 * 1024 * 1024:
-        d = next((d for d in range(hc - 1, 0, -1) if H % d == 0), 1)
-        hc = d
+    hc = _pick_head_chunk(
+        H, lambda c: ts * c * (Dh + Dv) * 4 <= 6 * 1024 * 1024)
     grid = (B, H // hc, pl.cdiv(S, ts))
     kv_len = jnp.broadcast_to(jnp.asarray(kv_len, jnp.int32), (B,))
 
@@ -398,8 +410,10 @@ def _mha_prefill_body(scal_ref, q_ref, k_ref, v_ref, *rest,
         for h in range(hc):
             if partials:
                 o_ref[0, :, h, :] = acc_ref[h]
-                mo_ref[0, :, h] = m_ref[h][:, 0]
-                lo_ref[0, :, h] = l_ref[h][:, 0]
+                # m/l are laid out (B, H, T): a (1, hc, tq) block keeps
+                # Mosaic's last-two-dims rule (hc may be < H)
+                mo_ref[0, h, :] = m_ref[h][:, 0]
+                lo_ref[0, h, :] = l_ref[h][:, 0]
             else:
                 # fully-masked query rows (tail padding) have l == 0
                 o_ref[0, :, h, :] = acc_ref[h] / jnp.maximum(l_ref[h], 1e-30)
@@ -427,9 +441,8 @@ def mha_prefill_attn(q, k_cache, v_cache, q_pos0, cache_pos0,
     if quantized:
         ts = max(ts, min(S, 128))
     tq = min(T, 128)
-    hc = H
-    while hc > 1 and (ts + tq) * hc * (Dh + Dv) * 4 > 6 * 1024 * 1024:
-        hc = next((d for d in range(hc - 1, 0, -1) if H % d == 0), 1)
+    hc = _pick_head_chunk(
+        H, lambda c: (ts + tq) * c * (Dh + Dv) * 4 <= 6 * 1024 * 1024)
     grid = (B, H // hc, pl.cdiv(T, tq), pl.cdiv(S, ts))
 
     scal = jnp.stack([jnp.asarray(q_pos0, jnp.int32),
@@ -453,16 +466,16 @@ def mha_prefill_attn(q, k_cache, v_cache, q_pos0, cache_pos0,
                          memory_space=pltpu.VMEM)
     oshape = jax.ShapeDtypeStruct((B, T, H, Dv), jnp.float32)
     if partials:
-        mspec = pl.BlockSpec((1, tq, hc), lambda b, h, t, s, sc: (b, t, h),
+        mspec = pl.BlockSpec((1, hc, tq), lambda b, h, t, s, sc: (b, h, t),
                              memory_space=pltpu.VMEM)
         out_specs = (ospec, mspec, mspec)
-        out_shape = (oshape, jax.ShapeDtypeStruct((B, T, H), jnp.float32),
-                     jax.ShapeDtypeStruct((B, T, H), jnp.float32))
+        out_shape = (oshape, jax.ShapeDtypeStruct((B, H, T), jnp.float32),
+                     jax.ShapeDtypeStruct((B, H, T), jnp.float32))
     else:
         out_specs = ospec
         out_shape = oshape
 
-    return pl.pallas_call(
+    out = pl.pallas_call(
         functools.partial(_mha_prefill_body, ts=ts, tq=tq, s_len=S, t_len=T,
                           scale=float(softmax_scale), quantized=quantized,
                           partials=partials),
@@ -477,6 +490,10 @@ def mha_prefill_attn(q, k_cache, v_cache, q_pos0, cache_pos0,
         ),
         out_shape=out_shape, interpret=interpret,
     )(*args)
+    if partials:
+        acc, m, l = out
+        return acc, jnp.swapaxes(m, 1, 2), jnp.swapaxes(l, 1, 2)
+    return out
 
 
 def _mla_prefill_body(scal_ref, qc_ref, qr_ref, ckv_ref, kr_ref, *rest,
@@ -549,8 +566,8 @@ def _mla_prefill_body(scal_ref, qc_ref, qr_ref, ckv_ref, kr_ref, *rest,
         for h in range(hc):
             if partials:
                 o_ref[0, :, h, :] = acc_ref[h]
-                mo_ref[0, :, h] = m_ref[h][:, 0]
-                lo_ref[0, :, h] = l_ref[h][:, 0]
+                mo_ref[0, h, :] = m_ref[h][:, 0]
+                lo_ref[0, h, :] = l_ref[h][:, 0]
             else:
                 o_ref[0, :, h, :] = acc_ref[h] / jnp.maximum(l_ref[h], 1e-30)
 
@@ -574,10 +591,10 @@ def mla_prefill_attn(q_c, q_rope, ckv_cache, krope_cache, q_pos0, cache_pos0,
     if quantized:
         ts = max(ts, min(S, 128))
     tq = min(T, 128)
-    hc = H
-    # scratch acc is (hc, tq, R) f32 — keep it + tiles inside ~6MB
-    while hc > 1 and hc * tq * R * 4 + (ts + tq) * (R + P) * 4 > 6 * 1024 * 1024:
-        hc = next((d for d in range(hc - 1, 0, -1) if H % d == 0), 1)
+    # scratch acc is (hc, tq, R) f32 — keep it + tiles inside ~8MB
+    hc = _pick_head_chunk(
+        H, lambda c: c * tq * R * 4 + (ts + tq) * (R + P) * 4
+        <= 8 * 1024 * 1024)
     grid = (B, H // hc, pl.cdiv(T, tq), pl.cdiv(S, ts))
 
     scal = jnp.stack([jnp.asarray(q_pos0, jnp.int32),
@@ -605,16 +622,16 @@ def mla_prefill_attn(q_c, q_rope, ckv_cache, krope_cache, q_pos0, cache_pos0,
                          memory_space=pltpu.VMEM)
     oshape = jax.ShapeDtypeStruct((B, T, H, R), jnp.float32)
     if partials:
-        mspec = pl.BlockSpec((1, tq, hc), lambda b, h, t, s, sc: (b, t, h),
+        mspec = pl.BlockSpec((1, hc, tq), lambda b, h, t, s, sc: (b, h, t),
                              memory_space=pltpu.VMEM)
         out_specs = (ospec, mspec, mspec)
-        out_shape = (oshape, jax.ShapeDtypeStruct((B, T, H), jnp.float32),
-                     jax.ShapeDtypeStruct((B, T, H), jnp.float32))
+        out_shape = (oshape, jax.ShapeDtypeStruct((B, H, T), jnp.float32),
+                     jax.ShapeDtypeStruct((B, H, T), jnp.float32))
     else:
         out_specs = ospec
         out_shape = oshape
 
-    return pl.pallas_call(
+    out = pl.pallas_call(
         functools.partial(_mla_prefill_body, ts=ts, tq=tq, s_len=S, t_len=T,
                           scale=float(softmax_scale), quantized=quantized,
                           partials=partials),
@@ -629,3 +646,7 @@ def mla_prefill_attn(q_c, q_rope, ckv_cache, krope_cache, q_pos0, cache_pos0,
         ),
         out_shape=out_shape, interpret=interpret,
     )(*args)
+    if partials:
+        acc, m, l = out
+        return acc, jnp.swapaxes(m, 1, 2), jnp.swapaxes(l, 1, 2)
+    return out
