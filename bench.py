@@ -101,22 +101,30 @@ def main():
     HBM_GB_S = 820.0
     roofline_frac = gb_s / HBM_GB_S
 
-    # prefill throughput (chunked hydrate; grouped-gmm MoE path on TPU)
-    from deepseek_tpu.models import make_forward
-    T = 256 if backend != "cpu" else 8
-    pre = make_forward(cfg, prefill=True, logits_mode="none")
-    pcache = init_cache(cfg, batch=1)
-    ptoks = jnp.zeros((1, T), jnp.int32)
-    for i in range(2):  # compile + slow-first-dispatch warmup
-        _, pcache = pre(params, pcache, ptoks, jnp.int32(i * T))
+    # prefill throughput (chunked hydrate; grouped-gmm MoE path on TPU).
+    # Guarded: a prefill-path compile failure must not take down the
+    # decode headline (the driver consumes this JSON line).
+    try:
+        from deepseek_tpu.models import make_forward
+        T = 256 if backend != "cpu" else 8
+        pre = make_forward(cfg, prefill=True, logits_mode="none")
+        pcache = init_cache(cfg, batch=1)
+        ptoks = jnp.zeros((1, T), jnp.int32)
+        for i in range(2):  # compile + slow-first-dispatch warmup
+            _, pcache = pre(params, pcache, ptoks, jnp.int32(i * T))
+            _ = np.asarray(pcache.ckv[0, 0, 0, :1])
+        reps = 8 if backend != "cpu" else 1
+        nmax = cfg.kv_window // T - 2
+        t0 = time.perf_counter()
+        for i in range(reps):
+            _, pcache = pre(params, pcache, ptoks,
+                            jnp.int32((2 + i % nmax) * T))
         _ = np.asarray(pcache.ckv[0, 0, 0, :1])
-    reps = 8 if backend != "cpu" else 1
-    nmax = cfg.kv_window // T - 2
-    t0 = time.perf_counter()
-    for i in range(reps):
-        _, pcache = pre(params, pcache, ptoks, jnp.int32((2 + i % nmax) * T))
-    _ = np.asarray(pcache.ckv[0, 0, 0, :1])
-    prefill_tok_s = reps * T / (time.perf_counter() - t0)
+        prefill_tok_s = reps * T / (time.perf_counter() - t0)
+    except Exception as e:  # pragma: no cover - defensive
+        import sys
+        print(f"prefill bench failed: {e!r}", file=sys.stderr)
+        prefill_tok_s = 0.0
 
     print(json.dumps({
         "metric": f"decode_tok_per_s_1chip_{backend}_v2lite8L_bf16",
