@@ -31,6 +31,20 @@ def _default_put(name: str, arr: np.ndarray) -> jax.Array:
     return jnp.asarray(arr)
 
 
+def _logical_shape(data: CheckpointData, name: str, w, cfg: ModelConfig):
+    """Logical (…, out, in) shape of a stored tensor (K-quant raw blocks
+    encode 256 weights per block)."""
+    dt = data.tensors[name + ".weight"].dtype_str
+    shp = tuple(w.shape)
+    if dt in ("F32", "F16", "BF16", "F8_E5M2"):
+        return shp
+    if dt == "U8":
+        bb = (Q2K_BLOCK_BYTES if cfg.weight_quant == QuantKind.Q2_K
+              else Q3K_BLOCK_BYTES)
+        return shp[:-1] + (shp[-1] // bb * QK_K,)
+    return None
+
+
 def load_params(
     data: CheckpointData,
     cfg: ModelConfig,
@@ -49,16 +63,30 @@ def load_params(
     bf16). The wire format is unchanged; this is an in-HBM layout choice.
     """
 
-    def norm(name: str) -> Optional[jax.Array]:
+    def norm(name: str, expect: Optional[tuple] = None) -> Optional[jax.Array]:
         arr = data.get(name + ".weight")
         if arr is None:
             return None
-        return put(name, np.asarray(arr, dtype=np.float32))
+        arr = np.asarray(arr, dtype=np.float32)
+        if expect is not None and tuple(arr.shape) != tuple(expect):
+            raise ValueError(
+                f"checkpoint tensor {name}.weight has shape "
+                f"{tuple(arr.shape)}, config expects {tuple(expect)}")
+        return put(name, arr)
 
-    def qt(name: str, expert: bool = False):
+    def qt(name: str, expert: bool = False, expect: Optional[tuple] = None):
+        """expect: logical (…, out, in) shape from the config — load fails
+        loudly on mismatched checkpoints (reference check_tensor,
+        model.cpp:131-147 / QTensor::from_codec_tensor, codec.cpp:166-234)."""
         w = data.get(name + ".weight")
         if w is None:
             return None
+        if expect is not None:
+            got = _logical_shape(data, name, w, cfg)
+            if got is not None and tuple(got) != tuple(expect):
+                raise ValueError(
+                    f"checkpoint tensor {name}.weight has logical shape "
+                    f"{tuple(got)}, config expects {tuple(expect)}")
         scale = data.get(name + ".scale")
         dt = data.tensors[name + ".weight"].dtype_str
 
@@ -107,38 +135,52 @@ def load_params(
 
         raise ValueError(f"unsupported stored dtype {dt} for {name}")
 
-    def block_params(p: str) -> LayerParams:
-        moegate = norm(f"{p}.moegate")
+    def block_params(p: str, moe: bool) -> LayerParams:
+        c = cfg
+        H, hd = c.n_heads, c.head_dim
+        R, P = c.kv_lora_rank, c.qk_rope_head_dim
+        nope, Dv = c.qk_nope_head_dim, c.v_head_dim
+        E, m = c.n_routed_experts, c.moe_intermediate_size
+        ql = c.q_lora_rank
+        moegate = norm(f"{p}.moegate",
+                       expect=(E, c.dim) if c.n_routed_experts else None)
         moegate_bias = None
         if moegate is not None:
             bias = data.get(f"{p}.moegate.bias")
             if bias is not None:
                 moegate_bias = put(f"{p}.moegate.bias", np.asarray(bias, np.float32))
+        ffn1 = (E, m, c.dim) if moe else (c.hidden_dim, c.dim)
+        ffn2 = (E, c.dim, m) if moe else (c.dim, c.hidden_dim)
         return LayerParams(
-            attn_norm=norm(f"{p}.attn.norm"),
-            ffn_norm=norm(f"{p}.mlp.norm"),
-            kv_a_norm=norm(f"{p}.attn.kv_a_norm"),
-            q_a_norm=norm(f"{p}.attn.q_a_norm"),
-            wkv_a=qt(f"{p}.attn.wkv_a"),
-            wo=qt(f"{p}.attn.wo"),
-            wq=qt(f"{p}.attn.wq"),
-            wq_a=qt(f"{p}.attn.wq_a"),
-            wq_b=qt(f"{p}.attn.wq_b"),
-            wkv_b=qt(f"{p}.attn.wkv_b"),
-            wc=qt(f"{p}.attn.wc"),
-            wq_rope_b=qt(f"{p}.attn.wq_rope_b"),
-            wv_b=qt(f"{p}.attn.wv_b"),
-            w1=qt(f"{p}.mlp.w1", expert=True),
-            w2=qt(f"{p}.mlp.w2", expert=True),
-            w3=qt(f"{p}.mlp.w3", expert=True),
-            shared_w1=qt(f"{p}.shared_mlp.w1"),
-            shared_w2=qt(f"{p}.shared_mlp.w2"),
-            shared_w3=qt(f"{p}.shared_mlp.w3"),
+            attn_norm=norm(f"{p}.attn.norm", expect=(c.dim,)),
+            ffn_norm=norm(f"{p}.mlp.norm", expect=(c.dim,)),
+            kv_a_norm=norm(f"{p}.attn.kv_a_norm", expect=(R,)),
+            q_a_norm=norm(f"{p}.attn.q_a_norm",
+                          expect=(ql,) if ql > 0 else None),
+            wkv_a=qt(f"{p}.attn.wkv_a", expect=(R + P, c.dim)),
+            wo=qt(f"{p}.attn.wo", expect=(c.dim, H * Dv)),
+            wq=qt(f"{p}.attn.wq", expect=(H * hd, c.dim)),
+            wq_a=qt(f"{p}.attn.wq_a", expect=(ql, c.dim)),
+            wq_b=qt(f"{p}.attn.wq_b", expect=(H * hd, ql)),
+            wkv_b=qt(f"{p}.attn.wkv_b", expect=(H * (nope + Dv), R)),
+            wc=qt(f"{p}.attn.wc", expect=(H * R, ql)),
+            wq_rope_b=qt(f"{p}.attn.wq_rope_b", expect=(H * P, ql)),
+            wv_b=qt(f"{p}.attn.wv_b", expect=(H * Dv, R)),
+            w1=qt(f"{p}.mlp.w1", expert=True, expect=ffn1),
+            w2=qt(f"{p}.mlp.w2", expert=True, expect=ffn2),
+            w3=qt(f"{p}.mlp.w3", expert=True, expect=ffn1),
+            shared_w1=qt(f"{p}.shared_mlp.w1",
+                         expect=(c.n_shared_experts * m, c.dim)),
+            shared_w2=qt(f"{p}.shared_mlp.w2",
+                         expect=(c.dim, c.n_shared_experts * m)),
+            shared_w3=qt(f"{p}.shared_mlp.w3",
+                         expect=(c.n_shared_experts * m, c.dim)),
             moegate=moegate,
             moegate_bias=moegate_bias,
         )
 
-    layers = [block_params(f"model.layers.{l}") for l in range(cfg.n_layers)]
+    layers = [block_params(f"model.layers.{l}", cfg.is_moe_layer(l))
+              for l in range(cfg.n_layers)]
 
     mtp = None
     if load_mtp and data.get("model.mtp.eh_proj.weight") is not None:
@@ -146,12 +188,12 @@ def load_params(
             enorm=norm("model.mtp.enorm"),
             hnorm=norm("model.mtp.hnorm"),
             eh_proj=qt("model.mtp.eh_proj"),
-            block=block_params("model.mtp.block"),
+            block=block_params("model.mtp.block", cfg.n_routed_experts > 0),
             final_norm=norm("model.mtp.norm"),
         )
 
-    embed = qt("model.embed")
-    lm_head = qt("model.output")
+    embed = qt("model.embed", expect=(cfg.vocab_size, cfg.dim))
+    lm_head = qt("model.output", expect=(cfg.vocab_size, cfg.dim))
     if lm_head is None:
         lm_head = embed  # tied embeddings
 

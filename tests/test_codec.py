@@ -81,3 +81,28 @@ def test_safetensors_interop(tmp_path):
     md, loaded = codec.load_shard(str(tmp_path / "theirs.dseek"), read_metadata=True)
     assert md == {"k": "v"}
     np.testing.assert_array_equal(np.asarray(loaded["w"].array), tensors["w"])
+
+
+def test_loader_rejects_mismatched_shapes(tmp_path):
+    """Checkpoint/config shape validation (reference check_tensor,
+    model.cpp:131-147): a tensor whose logical shape contradicts the
+    config metadata fails the load with a clear error."""
+    import pytest
+    from deepseek_tpu.config import ModelConfig
+    from deepseek_tpu.models.loader import load_params
+    from tests.util_tinymodel import (
+        tiny_checkpoint_tensors, tiny_config, tiny_metadata, tiny_weights,
+    )
+
+    cfg = tiny_config(use_mla=True, vocab_size=64)
+    wd = tiny_weights(cfg, seed=9)
+    # corrupt one projection: wrong output rows
+    bad = wd["model.layers.1.attn.wo.weight"]
+    wd["model.layers.1.attn.wo.weight"] = bad[:-1]
+    d = str(tmp_path / "bad")
+    codec.save_checkpoint(d, [tiny_checkpoint_tensors(cfg, wd)],
+                          tiny_metadata(cfg))
+    data = codec.load_checkpoint(d)
+    rcfg = ModelConfig.from_metadata(data.metadata)
+    with pytest.raises(ValueError, match="attn.wo.*shape"):
+        load_params(data, rcfg)
