@@ -245,6 +245,10 @@ def run_completion(engine: Engine, args: Args):
           f"  hydrate: {st.hydrate_s:.5g} s\n"
           f"  bandwidth: {st.gb_per_s:.5g} GB/s\n"
           f"  total: {st.hydrate_s + st.generate_s:.5g} s")
+    from deepseek_tpu.utils.profiling import dump_profile, profiling_enabled
+    if profiling_enabled():
+        # end-of-completion profile dump (DSEEK_PROFILE=1; main.cpp:355-360)
+        print(dump_profile())
 
 
 def run_perplexity(engine: Engine, args: Args):

@@ -26,6 +26,7 @@ from deepseek_tpu.models.loader import load_params, params_active_bytes
 from deepseek_tpu.sampler import Sampler, nucleus_probs as _nucleus_probs
 from deepseek_tpu.tokenizer import Tokenizer
 from deepseek_tpu.utils.codec import load_checkpoint
+from deepseek_tpu.utils.profiling import profile_scope
 
 
 @dataclass
@@ -213,8 +214,10 @@ class Engine:
                 need_last = is_last and want_last_logits
                 mode = "all" if (collect or (need_last and r < cp)) else (
                     "last" if need_last else "none")
-                out, cache = self.fwd(True, mode)(
-                    self.params, cache, jnp.asarray([chunk], jnp.int32), pos)
+                with profile_scope("hydrate.prefill"):
+                    out, cache = self.fwd(True, mode)(
+                        self.params, cache, jnp.asarray([chunk], jnp.int32),
+                        pos)
                 if mode == "all":
                     if collect:
                         collect_rows(out[0], i, r)
@@ -295,10 +298,12 @@ class Engine:
             loop = self.decode_loop(self.decode_block)
             while not stopped and len(out_tokens) < max_new:
                 self._key, sub = jax.random.split(self._key)
-                toks_dev, _, cache = loop(
-                    self.params, cache, jnp.asarray([[token]], jnp.int32),
-                    pos, sub, jnp.float32(temperature), jnp.float32(top_p))
-                block = np.asarray(toks_dev[0]).tolist()
+                with profile_scope("generate.decode_block"):
+                    toks_dev, _, cache = loop(
+                        self.params, cache, jnp.asarray([[token]], jnp.int32),
+                        pos, sub, jnp.float32(temperature),
+                        jnp.float32(top_p))
+                    block = np.asarray(toks_dev[0]).tolist()
                 pos += len(block)
                 token = block[-1]
                 for t in block:
@@ -310,11 +315,14 @@ class Engine:
             # reference-shaped one-token-per-forward loop
             step_fn = self.fwd(False, "last")
             while not stopped and len(out_tokens) < max_new:
-                logits_dev, cache = step_fn(
-                    self.params, cache, jnp.asarray([[token]], jnp.int32), pos)
-                logits = np.asarray(logits_dev[0])
+                with profile_scope("generate.step"):
+                    logits_dev, cache = step_fn(
+                        self.params, cache, jnp.asarray([[token]], jnp.int32),
+                        pos)
+                    logits = np.asarray(logits_dev[0])
                 pos += 1
-                token = self.sampler.sample(logits, temperature, top_p)
+                with profile_scope("generate.sample"):
+                    token = self.sampler.sample(logits, temperature, top_p)
                 stopped = emit(token)
         stats.generate_s = time.perf_counter() - t0
         stats.generated_tokens = len(out_tokens)

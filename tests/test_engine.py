@@ -199,3 +199,23 @@ def test_debug_capture_and_diff(engine, tmp_path):
     with debug_capture() as cap3:
         fwd(engine.params, init_cache(engine.cfg, 1), tok, 0)
     assert max(cap.max_err(cap3).values()) == 0.0
+
+
+def test_profile_scopes_capture_hot_paths(ckpt_dir, capsys):
+    """DSEEK_PROFILE parity: scoped timers cover hydrate + decode, and the
+    CLI dumps the aggregate at the end of a completion run."""
+    from deepseek_tpu.utils import profiling
+
+    profiling.reset_profile()
+    profiling.enable_profiling(True)
+    try:
+        from deepseek_tpu.cli import main
+        main([ckpt_dir, "-i", "hi there", "-n", "3", "-t", "0",
+              "--chunk", "8", "--seed", "1"])
+    finally:
+        profiling.enable_profiling(False)
+    rep = profiling.profile_report()
+    assert any(k.startswith("hydrate.") for k in rep)
+    assert any(k.startswith("generate.") for k in rep)
+    out = capsys.readouterr().out
+    assert "Profile total times" in out
