@@ -404,10 +404,11 @@ class Engine:
                and pos + R * (spec_k + 1) <= window):
             if fused is None:
                 from deepseek_tpu.speculative import make_spec_rounds
-                key = ("spec_rounds", spec_k, R)
+                greedy = temperature <= 0
+                key = ("spec_rounds", spec_k, R, greedy)
                 if key not in self._fns:
                     self._fns[key] = make_spec_rounds(
-                        self.cfg, draft.cfg, spec_k, R)
+                        self.cfg, draft.cfg, spec_k, R, greedy=greedy)
                 fused = self._fns[key]
             self._key, sub = jax.random.split(self._key)
             drafts_r, nacc_r, next_r, cache, dcache = fused(
@@ -626,8 +627,10 @@ class Engine:
                and pos + R * (spec_k + 1) <= window):
             if fused is None:
                 from deepseek_tpu.speculative import make_mtp_spec_rounds
-                fused = fns(("mtp_rounds", spec_k, R),
-                            lambda: make_mtp_spec_rounds(cfg, spec_k, R))
+                greedy = temperature <= 0
+                fused = fns(("mtp_rounds", spec_k, R, greedy),
+                            lambda: make_mtp_spec_rounds(
+                                cfg, spec_k, R, greedy=greedy))
             self._key, sub = jax.random.split(self._key)
             drafts_r, nacc_r, next_r, h_cur, cache, mtp_cache = fused(
                 self.params, cache, mtp_cache,

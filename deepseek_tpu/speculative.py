@@ -54,13 +54,19 @@ def _accept(ps, qs, drafts, spec_k, key):
 
 
 def make_spec_rounds(cfg_t: ModelConfig, cfg_d: ModelConfig,
-                     spec_k: int, rounds: int, jit: bool = True):
+                     spec_k: int, rounds: int, jit: bool = True,
+                     greedy: bool = False):
     """Draft-model speculation (engine.generate_speculative's hot loop).
 
     Returns ``fn(pt, pd, ct, cd, tok (1,1), pos0, key, temperature, top_p)
     -> (drafts (R, k), n_acc (R,), next (R,), ct, cd)`` with both caches
     donated. Per round r the host emits drafts[r, :n_acc[r]] then next[r]
     and advances pos by n_acc[r] + 1.
+
+    ``greedy`` (temperature == 0, known at build time) skips every nucleus
+    distribution: drafts are argmax, acceptance is argmax equality, and
+    next = argmax(target row n_acc) — several (V,)-wide passes cheaper per
+    round.
     """
     fwd_t = functools.partial(_forward_impl, cfg=cfg_t, prefill=True,
                               logits_mode="all")
@@ -76,6 +82,9 @@ def make_spec_rounds(cfg_t: ModelConfig, cfg_d: ModelConfig,
             def dstep(c, i):
                 cd, t, k2 = c
                 lg, cd = fwd_d(pd, cd, t, pos + i)           # (1, V)
+                if greedy:
+                    d = jnp.argmax(lg, axis=-1).astype(jnp.int32)
+                    return (cd, d[:, None], k2), (d[0], jnp.float32(0))
                 q = nucleus_dist(lg, temperature, top_p)
                 k2, sub = jax.random.split(k2)
                 d = sample_token(lg, sub, temperature, top_p)  # (1,)
@@ -86,10 +95,16 @@ def make_spec_rounds(cfg_t: ModelConfig, cfg_d: ModelConfig,
 
             chunk = jnp.concatenate([tok[0], drafts])[None]  # (1, k+1)
             lg_all, ct = fwd_t(pt, ct, chunk, pos)
-            ps = nucleus_dist(lg_all[0], temperature, top_p)  # (k+1, V)
 
             key, ka = jax.random.split(key)
-            n_acc, nxt = _accept(ps, qs, drafts, spec_k, ka)
+            if greedy:
+                tgt = jnp.argmax(lg_all[0], axis=-1).astype(jnp.int32)
+                acc = tgt[:spec_k] == drafts
+                n_acc = jnp.cumprod(acc.astype(jnp.int32)).sum()
+                nxt = tgt[n_acc]     # replacement, or bonus when n_acc == k
+            else:
+                ps = nucleus_dist(lg_all[0], temperature, top_p)  # (k+1, V)
+                n_acc, nxt = _accept(ps, qs, drafts, spec_k, ka)
 
             # keep the draft cache aligned for the full-accept case (the
             # bonus token is fed at pos+k+1 next); on partial accept this
@@ -109,7 +124,7 @@ def make_spec_rounds(cfg_t: ModelConfig, cfg_d: ModelConfig,
 
 
 def make_mtp_spec_rounds(cfg: ModelConfig, spec_k: int, rounds: int,
-                         jit: bool = True):
+                         jit: bool = True, greedy: bool = False):
     """Self-speculation with the checkpoint's MTP layer
     (engine.generate_mtp's hot loop).
 
@@ -136,6 +151,10 @@ def make_mtp_spec_rounds(cfg: ModelConfig, spec_k: int, rounds: int,
             def dstep(c, j):
                 cm, t, hh, k2 = c
                 lg, hh, cm = mtp_step(params, cm, t, hh, pos - 1 + j)
+                if greedy:
+                    d = jnp.argmax(lg[:, 0], axis=-1).astype(jnp.int32)
+                    return (cm, d[:, None], hh.astype(jnp.float32), k2), \
+                        (d[0], jnp.float32(0))
                 q = nucleus_dist(lg[:, 0], temperature, top_p)
                 k2, sub = jax.random.split(k2)
                 d = sample_token(lg[:, 0], sub, temperature, top_p)
@@ -149,10 +168,16 @@ def make_mtp_spec_rounds(cfg: ModelConfig, spec_k: int, rounds: int,
 
             chunk = jnp.concatenate([tok[0], drafts])[None]   # (1, k+1)
             lg_all, h_all, ct = fwd_t(params, ct, chunk, pos)
-            ps = nucleus_dist(lg_all[0], temperature, top_p)  # (k+1, V)
 
             key, ka = jax.random.split(key)
-            n_acc, nxt = _accept(ps, qs, drafts, spec_k, ka)
+            if greedy:
+                tgt = jnp.argmax(lg_all[0], axis=-1).astype(jnp.int32)
+                acc = tgt[:spec_k] == drafts
+                n_acc = jnp.cumprod(acc.astype(jnp.int32)).sum()
+                nxt = tgt[n_acc]
+            else:
+                ps = nucleus_dist(lg_all[0], temperature, top_p)  # (k+1, V)
+                n_acc, nxt = _accept(ps, qs, drafts, spec_k, ka)
 
             # re-hydrate MTP pairs (chunk[j+1], h_all[j]) at pos..pos+k from
             # the TRUE hiddens; garbage past n_acc is rewritten next round

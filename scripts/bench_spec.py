@@ -73,7 +73,7 @@ def main():
 
     # --- fused speculative rounds, self-draft (acceptance == 1) --------
     def run_spec(pt, pd, cfg_d, tag):
-        fn = make_spec_rounds(cfg, cfg_d, k, R)
+        fn = make_spec_rounds(cfg, cfg_d, k, R, greedy=True)
         ct = init_cache(cfg, batch=1)
         cd = init_cache(cfg_d, batch=1)
         tok = jnp.zeros((1, 1), jnp.int32)
