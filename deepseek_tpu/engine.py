@@ -405,11 +405,14 @@ class Engine:
             if fused is None:
                 from deepseek_tpu.speculative import make_spec_rounds
                 greedy = temperature <= 0
-                key = ("spec_rounds", spec_k, R, greedy)
+                # key includes the draft ENGINE identity: a different draft
+                # means a different ModelConfig baked into the fused fn
+                # (the value keeps the draft alive so id() stays unique)
+                key = ("spec_rounds", id(draft), spec_k, R, greedy)
                 if key not in self._fns:
-                    self._fns[key] = make_spec_rounds(
-                        self.cfg, draft.cfg, spec_k, R, greedy=greedy)
-                fused = self._fns[key]
+                    self._fns[key] = (make_spec_rounds(
+                        self.cfg, draft.cfg, spec_k, R, greedy=greedy), draft)
+                fused = self._fns[key][0]
             self._key, sub = jax.random.split(self._key)
             drafts_r, nacc_r, next_r, cache, dcache = fused(
                 self.params, draft.params, cache, dcache,

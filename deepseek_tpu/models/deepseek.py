@@ -74,18 +74,38 @@ def _cache_write(full, rows, layer: int, cache_start, prefill: bool,
 
 def _cache_write_sp_prefill(full, rows, layer: int, pos0, sidx, s_local: int):
     """Prefill write into a seq-sharded cache: each shard commits only the
-    rows of the chunk [pos0, pos0+T) that fall inside its window slice
-    (masked whole-slice update — a clamped DUS would corrupt edge slots)."""
+    rows of the chunk [pos0, pos0+T) that fall inside its window slice.
+
+    Fast path: when the chunk lies entirely inside this shard (every chunk
+    except the ones straddling a shard edge), a plain DUS writes exactly T
+    slots. The straddling/outside cases use a masked whole-slice update —
+    a clamped DUS would corrupt edge slots, but paying the O(s_local) write
+    amplification only at shard edges keeps long-window sp prefill cheap.
+    """
     if full is None:
         return None
     T = rows.shape[1]
-    s = jnp.arange(s_local)
-    g = sidx * s_local + s                               # global slot pos
-    ridx = jnp.clip(g - pos0, 0, T - 1)
-    cand = jnp.take(rows, ridx, axis=1).astype(full.dtype)   # (B, s_local, …)
-    valid = (g >= pos0) & (g < pos0 + T)
-    msk = valid.reshape((1, s_local) + (1,) * (cand.ndim - 2))
-    return full.at[layer].set(jnp.where(msk, cand, full[layer]))
+    lo = sidx * s_local
+    interior = (pos0 >= lo) & (pos0 + T <= lo + s_local)
+
+    def dus(f):
+        start = (layer, 0, jnp.clip(pos0 - lo, 0, s_local - T)) \
+            + (0,) * (rows.ndim - 2)
+        return jax.lax.dynamic_update_slice(
+            f, rows[None].astype(f.dtype), start)
+
+    def masked(f):
+        s = jnp.arange(s_local)
+        g = lo + s                                       # global slot pos
+        ridx = jnp.clip(g - pos0, 0, T - 1)
+        cand = jnp.take(rows, ridx, axis=1).astype(f.dtype)  # (B, s_local, …)
+        valid = (g >= pos0) & (g < pos0 + T)
+        msk = valid.reshape((1, s_local) + (1,) * (cand.ndim - 2))
+        return f.at[layer].set(jnp.where(msk, cand, f[layer]))
+
+    if T > s_local:
+        return masked(full)
+    return jax.lax.cond(interior, dus, masked, full)
 
 
 def _sink_update(buf, rows_f32, layer: int, global_start, prefill: bool):
@@ -697,7 +717,13 @@ def _params_span_devices(params) -> bool:
             sh = getattr(leaf, "sharding", None)
             if sh is not None and getattr(sh, "num_devices", 1) > 1:
                 return True
-    except Exception:
+    except Exception as e:
+        # the probe guards a correctness-relevant gate: never fail silently
+        import logging
+        logging.getLogger("deepseek_tpu").warning(
+            "could not inspect param shardings (%r); assuming single-device "
+            "layout — if these params ARE sharded under plain jit, Pallas "
+            "kernels may force per-chip weight replication", e)
         return False
     return False
 
@@ -741,10 +767,16 @@ def _gspmd_kernel_gate(cfg: ModelConfig, build):
     return wrapper
 
 
+class EPCapacityOverflow(RuntimeError):
+    """EP prefill routing skew exceeded the static capacity: the chunk's
+    MoE output is missing contributions. Retry the chunk with
+    ep_capacity_factor=0 (exact) or a larger factor."""
+
+
 def make_forward(cfg: ModelConfig, *, prefill: bool = False,
                  logits_mode: str = "last", jit: bool = True,
                  mesh=None, params=None, cache=None,
-                 with_hidden: bool = False):
+                 with_hidden: bool = False, on_overflow: str = "raise"):
     """Build (and jit) a forward function for a fixed mode.
 
     Returns ``fn(params, cache, tokens (B,T) int32, pos0) -> (logits, cache)``
@@ -770,9 +802,13 @@ def make_forward(cfg: ModelConfig, *, prefill: bool = False,
 
     assert not with_hidden, "with_hidden is a single-host engine hook"
     ctx, pspec, cspec, P = _spmd_parts(cfg, mesh, params, cache)
-    # EP prefill capacity compaction is INEXACT past the capacity: the
-    # forward then also returns the global overflow count -> (logits, ovf,
-    # cache); callers must retry overflowed chunks with ep_capacity_factor=0
+    # EP prefill capacity compaction is INEXACT past the capacity. The
+    # forward computes a global overflow count; by default
+    # (on_overflow="raise") the wrapper checks it after each chunk — a tiny
+    # scalar fetch piggybacking the dispatch — and raises
+    # EPCapacityOverflow so callers retry with ep_capacity_factor=0.
+    # on_overflow="return" exposes the raw (logits, ovf, cache) triple.
+    assert on_overflow in ("raise", "return")
     with_ovf = (prefill and ctx.ep > 1 and cfg.ep_capacity_factor > 0)
     body = functools.partial(
         _forward_impl, cfg=cfg, prefill=prefill, logits_mode=logits_mode,
@@ -785,6 +821,19 @@ def make_forward(cfg: ModelConfig, *, prefill: bool = False,
         check_vma=False)
     if jit:
         fn = jax.jit(fn, donate_argnums=(1,))
+    if with_ovf and on_overflow == "raise":
+        inner = fn
+
+        def checked(params, cache, tokens, pos0):
+            logits, ovf, cache = inner(params, cache, tokens, pos0)
+            if int(ovf) > 0:
+                raise EPCapacityOverflow(
+                    f"{int(ovf)} token-expert pairs overflowed the EP "
+                    f"prefill capacity (ep_capacity_factor="
+                    f"{cfg.ep_capacity_factor}); retry the chunk with "
+                    f"ep_capacity_factor=0 (exact) or raise the factor")
+            return logits, cache
+        return checked
     return fn
 
 

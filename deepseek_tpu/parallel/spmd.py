@@ -108,15 +108,27 @@ class SpmdCtx:
             owned = (flat // e_local) == eid
             lidx = jnp.where(owned, flat % e_local, 0)
             w = jnp.where(owned, w, 0.0)
-            key = jnp.where(owned, lidx, e_local)   # non-owned sort last
+            cls = jnp.where(owned, lidx, e_local)   # non-owned sort last
+            n_cls = e_local + 1
         else:
             owned = None
             lidx = flat
-            key = lidx
-        order = jnp.argsort(key)                    # N is tiny (B*k)
-        lidx_s, w_s, tok_s = lidx[order], w[order], tok[order]
+            cls = lidx
+            n_cls = n_experts
+        # one-hot-cumsum counting sort by expert class — a sort HLO here
+        # would sit on the MoE decode hot path (CLAUDE.md: TPU sorts are
+        # milliseconds-slow at pair-list sizes)
+        oh = jax.nn.one_hot(cls, n_cls, dtype=jnp.int32)
+        within = jnp.take_along_axis(
+            jnp.cumsum(oh, axis=0) - 1, cls[:, None], axis=1)[:, 0]
+        counts = oh.sum(axis=0)
+        starts = jnp.cumsum(counts) - counts
+        dest = starts[cls] + within                 # bijective over [0, N)
+        src = jnp.zeros((N,), jnp.int32).at[dest].set(
+            jnp.arange(N, dtype=jnp.int32))
+        lidx_s, w_s, tok_s = lidx[src], w[src], tok[src]
         if self.ep > 1:
-            owned_s = owned[order]
+            owned_s = owned[src]
             # alias non-owned pairs to the LAST owned expert id: sorted
             # ascending, so they immediately follow a pair with that id and
             # their weight-tile fetch elides (their weight is already 0)

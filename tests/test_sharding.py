@@ -106,12 +106,9 @@ def test_shard_map_matches_single_device(use_mla, shape):
     step = make_forward(cfg, prefill=False, logits_mode="last",
                         mesh=mesh, params=params, cache=sc)
     toks = jnp.asarray([tokens[:3]] * B, jnp.int32)
-    if e > 1:
-        # EP prefill capacity path: (logits, overflow, cache)
-        lg, ovf, sc = pre(sp, sc, toks, 0)
-        assert int(ovf) == 0
-    else:
-        lg, sc = pre(sp, sc, toks, 0)
+    # EP prefill capacity path raises EPCapacityOverflow on routing skew
+    # past the static budget (none here); signature stays (logits, cache)
+    lg, sc = pre(sp, sc, toks, 0)
     outs = [np.asarray(lg)]
     pos = 3
     for tk in tokens[3:]:
@@ -220,7 +217,8 @@ def test_shard_map_grouped_gmm_prefill():
     sp = shard_params(params, cfg_pl, mesh)
     sc = shard_cache(init_cache(cfg_pl, batch=B), cfg_pl, mesh)
     pre = make_forward(cfg_pl, prefill=True, logits_mode="all",
-                       mesh=mesh, params=params, cache=sc)
+                       mesh=mesh, params=params, cache=sc,
+                       on_overflow="return")
     got, ovf, _ = pre(sp, sc, toks, 0)
     assert int(ovf) == 0
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
@@ -344,8 +342,7 @@ def test_seq_parallel_prefill_matches(kv_dtype, hybrid, tmp_path):
     step2 = make_forward(cfg, prefill=False, logits_mode="last",
                          mesh=mesh, params=params, cache=sc)
     toks = jnp.asarray([tokens[:8]], jnp.int32)
-    out = pre(sp, sc, toks, 0)
-    lg2, sc = (out[0], out[-1])
+    lg2, sc = pre(sp, sc, toks, 0)
     for pos, t in enumerate(tokens[8:], start=8):
         lg2, sc = step2(sp, sc, jnp.asarray([[t]], jnp.int32), pos)
     np.testing.assert_allclose(np.asarray(lg2), np.asarray(lg1),
