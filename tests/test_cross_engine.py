@@ -196,6 +196,33 @@ def test_quantized_perplexity_parity(hf_quant_dir, quant, tmp_path):
     assert abs(ppl - ref_ppl) / ref_ppl < _PPL_TOL[quant], (quant, ppl, ref_ppl)
 
 
+def test_quantized_mha_path_perplexity_parity(hf_quant_dir, tmp_path):
+    """Q2_K through the DECOMPRESSED (BlockMHA) path of both engines:
+    convert without --mla so the reference runs infer.cpp:935-1049 and
+    this engine the wkv_b path."""
+    binary = _ref()
+    from deepseek_tpu import convert as cv
+    out = str(tmp_path / "q2k_mha")
+    cv.convert(hf_quant_dir, out, quant="q2_k", use_mla=False)
+
+    text = ("the quick brown fox jumps over the lazy dog and then runs far "
+            "away into the green hills " * 8).strip()
+    pfile = str(tmp_path / "prompt.txt")
+    with open(pfile, "w") as f:
+        f.write(text)
+    out_ref = run_ref(binary, out, "-m", "perplexity", "-f", pfile)
+    m = re.search(r"perplexity: ([0-9.]+)", out_ref)
+    assert m, out_ref[-2000:]
+    ref_ppl = float(m.group(1))
+
+    eng = Engine(out, seed=0, prefill_chunk=8)
+    assert not eng.cfg.use_mla
+    toks = eng.tokenizer.encode(text, bos=True)
+    ppl, _, n = eng.perplexity(toks)
+    assert n > 500
+    assert abs(ppl - ref_ppl) / ref_ppl < _PPL_TOL["q2_k"], (ppl, ref_ppl)
+
+
 def test_quantized_greedy_token_agreement(hf_quant_dir, tmp_path):
     """Greedy decode on the same Q2_K checkpoint: both engines follow the
     same argmax path while the margin dominates quantization noise; demand
