@@ -167,12 +167,11 @@ def _quantized_grouped_ffn(w1, w2, w3, xb, weights, idx, act, ctx, interpret,
     x_rows = xb.reshape(B * T, dim)[src // k].astype(jnp.float32)
 
     wp = w13 if w13 is not None else w1
-    kq = isinstance(wp, (Q2KTensor, Q3KTensor, Q2KTurboTensor,
-                         Q3KTurboTensor))
+    kq = isinstance(wp, (Q2KTensor, Q3KTensor, Q3KTurboTensor))
     turbo2 = isinstance(wp, Q2KTurboTensor)
     s16x = (_group_sums(x_rows, dim).reshape(G, TB, dim // 16)
             if turbo2 else None)
-    xin = _perm_x(x_rows, dim) if kq else x_rows
+    xin = _perm_x(x_rows, dim) if kq else x_rows  # Q2 turbo stays natural
     gq = functools.partial(qmm_grouped, interpret=interpret)
     if w13 is not None:
         h2 = gq(w13, tile_expert, xin.reshape(G, TB, dim), s16_tiles=s16x)

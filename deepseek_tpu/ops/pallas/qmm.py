@@ -128,20 +128,26 @@ def _q3k_body(x_ref, qs_ref, hm_ref, sc_ref, d_ref, o_ref):
 
 
 def _q2kt_body(x_ref, s16_ref, p_ref, d_ref, bm_ref, o_ref):
-    """Q2_K turbo: int8 plane p = sc*q (permuted order), w = d_g * p; the
-    per-16 MIN term is applied through the per-group activation sums s16
-    (one small dot), never per weight. ~3 VPU ops/weight (convert, repeat,
-    multiply) vs ~8 for the packed planes."""
-    pf = p_ref[...].astype(jnp.float32)                    # (TD, n) permuted
-    n16 = bm_ref.shape[-1]
-    d16 = _expand_super(d_ref[...], n16)                   # (TD, n/16)
-    w = _rep16(d16) * pf
-    o_ref[...] = (
-        jax.lax.dot_general(x_ref[...], w, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-        - jax.lax.dot_general(s16_ref[...], bm_ref[...],
-                              (((1,), (1,)), ((), ())),
-                              preferred_element_type=jnp.float32))
+    """Q2_K turbo: int8 plane p = sc*q in NATURAL order; per-superblock
+    scales apply to OUTPUT-side partial dots (y = sum_sb (x_sb . p_sb^T)
+    * d[:, sb]) and the per-16 MIN term folds through the activation group
+    sums s16 (one small dot). The only per-weight VPU work is the
+    int8->f32 convert — the structure that took fp8 from 311 to 493 tok/s
+    E2E (see _fp8_body)."""
+    pf = p_ref[...].astype(jnp.float32)                    # (TD, n) natural
+    x = x_ref[...]
+    n = pf.shape[-1]
+    d_t = d_ref[...].T                                     # (n/256, TD)
+    acc = -jax.lax.dot_general(
+        s16_ref[...], bm_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)                # (TB, TD) min term
+    for sb in range(n // 256):
+        sl = slice(sb * 256, (sb + 1) * 256)
+        part = jax.lax.dot_general(
+            x[:, sl], pf[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        acc = acc + part * d_t[sb:sb + 1]
+    o_ref[...] = acc
 
 
 def _q3kt_body(x_ref, p_ref, a_ref, o_ref):
@@ -166,23 +172,31 @@ def _fp8_body(x_ref, w_ref, s_ref, o_ref, *, b0: int, b1: int):
     # lane extent (n/b1) is below the 128 tiling fails Mosaic lowering
     scale = s_ref[...][:, 0, :]                             # (td/b0, n/b1)
     td, n = w.shape
-    # block-scale expansion via one-hot matmuls (no lane element-repeats)
+    x = x_ref[...]
+    # row-block scale expansion via a small one-hot matmul (no lane
+    # element-repeats on TPU)
     ri = jax.lax.broadcasted_iota(jnp.int32, (td, td // b0), 0)
     rj = jax.lax.broadcasted_iota(jnp.int32, (td, td // b0), 1)
     Er = (ri // b0 == rj).astype(jnp.float32)
     s_rows = jax.lax.dot_general(
         Er, scale, (((1,), (0,)), ((), ())),
         precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32)
-    ci = jax.lax.broadcasted_iota(jnp.int32, (n // b1, n), 0)
-    cj = jax.lax.broadcasted_iota(jnp.int32, (n // b1, n), 1)
-    Ec = (cj // b1 == ci).astype(jnp.float32)
-    s_full = jax.lax.dot_general(
-        s_rows, Ec, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    o_ref[...] = jax.lax.dot_general(
-        x_ref[...], w * s_full, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32)                 # (td, n/b1)
+    # scale per-COLUMN-BLOCK partial dots on the output side instead of
+    # materializing a (td, n) scale grid and a scaled weight copy in VMEM:
+    # y = sum_cb (x_cb . w_cb^T) * s_rows[:, cb]. VPU work drops from ~2
+    # ops/weight to just the fp8->f32 convert; each block dot contracts a
+    # full 128 lanes on the MXU.
+    s_rows_t = s_rows.T                                     # (n/b1, td)
+    acc = None
+    for cb in range(n // b1):
+        sl = slice(cb * b1, (cb + 1) * b1)
+        part = jax.lax.dot_general(
+            x[:, sl], w[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)             # (TB, td)
+        part = part * s_rows_t[cb:cb + 1]
+        acc = part if acc is None else acc + part
+    o_ref[...] = acc
 
 
 # ---------------------------------------------------------------------------
@@ -274,7 +288,7 @@ def qmm(qt, x, interpret: bool = False):
             in_specs=[xspec, s16spec, wspec(n), wspec(n // 256),
                       wspec(n // 16)],
             out_specs=ospec, interpret=interpret,
-        )(_perm_x(x2, n), s16, qt.p, qt.d, qt.bm)
+        )(x2, s16, qt.p, qt.d, qt.bm)
     elif isinstance(qt, Q3KTurboTensor):
         out = pl.pallas_call(
             _q3kt_body, grid=grid, out_shape=oshape,
@@ -454,8 +468,8 @@ def qmm_experts(qt, idx, x, interpret: bool = False):
     s16 = None
     if isinstance(qt, Q2KTurboTensor):
         s16 = _group_sums(x, n).reshape(B * k, 1, n // 16)
-    if isinstance(qt, (Q2KTensor, Q3KTensor, Q2KTurboTensor, Q3KTurboTensor)):
-        x = _perm_x(x, n)
+    if isinstance(qt, (Q2KTensor, Q3KTensor, Q3KTurboTensor)):
+        x = _perm_x(x, n)       # Q2 turbo consumes NATURAL order
     N = B * k
     x = x.reshape(N, 1, n)                     # pair-flat: see _squeeze_body
     idx = idx.reshape(N)

@@ -78,10 +78,18 @@ def sample_token(logits: jnp.ndarray, key, temperature, top_p) -> jnp.ndarray:
 
     temp = jnp.broadcast_to(jnp.asarray(temperature, jnp.float32), (B,))
     top_p = jnp.broadcast_to(jnp.asarray(top_p, jnp.float32), (B,))
-    t = jnp.maximum(temp, 1e-6)
-    scaled = logits / t[:, None]
-    probs = jax.nn.softmax(scaled, axis=-1)
-    keep = _nucleus_mask(probs, top_p[:, None])
-    masked = jnp.where(keep, scaled, _NEG_INF)
-    sampled = jax.random.categorical(key, masked, axis=-1)
-    return jnp.where(temp == 0.0, greedy, sampled.astype(jnp.int32))
+
+    def sample_branch(_):
+        t = jnp.maximum(temp, 1e-6)
+        scaled = logits / t[:, None]
+        probs = jax.nn.softmax(scaled, axis=-1)
+        keep = _nucleus_mask(probs, top_p[:, None])
+        masked = jnp.where(keep, scaled, _NEG_INF)
+        sampled = jax.random.categorical(key, masked, axis=-1)
+        return jnp.where(temp == 0.0, greedy, sampled.astype(jnp.int32))
+
+    # all-greedy batches (completion -t 0, the decode bench) skip the
+    # softmax + 24-iteration nucleus search — a handful of vocab-wide
+    # passes per step
+    return jax.lax.cond(jnp.all(temp == 0.0), lambda _: greedy,
+                        sample_branch, None)

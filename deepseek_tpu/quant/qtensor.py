@@ -161,18 +161,19 @@ _register(Q3KTensor, ["qs", "hm", "sc", "d"], [])
 class Q2KTurboTensor:
     """Q2_K expanded to a pre-scaled int8 plane at load time ("turbo").
 
-    p[i] = sc_g(i) * q_i — exact in int8 (sc<=15, q<=3) — so the kernel is
-    w = rep16(expand_super(d)) * p, with the per-16 MIN term folded OUT of
-    the per-weight path: y -= sum_j (dmin*mn)_j * s16_j where s16 are
-    per-16-group activation sums (one tiny MXU dot). ~3 VPU ops per weight
-    instead of the packed kernel's ~8 (VERDICT r1 #2), at 8.25+ bits of
-    HBM per weight instead of 2.625 — a speed/capacity trade selected per
-    session (Engine kquant_runtime="turbo"). The plane keeps the packed
-    tensors' stride-16 PERMUTED column order; d/bm follow the natural
-    per-group order like the packed scale arrays.
+    p[i] = sc_g(i) * q_i — exact in int8 (sc<=15, q<=3) — in NATURAL
+    column order, so superblocks are contiguous 256-column slices and the
+    kernel scales per-superblock partial dots on the OUTPUT side:
+    y = sum_sb (x_sb . p_sb^T) * d[:, sb] - sum_j (dmin*mn)_j * s16_j
+    (s16 = per-16-group activation sums, one tiny extra dot). The only
+    per-weight VPU work left is the int8->f32 convert — measured 493 tok/s
+    class on fp8 with the same structure vs ~350 for materialized-scale
+    pipelines. Costs 8.25+ bits of HBM per weight instead of 2.625 — a
+    speed/capacity trade selected per session (Engine
+    kquant_runtime="turbo").
     """
 
-    p: jax.Array    # (..., out, in) int8 = sc * q, PERMUTED column order
+    p: jax.Array    # (..., out, in) int8 = sc * q, NATURAL column order
     d: jax.Array    # (..., out, in//256) f32 super scale
     bm: jax.Array   # (..., out, in//16) f32 = dmin * mn (min term)
 
@@ -185,14 +186,7 @@ class Q2KTurboTensor:
         return self.p.size + self.d.size * 4 + self.bm.size * 4
 
     def dequant(self, dtype=jnp.float32) -> jax.Array:
-        from deepseek_tpu.quant.repack import stride16_inv_perm
-        n = self.p.shape[-1]
-        n16 = n // 16
-        # per-16 d in natural group order, then permuted-order expansion
-        # (tile concatenation) and inverse permutation back
-        d16 = jnp.repeat(self.d.astype(dtype), 16, axis=-1)   # (out, n/16)
-        w = jnp.concatenate([d16] * 16, axis=-1) * self.p.astype(dtype)
-        w = jnp.take(w, jnp.asarray(stride16_inv_perm(n)), axis=-1)
+        w = jnp.repeat(self.d.astype(dtype), 256, axis=-1) * self.p.astype(dtype)
         return w - jnp.repeat(self.bm.astype(dtype), 16, axis=-1)
 
 
@@ -234,15 +228,13 @@ _register(Q3KTurboTensor, ["p", "a"], [])
 
 
 def q2k_to_turbo(qt: Q2KTensor) -> Q2KTurboTensor:
-    """One-time load conversion Q2_K planes -> pre-scaled int8 plane (kept
-    in the stride-16 permuted order the kernels consume)."""
-    # PERMUTED-order unpack (no inverse permutation)
-    q = jnp.concatenate([(qt.qs >> s) & 3 for s in (0, 2, 4, 6)], axis=-1)
+    """One-time load conversion Q2_K planes -> pre-scaled int8 plane in
+    NATURAL column order (superblocks contiguous for the kernel's
+    per-superblock output-side scaling)."""
+    q = _unpack_2bit_planes(qt.qs)                       # natural, [0, 3]
     sc = (qt.sm & 0xF).astype(jnp.int32)                 # (out, n/16) natural
     mn = (qt.sm >> 4).astype(jnp.float32)
-    # permuted-order per-16 expansion of sc = tile concatenation
-    sc_full = jnp.concatenate([sc] * 16, axis=-1)
-    p = (sc_full * q).astype(jnp.int8)                   # exact, <= 45
+    p = (jnp.repeat(sc, 16, axis=-1) * q).astype(jnp.int8)   # exact, <= 45
     bm = jnp.repeat(qt.dmin.astype(jnp.float32), 16, axis=-1) * mn
     return Q2KTurboTensor(p=p, d=qt.d.astype(jnp.float32), bm=bm)
 
