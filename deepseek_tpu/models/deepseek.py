@@ -523,34 +523,52 @@ def _ffn(lp: LayerParams, cfg: ModelConfig, xb: jnp.ndarray, layer: int,
     weights, idx = moe_gate(router_logits, lp.moegate_bias, cfg)  # (B,T,k)
 
     dtype = xb.dtype
+    # shared-expert fold (loader.fuse_projections): the shared experts sit
+    # at the tail of the tables as always-on slots with weight 1.0 — one
+    # expert path covers routed + shared, no separate dense GEMMs
+    folded = lp.w13s is not None
+    if folded:
+        Bq, Tq, _ = idx.shape
+        ns = cfg.n_shared_experts
+        n_exp = cfg.n_routed_experts + ns
+        sid = jnp.arange(cfg.n_routed_experts, n_exp, dtype=idx.dtype)
+        idx = jnp.concatenate(
+            [idx, jnp.broadcast_to(sid, (Bq, Tq, ns))], axis=-1)
+        weights = jnp.concatenate(
+            [weights, jnp.ones((Bq, Tq, ns), weights.dtype)], axis=-1)
+        t_w1, t_w2, t_w3, t_w13 = None, lp.w2s, None, lp.w13s
+    else:
+        n_exp = cfg.n_routed_experts
+        t_w1, t_w2, t_w3, t_w13 = lp.w1, lp.w2, lp.w3, lp.w13
+
     from deepseek_tpu.ops.matmul import grouped_expert_ffn, grouped_ffn_supported
-    w1_probe = lp.w13 if lp.w13 is not None else lp.w1
+    w1_probe = t_w13 if t_w13 is not None else t_w1
     if prefill and impl is not None and grouped_ffn_supported(cfg, w1_probe):
         # ragged grouped matmul (megablocks gmm): FLOPs scale with the k
         # routed experts per token, not all E — and with ~cf*k/EP under
         # expert parallelism (owned-pair compaction) — see grouped_expert_ffn
-        out, ovf = grouped_expert_ffn(lp.w1, lp.w2, lp.w3, xb, weights, idx,
+        out, ovf = grouped_expert_ffn(t_w1, t_w2, t_w3, xb, weights, idx,
                                       cfg.act, ctx,
                                       interpret=impl["interpret"],
-                                      w13=lp.w13)
+                                      w13=t_w13)
     elif prefill:
         # dense-over-experts fallback: every expert read once per chunk;
         # routing weights scatter-combined through a (B,T,E) matrix
-        E = cfg.n_routed_experts
-        wmat = jax.nn.one_hot(idx, E, dtype=jnp.float32) * weights[..., None]
-        wmat = ctx.local_expert_slice(wmat.sum(axis=-2), E)       # (B,T,E_l)
-        if lp.w13 is not None:
-            d13 = lp.w13.dequant(dtype)                           # (E_l,2m,dim)
+        wmat = jax.nn.one_hot(idx, n_exp, dtype=jnp.float32) \
+            * weights[..., None]
+        wmat = ctx.local_expert_slice(wmat.sum(axis=-2), n_exp)   # (B,T,E_l)
+        if t_w13 is not None:
+            d13 = t_w13.dequant(dtype)                            # (E_l,2m,dim)
             m = d13.shape[-2] // 2
             d1, d3 = d13[..., :m, :], d13[..., m:, :]
         else:
-            d1 = lp.w1.dequant(dtype)                             # (E_l,m,dim)
-            d3 = lp.w3.dequant(dtype)
+            d1 = t_w1.dequant(dtype)                              # (E_l,m,dim)
+            d3 = t_w3.dequant(dtype)
         h = glu_act(
             jnp.einsum("btn,emn->btem", xb, d1, preferred_element_type=jnp.float32).astype(dtype),
             jnp.einsum("btn,emn->btem", xb, d3, preferred_element_type=jnp.float32).astype(dtype),
             cfg.act)
-        d2 = lp.w2.dequant(dtype)                                 # (E_l,dim,m)
+        d2 = t_w2.dequant(dtype)                                  # (E_l,dim,m)
         per_e = jnp.einsum("btem,edm->bted", h, d2, preferred_element_type=jnp.float32)
         out = ctx.psum_e(jnp.einsum("bted,bte->btd", per_e, wmat)).astype(dtype)
     elif impl is not None:
@@ -563,43 +581,43 @@ def _ffn(lp: LayerParams, cfg: ModelConfig, xb: jnp.ndarray, layer: int,
         B, T, k = idx.shape
         assert T == 1
         lidx, wts, tok = ctx.dispatch_pairs(idx[:, 0], weights[:, 0],
-                                            cfg.n_routed_experts)  # (N,) each
+                                            n_exp)                 # (N,) each
         x2 = xb[:, 0]                                              # (B, dim)
         xk = x2[tok][None]                                         # (1, N, dim)
         lidx2 = lidx[None]                                         # (1, N)
-        if lp.w13 is not None:
-            h2 = qmm_experts(lp.w13, lidx2, xk,
+        if t_w13 is not None:
+            h2 = qmm_experts(t_w13, lidx2, xk,
                              interpret=impl["interpret"]).astype(dtype)
             m = h2.shape[-1] // 2
             h = glu_act(h2[..., :m], h2[..., m:], cfg.act)         # (1, N, m)
         else:
             h = glu_act(
-                qmm_experts(lp.w1, lidx2, xk, interpret=impl["interpret"]).astype(dtype),
-                qmm_experts(lp.w3, lidx2, xk, interpret=impl["interpret"]).astype(dtype),
+                qmm_experts(t_w1, lidx2, xk, interpret=impl["interpret"]).astype(dtype),
+                qmm_experts(t_w3, lidx2, xk, interpret=impl["interpret"]).astype(dtype),
                 cfg.act)                                           # (1, N, m)
-        per = qmm_experts(lp.w2, lidx2, h, interpret=impl["interpret"])[0]
+        per = qmm_experts(t_w2, lidx2, h, interpret=impl["interpret"])[0]
         out = jax.ops.segment_sum(per * wts[:, None], tok, num_segments=B)
         out = ctx.psum_e(out[:, None]).astype(dtype)
     else:
         # decode: gather only the k active experts' quantized weights
-        idx, weights = ctx.expert_slots(idx, weights, cfg.n_routed_experts)
-        if lp.w13 is not None:
-            d13 = gather_experts(lp.w13, idx).dequant(dtype)      # (B,T,k,2m,dim)
+        idx, weights = ctx.expert_slots(idx, weights, n_exp)
+        if t_w13 is not None:
+            d13 = gather_experts(t_w13, idx).dequant(dtype)       # (B,T,k,2m,dim)
             m = d13.shape[-2] // 2
             w1k, w3k = d13[..., :m, :], d13[..., m:, :]
         else:
-            w1k = gather_experts(lp.w1, idx).dequant(dtype)       # (B,T,k,m,dim)
-            w3k = gather_experts(lp.w3, idx).dequant(dtype)
+            w1k = gather_experts(t_w1, idx).dequant(dtype)        # (B,T,k,m,dim)
+            w3k = gather_experts(t_w3, idx).dequant(dtype)
         h = glu_act(
             jnp.einsum("btn,btkmn->btkm", xb, w1k, preferred_element_type=jnp.float32).astype(dtype),
             jnp.einsum("btn,btkmn->btkm", xb, w3k, preferred_element_type=jnp.float32).astype(dtype),
             cfg.act)
-        w2k = gather_experts(lp.w2, idx).dequant(dtype)           # (B,T,k,dim,m)
+        w2k = gather_experts(t_w2, idx).dequant(dtype)            # (B,T,k,dim,m)
         per_k = jnp.einsum("btkm,btkdm->btkd", h, w2k, preferred_element_type=jnp.float32)
         out = ctx.psum_e((per_k * weights[..., None]).sum(axis=2)).astype(dtype)
 
-    if cfg.n_shared_experts > 0 and (lp.shared_w1 is not None
-                                     or lp.shared_w13 is not None):
+    if not folded and cfg.n_shared_experts > 0 and (
+            lp.shared_w1 is not None or lp.shared_w13 is not None):
         out = out + _dense_glu(lp.shared_w1, lp.shared_w2, lp.shared_w3, xb,
                                cfg, impl, ctx, w13=lp.shared_w13)
     return out, ovf

@@ -237,6 +237,48 @@ def _qt_split_rows(qt, rows_a: int, rows_b: int):
     return a, b
 
 
+def _qt_concat0(a, b):
+    """Concatenate expert-stacked QTensors along the expert axis."""
+    return jax.tree.map(lambda x, y: jnp.concatenate([x, y], axis=0), a, b)
+
+
+def _qt_rows_to_experts(qt, ns: int):
+    """(ns*m, cols…) -> (ns, m, cols…): rows split trivially for every
+    layout (row-major packing)."""
+    from deepseek_tpu.ops.matmul import reshape_rows
+    return reshape_rows(qt, ns)
+
+
+def _qt_split_cols_to_experts(qt, ns: int, m: int):
+    """(dim, ns*m) -> (ns, dim, m) when the layout permits a clean LOGICAL
+    column split (natural column order + aligned scale grids); None
+    otherwise (stride-16 permuted K-quant planes interleave columns)."""
+    from deepseek_tpu.quant.qtensor import (
+        Fp8Tensor, PlainTensor, Q2KTurboTensor,
+    )
+
+    def split(a, cols_per_m: int):
+        lead = a.shape[:-1]
+        out = a.reshape(*lead, ns, cols_per_m)
+        return jnp.moveaxis(out, -2, 0)
+
+    if isinstance(qt, PlainTensor):
+        return PlainTensor(data=split(qt.data, m))
+    if isinstance(qt, Fp8Tensor):
+        b0, b1 = qt.block_size
+        if (b0, b1) == (0, 0) or m % b1:
+            return None
+        return Fp8Tensor(data=split(qt.data, m),
+                         scale=split(qt.scale, m // b1),
+                         block_size=qt.block_size)
+    if isinstance(qt, Q2KTurboTensor):
+        if m % 256:
+            return None
+        return Q2KTurboTensor(p=split(qt.p, m), d=split(qt.d, m // 256),
+                              bm=split(qt.bm, m // 16))
+    return None
+
+
 def fuse_projections(params: ModelParams, cfg: ModelConfig) -> ModelParams:
     """Single-chip decode optimization: concatenate projection pairs that
     consume the same activation ([w1;w3], [shared_w1;shared_w3],
@@ -249,9 +291,36 @@ def fuse_projections(params: ModelParams, cfg: ModelConfig) -> ModelParams:
 
     def fuse_layer(lp: LayerParams) -> LayerParams:
         w13 = _qt_concat_rows(lp.w1, lp.w3)
-        s13 = _qt_concat_rows(lp.shared_w1, lp.shared_w3)
         wcr = _qt_concat_rows(lp.wq_rope_b, lp.wc)
         wkvq = _qt_concat_rows(lp.wkv_a, lp.wq_a)
+
+        # shared-expert fold: append the n_shared shared experts to the
+        # routed tables as always-on slots (weight 1.0) — one expert
+        # kernel per projection covers routed AND shared, and prefill's
+        # grouped matmul absorbs the shared GEMMs
+        w13s = w2s = None
+        ns, m = cfg.n_shared_experts, cfg.moe_intermediate_size
+        if (lp.moegate is not None and w13 is not None and ns > 0
+                and lp.shared_w1 is not None
+                and lp.shared_w1.shape[-2] == ns * m):
+            w2sh = _qt_split_cols_to_experts(lp.shared_w2, ns, m)
+            if w2sh is not None:
+                sh13 = _qt_concat_rows(_qt_rows_to_experts(lp.shared_w1, ns),
+                                       _qt_rows_to_experts(lp.shared_w3, ns))
+                w13s = _qt_concat0(w13, sh13)
+                w2s = _qt_concat0(lp.w2, w2sh)
+
+        if w13s is not None:
+            return dataclasses.replace(
+                lp, w13s=w13s, w2s=w2s, w13=None, w1=None, w2=None, w3=None,
+                shared_w1=None, shared_w2=None, shared_w3=None,
+                shared_w13=None,
+                wcr=wcr, wq_rope_b=None if wcr is not None else lp.wq_rope_b,
+                wc=None if wcr is not None else lp.wc,
+                wkvq=wkvq, wkv_a=None if wkvq is not None else lp.wkv_a,
+                wq_a=None if wkvq is not None else lp.wq_a,
+            )
+        s13 = _qt_concat_rows(lp.shared_w1, lp.shared_w3)
         return dataclasses.replace(
             lp,
             w13=w13, w1=None if w13 is not None else lp.w1,
@@ -278,7 +347,33 @@ def unfuse_projections(params: ModelParams, cfg: ModelConfig) -> ModelParams:
 
     H, P, R = cfg.n_heads, cfg.qk_rope_head_dim, cfg.kv_lora_rank
 
+    def unfold_shared(lp: LayerParams) -> LayerParams:
+        if lp.w13s is None:
+            return lp
+        E, ns = cfg.n_routed_experts, cfg.n_shared_experts
+        m = cfg.moe_intermediate_size
+
+        def head(a):
+            return a[:E]
+
+        def tail(a):
+            return a[E:]
+
+        w13 = jax.tree.map(head, lp.w13s)
+        sh13 = jax.tree.map(tail, lp.w13s)              # (ns, 2m-rows, …)
+        sw1_e, sw3_e = _qt_split_rows(sh13, m, m)       # (ns, m-rows, …)
+        merge_rows = lambda a: a.reshape(-1, *a.shape[2:])
+        sw1 = jax.tree.map(merge_rows, sw1_e)
+        sw3 = jax.tree.map(merge_rows, sw3_e)
+        w2 = jax.tree.map(head, lp.w2s)
+        sw2 = jax.tree.map(lambda a: jnp.moveaxis(a[E:], 0, -2).reshape(
+            *a.shape[1:-1], -1), lp.w2s)
+        return dataclasses.replace(
+            lp, w13s=None, w2s=None, w13=w13, w2=w2,
+            shared_w1=sw1, shared_w2=sw2, shared_w3=sw3)
+
     def unfuse_layer(lp: LayerParams) -> LayerParams:
+        lp = unfold_shared(lp)
         kw = {}
         if lp.w13 is not None:
             m = lp.w13.shape[-2] // 2
@@ -327,6 +422,13 @@ def params_active_bytes(params: ModelParams, cfg: ModelConfig, pos: int = 0) -> 
                 t = getattr(lp, name)
                 if t is not None:
                     total += t.nbytes_active * frac
+            # folded tables: k routed of E plus all n_shared per token
+            frac_tab = ((cfg.n_active_routed + cfg.n_shared_experts)
+                        / (cfg.n_routed_experts + cfg.n_shared_experts))
+            for name in ("w13s", "w2s"):
+                t = getattr(lp, name)
+                if t is not None:
+                    total += t.nbytes_active * frac_tab
             for name in ("shared_w1", "shared_w2", "shared_w3",
                          "shared_w13"):
                 t = getattr(lp, name)

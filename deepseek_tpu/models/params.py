@@ -69,6 +69,11 @@ class LayerParams:
     shared_w13: Optional[QT] = None  # [shared_w1; shared_w3]
     wcr: Optional[QT] = None        # [wq_rope_b; wc] rows (absorbed MLA)
     wkvq: Optional[QT] = None       # [wkv_a; wq_a] rows
+    # shared experts FOLDED into the routed tables as n_shared always-on
+    # experts (weight 1.0): one expert kernel covers routed + shared, and
+    # prefill's grouped matmul absorbs the shared GEMMs too
+    w13s: Optional[QT] = None       # (E + n_shared, 2m, dim)
+    w2s: Optional[QT] = None        # (E + n_shared, dim, m)
 
 
 @_register

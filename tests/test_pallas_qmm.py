@@ -185,9 +185,10 @@ def test_turbo_runtime_matches_packed_engine(tmp_path):
     e_pk = Engine(out, seed=0, prefill_chunk=4, decode_block=1)
     e_tb = Engine(out, seed=0, prefill_chunk=4, decode_block=1,
                   kquant_runtime="turbo")
-    # default fusion packs w1/w3 into w13
+    # default fusion packs w1/w3 into w13; the turbo layout additionally
+    # folds the shared experts into the tables (w13s)
     assert isinstance(e_pk.params.layers[1].w13, Q2KTensor)
-    assert isinstance(e_tb.params.layers[1].w13, Q2KTurboTensor)
+    assert isinstance(e_tb.params.layers[1].w13s, Q2KTurboTensor)
 
     prompt = e_pk.tokenizer.encode("hello", bos=True)
     out1, _ = e_pk.generate(prompt, num_steps=6, temperature=0.0)
