@@ -56,7 +56,7 @@ def main():
 
     params = random_params(cfg, seed=0)
     from deepseek_tpu.models.loader import fuse_projections
-    params = fuse_projections(params, cfg)   # engine-default layout
+    params = fuse_projections(params, cfg, consume=True)
     jax.block_until_ready(jax.tree.leaves(params))
     cache = init_cache(cfg, batch=1)
 

@@ -121,9 +121,12 @@ class Engine:
         if fuse:
             # fuse same-activation projection pairs into single sweeps
             # (~4 fewer dispatches per layer per token); sharded paths
-            # unfuse automatically (parallel.sharding.shard_params)
+            # unfuse automatically (parallel.sharding.shard_params).
+            # consume=True keeps peak HBM ~one layer above the fused size.
             from deepseek_tpu.models.loader import fuse_projections
-            self.params = fuse_projections(self.params, self.cfg)
+            p, self.params = self.params, None
+            self.params = fuse_projections(p, self.cfg, consume=True)
+            del p
         if lock_weights:
             jax.block_until_ready(jax.tree.leaves(self.params))
         self.tokenizer = Tokenizer.from_checkpoint(self.data)

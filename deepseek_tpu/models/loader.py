@@ -279,7 +279,8 @@ def _qt_split_cols_to_experts(qt, ns: int, m: int):
     return None
 
 
-def fuse_projections(params: ModelParams, cfg: ModelConfig) -> ModelParams:
+def fuse_projections(params: ModelParams, cfg: ModelConfig,
+                     consume: bool = False) -> ModelParams:
     """Single-chip decode optimization: concatenate projection pairs that
     consume the same activation ([w1;w3], [shared_w1;shared_w3],
     [wq_rope_b;wc], [wkv_a;wq_a]) so one kernel dispatch and one weight
@@ -334,7 +335,14 @@ def fuse_projections(params: ModelParams, cfg: ModelConfig) -> ModelParams:
             wq_a=None if wkvq is not None else lp.wq_a,
         )
 
-    layers = [fuse_layer(lp) for lp in params.layers]
+    src = params.layers if consume else list(params.layers)
+    layers = []
+    for i in range(len(src)):
+        lp = src[i]
+        if consume:
+            src[i] = None      # free the donor layer once fused
+        layers.append(fuse_layer(lp))
+        del lp
     mtp = params.mtp
     if mtp is not None:
         mtp = dataclasses.replace(mtp, block=fuse_layer(mtp.block))

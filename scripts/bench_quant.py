@@ -130,7 +130,7 @@ def main():
     t0 = time.perf_counter()
     params = quantized_params(cfg, quant)
     from deepseek_tpu.models.loader import fuse_projections
-    params = fuse_projections(params, cfg)   # engine-default layout
+    params = fuse_projections(params, cfg, consume=True)
     jax.block_until_ready(jax.tree.leaves(params))
     print(f"quantize+load: {time.perf_counter()-t0:.1f}s")
 

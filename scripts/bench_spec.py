@@ -44,8 +44,8 @@ def main():
     params = random_params(cfg, seed=0)
     dparams = random_params(dcfg, seed=1)
     from deepseek_tpu.models.loader import fuse_projections
-    params = fuse_projections(params, cfg)
-    dparams = fuse_projections(dparams, dcfg)
+    params = fuse_projections(params, cfg, consume=True)
+    dparams = fuse_projections(dparams, dcfg, consume=True)
     jax.block_until_ready(jax.tree.leaves(params))
 
     key = jax.random.PRNGKey(0)
