@@ -417,37 +417,73 @@ def _attention(lp: LayerParams, cfg: ModelConfig, xb: jnp.ndarray,
          jnp.broadcast_to(k_rope[:, :, None, :], (B, T, H, P))], axis=-1)
     vv = kv_b[..., nope:]
 
+    # seq-parallel MHA mirrors the MLA machinery: the (L,B,S,H,·) caches
+    # shard S along 'seq'; decode writes are guarded to the owning shard,
+    # prefill chunks commit each shard's intersection, sinks live on shard 0
+    global_start = cache_start
+    sp_prefill = prefill and ctx.sp > 1
+    if ctx.sp > 1:
+        sidx, s_local = ctx.seq_shard(cfg.kv_window)
+        on_sink_shard = sidx == 0
+    if not prefill and ctx.sp > 1:
+        lpos = cache_start - sidx * s_local              # (B,)
+        w_mask = (lpos >= 0) & (lpos < s_local)
+        cache_start = jnp.clip(lpos, 0, s_local - 1)
+    else:
+        w_mask = None
+        if ctx.sp <= 1:
+            on_sink_shard = True
+    if sp_prefill:
+        def wr(full, rows):
+            return _cache_write_sp_prefill(full, rows, layer, global_start,
+                                           sidx, s_local)
+    else:
+        def wr(full, rows):
+            return _cache_write(full, rows, layer, cache_start, prefill,
+                                w_mask)
+
     q8 = cache.k_s is not None  # int8 cache: per-(slot, head) f32 scales
     if q8:
         k_w, k_sc = quantize_rows(k)                  # (B,T,H,Dh) -> (B,T,H)
         v_w, v_sc = quantize_rows(vv.astype(jnp.float32))
     else:
         k_w, v_w, k_sc, v_sc = k, vv, None, None
-    k_full = _cache_write(cache.k, k_w, layer, cache_start, prefill)
-    v_full = _cache_write(cache.v, v_w, layer, cache_start, prefill)
-    k_s_full = _cache_write(cache.k_s, k_sc, layer, cache_start, prefill)
-    v_s_full = _cache_write(cache.v_s, v_sc, layer, cache_start, prefill)
-    sink_k_full = _sink_update(cache.sink_k, k, layer, cache_start, prefill)
+    k_full = wr(cache.k, k_w)
+    v_full = wr(cache.v, v_w)
+    k_s_full = wr(cache.k_s, k_sc)
+    v_s_full = wr(cache.v_s, v_sc)
+    sink_k_full = _sink_update(cache.sink_k, k, layer, global_start, prefill)
 
     def sc(full):
         return full[layer] if full is not None else None
 
     if prefill:
+        base = (sidx * s_local) if ctx.sp > 1 else 0
         if impl is not None and _use_flash_prefill(
                 B, T, cache.k.shape[2], H):
             from deepseek_tpu.ops.pallas.attention import mha_prefill_attn
             hs = (lambda a: jnp.swapaxes(a, 1, 2) if a is not None else None)
-            out = mha_prefill_attn(
-                q, k_full[layer], v_full[layer], cache_start, 0,
+            res = mha_prefill_attn(
+                q, k_full[layer], v_full[layer], global_start, base,
                 float(sm_scale), k_scale=hs(sc(k_s_full)),
-                v_scale=hs(sc(v_s_full)), interpret=impl["interpret"])
+                v_scale=hs(sc(v_s_full)), partials=ctx.sp > 1,
+                interpret=impl["interpret"])
+            out = ctx.seq_merge(*res) if ctx.sp > 1 else res
         else:
             k_l = dequant_rows(k_full[layer], sc(k_s_full))
             v_l = dequant_rows(v_full[layer], sc(v_s_full))
             S = k_l.shape[1]
-            out = prefill_attn_mha(q, k_l, v_l, pos_vec,
-                                   jnp.arange(S, dtype=jnp.int32),
-                                   softmax_scale=sm_scale)          # (B,T,H,Dv)
+            cache_pos = jnp.arange(S, dtype=jnp.int32) + base
+            if ctx.sp > 1:
+                from deepseek_tpu.ops.attention import \
+                    prefill_attn_mha_partial
+                acc, m_, l_ = prefill_attn_mha_partial(
+                    q, k_l, v_l, pos_vec, cache_pos,
+                    softmax_scale=sm_scale)
+                out = ctx.seq_merge(acc, m_, l_)
+            else:
+                out = prefill_attn_mha(q, k_l, v_l, pos_vec, cache_pos,
+                                       softmax_scale=sm_scale)      # (B,T,H,Dv)
     else:
         # sink re-rotation touches only the rope chunk; for int8 caches the
         # rotation runs on the float master rows and the slots requantize
@@ -460,10 +496,11 @@ def _attention(lp: LayerParams, cfg: ModelConfig, xb: jnp.ndarray,
         rot_pe = apply_rope(sink[..., nope:], 1, theta, is_v3,
                             _rotation_only(yarn))
         rot = jnp.concatenate([sink[..., :nope], rot_pe], axis=-1)
-        keep = (kv_sink > 0)[:, None, None, None]
+        keep = ((kv_sink > 0) & on_sink_shard)[:, None, None, None]
         if q8:
+            keep_f = (kv_sink > 0)[:, None, None, None]  # replicated master
             sink_k_full = sink_k_full.at[layer].set(
-                jnp.where(keep, rot, sink))
+                jnp.where(keep_f, rot, sink))
             rot_q, rot_sc = quantize_rows(rot)
             k_full = k_full.at[layer, :, :KV_SINKS].set(
                 jnp.where(keep, rot_q, k_full[layer, :, :KV_SINKS]))
@@ -474,14 +511,29 @@ def _attention(lp: LayerParams, cfg: ModelConfig, xb: jnp.ndarray,
             k_full = k_full.at[layer, :, :KV_SINKS, :, nope:].set(
                 jnp.where(keep, rot_pe.astype(cdt),
                           k_full[layer, :, :KV_SINKS, :, nope:]))
+        if ctx.sp > 1:
+            kv_len_eff = jnp.clip(kv_len - sidx * s_local, 0, s_local)
+        else:
+            kv_len_eff = kv_len
         if impl is not None:
             from deepseek_tpu.ops.pallas.attention import mha_decode_attn
             hs = (lambda a: jnp.swapaxes(a, 1, 2) if a is not None else None)
-            out = mha_decode_attn(
-                q[:, 0], k_full[layer], v_full[layer], kv_len,
+            res = mha_decode_attn(
+                q[:, 0], k_full[layer], v_full[layer], kv_len_eff,
                 float(sm_scale), k_scale=hs(sc(k_s_full)),
                 v_scale=hs(sc(v_s_full)),
-                interpret=impl["interpret"])[:, None]
+                interpret=impl["interpret"], partials=ctx.sp > 1)
+            if ctx.sp > 1:
+                out = ctx.seq_merge(*res)[:, None]
+            else:
+                out = res[:, None]
+        elif ctx.sp > 1:
+            from deepseek_tpu.ops.attention import decode_attn_mha_partial
+            k_l = dequant_rows(k_full[layer], sc(k_s_full))
+            v_l = dequant_rows(v_full[layer], sc(v_s_full))
+            acc, m, l = decode_attn_mha_partial(
+                q[:, 0], k_l, v_l, kv_len_eff, softmax_scale=sm_scale)
+            out = ctx.seq_merge(acc, m, l)[:, None]
         else:
             k_l = dequant_rows(k_full[layer], sc(k_s_full))
             v_l = dequant_rows(v_full[layer], sc(v_s_full))
@@ -748,36 +800,91 @@ def _params_span_devices(params) -> bool:
 
 _warned_gspmd = False
 
+# mesh axis names the sharding rules / SpmdCtx collectives are written for
+_MESH_AXES = frozenset({"data", "expert", "tensor", "seq"})
 
-def _gspmd_kernel_gate(cfg: ModelConfig, build):
-    """Wrap a jitted-forward builder so multi-device GSPMD calls fall back
-    to the XLA dequant kernels.
+
+def _named_mesh(params):
+    """The common concrete Mesh behind the params' NamedShardings, or None
+    when leaves are unsharded, use another sharding type, or disagree."""
+    from jax.sharding import Mesh, NamedSharding
+    meshes = set()
+    for leaf in jax.tree.leaves(params):
+        sh = getattr(leaf, "sharding", None)
+        if sh is None:
+            continue
+        if not isinstance(sh, NamedSharding):
+            return None
+        meshes.add(sh.mesh)
+    if len(meshes) != 1:
+        return None
+    (mesh,) = meshes
+    if not isinstance(mesh, Mesh):       # AbstractMesh has no devices
+        return None
+    if not set(mesh.axis_names) <= _MESH_AXES:
+        return None
+    return mesh
+
+
+def _gspmd_kernel_gate(cfg: ModelConfig, build, build_mesh=None):
+    """Wrap a jitted-forward builder so multi-device GSPMD calls keep the
+    Pallas kernels by auto-upgrading to the shard_map body.
 
     pallas_call is opaque to the GSPMD partitioner: under plain jit with
     NamedSharding params, XLA would all-gather/replicate the sharded weight
     operands per chip before a Pallas kernel — defeating TP/EP memory
-    savings (and an OOM risk at full model scale). The shard_map path
-    (make_forward(mesh=...)) is how multi-chip keeps the fused kernels; the
-    plain-jit path detects spanning params on first call and disables them.
+    savings (and an OOM risk at full model scale). When the params' own
+    NamedShardings expose a usable mesh (standard axis names, divisible
+    config — ``make_ctx`` validates), the first call rebuilds the function
+    through ``build_mesh`` as one shard_map-in-jit island over that mesh:
+    the user-facing GSPMD route (``shard_params`` + plain ``jit``) then runs
+    the exact explicit-collective body ``make_forward(mesh=...)`` builds,
+    fused kernels included (VERDICT r1 #9). Only when no mesh can be
+    recovered (foreign sharding types, non-divisible shapes, exotic axis
+    names) does it fall back to XLA-dequant kernels with a warning.
     """
     import dataclasses as _dc
     state = {}
+
+    def _upgrade_or_fallback(params, rest):
+        import logging
+        log = logging.getLogger("deepseek_tpu")
+        mesh = _named_mesh(params)
+        if build_mesh is not None and mesh is not None and rest:
+            try:
+                from deepseek_tpu.parallel.spmd import make_ctx
+                make_ctx(cfg, mesh)          # divisibility validation
+                fn = build_mesh(mesh, params, rest[0])
+                log.info(
+                    "GSPMD params on mesh %s under plain jit: auto-upgraded "
+                    "to the shard_map body (Pallas kernels stay active per "
+                    "shard)", dict(mesh.shape))
+                return fn
+            except ValueError as e:
+                reason = str(e)
+        elif mesh is None:
+            reason = ("params' shardings expose no usable Mesh "
+                      "(non-NamedSharding, mixed meshes, or non-standard "
+                      "axis names)")
+        else:
+            reason = "this builder has no mesh form"
+        global _warned_gspmd
+        if not _warned_gspmd:
+            _warned_gspmd = True
+            log.warning(
+                "multi-device params under plain jit (GSPMD) could not "
+                "auto-upgrade to shard_map (%s): Pallas fused-dequant "
+                "kernels disabled (opaque to the partitioner — XLA would "
+                "replicate the sharded weights per chip). Use "
+                "make_forward(mesh=...) to keep kernels on multi-chip.",
+                reason)
+        return build(_dc.replace(cfg, kernel_impl="xla"))
 
     def wrapper(params, *rest):
         key = "fn"
         if key not in state:
             if _params_span_devices(params) and kernel_impl(cfg) is not None:
-                global _warned_gspmd
-                if not _warned_gspmd:
-                    _warned_gspmd = True
-                    import logging
-                    logging.getLogger("deepseek_tpu").warning(
-                        "multi-device params under plain jit (GSPMD): Pallas "
-                        "fused-dequant kernels disabled (opaque to the "
-                        "partitioner — XLA would replicate the sharded "
-                        "weights per chip). Use make_forward(mesh=...) "
-                        "(shard_map path) to keep kernels on multi-chip.")
-                state[key] = build(_dc.replace(cfg, kernel_impl="xla"))
+                state[key] = _upgrade_or_fallback(params, rest)
             else:
                 state[key] = build(cfg)
         return state[key](params, *rest)
@@ -816,7 +923,16 @@ def make_forward(cfg: ModelConfig, *, prefill: bool = False,
         return jax.jit(fn, donate_argnums=(1,)) if jit else fn
 
     if mesh is None:
-        return _gspmd_kernel_gate(cfg, build) if jit else build(cfg)
+        if not jit:
+            return build(cfg)
+        build_mesh = None
+        if not with_hidden:       # the mesh body has no with_hidden form
+            def build_mesh(m, ex_params, ex_cache):
+                return make_forward(
+                    cfg, prefill=prefill, logits_mode=logits_mode, jit=True,
+                    mesh=m, params=ex_params, cache=ex_cache,
+                    on_overflow=on_overflow)
+        return _gspmd_kernel_gate(cfg, build, build_mesh)
 
     assert not with_hidden, "with_hidden is a single-host engine hook"
     ctx, pspec, cspec, P = _spmd_parts(cfg, mesh, params, cache)
@@ -903,7 +1019,12 @@ def make_decode_loop(cfg: ModelConfig, n_steps: int, *, jit: bool = True,
         def build(cfg):
             loop = make_loop(cfg)
             return jax.jit(loop, donate_argnums=(1,)) if jit else loop
-        return _gspmd_kernel_gate(cfg, build) if jit else build(cfg)
+
+        def build_mesh(m, ex_params, ex_cache):
+            return make_decode_loop(cfg, n_steps, jit=True, mesh=m,
+                                    params=ex_params, cache=ex_cache)
+        return (_gspmd_kernel_gate(cfg, build, build_mesh) if jit
+                else build(cfg))
 
     # whole rollout under one shard_map: the sampled-token feedback and all
     # collectives stay inside a single scan body per step. pos0/temperature/

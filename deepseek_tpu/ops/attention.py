@@ -106,6 +106,31 @@ def decode_attn_mla_partial(
     return acc, m, l
 
 
+def decode_attn_mha_partial(
+    q: jnp.ndarray,        # (B, H, head_dim)
+    k_cache: jnp.ndarray,  # (B, S_local, H, head_dim) — one seq shard
+    v_cache: jnp.ndarray,  # (B, S_local, H, v_head_dim)
+    kv_len_local,          # (B,) valid prefix length WITHIN this shard
+    softmax_scale=None,
+):
+    """Sequence-parallel partial of decode_attn_mha (see
+    decode_attn_mla_partial). Returns (acc (B,H,Dv), m (B,H), l (B,H))."""
+    B, S = k_cache.shape[0], k_cache.shape[1]
+    head_dim = q.shape[-1]
+    scale = jnp.float32(softmax_scale) if softmax_scale is not None \
+        else 1.0 / jnp.sqrt(jnp.float32(head_dim))
+    scores = jnp.einsum(
+        "bhd,bshd->bhs", q.astype(jnp.float32),
+        k_cache.astype(jnp.float32)) * scale
+    mask = _len_mask(kv_len_local, B, S)
+    scores = jnp.where(mask, scores, _NEG_INF)
+    m = scores.max(axis=-1)                                   # (B, H)
+    e = jnp.where(mask, jnp.exp(scores - m[..., None]), 0.0)
+    l = e.sum(axis=-1)                                        # (B, H)
+    acc = jnp.einsum("bhs,bshv->bhv", e, v_cache.astype(jnp.float32))
+    return acc, m, l
+
+
 def prefill_attn_mha(
     q: jnp.ndarray,        # (B, T, H, head_dim) — query chunk
     k_cache: jnp.ndarray,  # (B, S, H, head_dim)

@@ -211,11 +211,16 @@ def mla_decode_attn(q_c, q_rope, ckv_cache, krope_cache, kv_len,
 
 
 def _mha_body(kvlen_ref, q_ref, k_ref, v_ref, *rest,
-              ts: int, s_len: int, scale: float, quantized: bool):
+              ts: int, s_len: int, scale: float, quantized: bool,
+              partials: bool = False):
     if quantized:
-        ks_ref, vs_ref, o_ref, m_ref, l_ref, acc_ref = rest
+        ks_ref, vs_ref, *outs = rest
     else:
-        o_ref, m_ref, l_ref, acc_ref = rest
+        outs = list(rest)
+    if partials:
+        o_ref, mo_ref, lo_ref, m_ref, l_ref, acc_ref = outs
+    else:
+        o_ref, m_ref, l_ref, acc_ref = outs
     # grid (batch, head-group, kv tile); the head split keeps huge-H int8
     # tiles inside the VMEM budget (scales force ts >= 128 lanes)
     b, si = pl.program_id(0), pl.program_id(2)
@@ -269,13 +274,20 @@ def _mha_body(kvlen_ref, q_ref, k_ref, v_ref, *rest,
 
     @pl.when(si == last)
     def _():
-        o_ref[0] = acc_ref[...] / l_ref[...]
+        if partials:
+            # unnormalized accumulator + flash stats for seq-parallel merge
+            o_ref[0] = acc_ref[...]
+            mo_ref[0] = m_ref[...]
+            lo_ref[0] = l_ref[...]
+        else:
+            o_ref[0] = acc_ref[...] / l_ref[...]
 
 
-@functools.partial(jax.jit, static_argnames=("softmax_scale", "interpret"))
+@functools.partial(jax.jit, static_argnames=("softmax_scale", "interpret",
+                                             "partials"))
 def mha_decode_attn(q, k_cache, v_cache, kv_len,
                     softmax_scale: float, k_scale=None, v_scale=None,
-                    interpret: bool = False):
+                    interpret: bool = False, partials: bool = False):
     """Decompressed-MHA decode attention (attn, infer.cpp:728-762).
 
     q (B,H,Dh) f32, k_cache (B,S,H,Dh), v_cache (B,S,H,Dv), kv_len (B,)
@@ -313,24 +325,37 @@ def mha_decode_attn(q, k_cache, v_cache, kv_len,
                                   memory_space=pltpu.VMEM)] * 2
         args += [k_scale.astype(jnp.float32), v_scale.astype(jnp.float32)]
 
+    out_specs = pl.BlockSpec((1, hc, Dv), lambda b, h, s, kl: (b, h, 0),
+                             memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((B, H, Dv), jnp.float32)
+    if partials:
+        stat_spec = pl.BlockSpec((1, hc, 1), lambda b, h, s, kl: (b, h, 0),
+                                 memory_space=pltpu.VMEM)
+        stat_shape = jax.ShapeDtypeStruct((B, H, 1), jnp.float32)
+        out_specs = (out_specs, stat_spec, stat_spec)
+        out_shape = (out_shape, stat_shape, stat_shape)
+
     out = pl.pallas_call(
         functools.partial(_mha_body, ts=ts, s_len=S,
-                          scale=float(softmax_scale), quantized=quantized),
+                          scale=float(softmax_scale), quantized=quantized,
+                          partials=partials),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
             in_specs=in_specs,
-            out_specs=pl.BlockSpec((1, hc, Dv), lambda b, h, s, kl: (b, h, 0),
-                                   memory_space=pltpu.VMEM),
+            out_specs=out_specs,
             scratch_shapes=[
                 pltpu.VMEM((hc, 1), jnp.float32),
                 pltpu.VMEM((hc, 1), jnp.float32),
                 pltpu.VMEM((hc, Dv), jnp.float32),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((B, H, Dv), jnp.float32),
+        out_shape=out_shape,
         interpret=interpret,
     )(*args)
+    if partials:
+        acc, m, l = out
+        return acc, m[..., 0], l[..., 0]
     return out
 
 

@@ -29,12 +29,19 @@ its bf16-truncated scales feed a bf16 multiply anyway).
 
 from __future__ import annotations
 
+import collections
 import functools
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+# trace-time evidence that the fused kernels are in the compiled graph:
+# each entry point bumps its name once per jit trace. Tests and the driver
+# dryrun assert on this (e.g. that the GSPMD auto-upgrade path kept the
+# kernels) — reading it is cheap and it never affects compiled code.
+TRACE_COUNTS: collections.Counter = collections.Counter()
 
 from deepseek_tpu.quant.qtensor import (
     Fp8Tensor, PlainTensor, Q2KTensor, Q2KTurboTensor, Q3KTensor,
@@ -220,6 +227,7 @@ def _plain_body(x_ref, w_ref, o_ref):
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def qmm(qt, x, interpret: bool = False):
     """x (..., n) @ W(out, n).T -> (..., out) f32, fused dequant on TPU."""
+    TRACE_COUNTS["qmm"] += 1
     x2, lead = _x2d(x)
     B, n = x2.shape
     x2 = x2.astype(jnp.float32)
@@ -355,6 +363,7 @@ def qmm_grouped(qt, tile_expert, x_tiles, interpret: bool = False,
     lives only in VMEM — unlike megablox gmm, whose dense rhs would force a
     full dequant materialization in HBM per layer per chunk.
     """
+    TRACE_COUNTS["qmm_grouped"] += 1
     G, TB, n = x_tiles.shape
     x_tiles = x_tiles.astype(jnp.float32)
     E, d = qt.shape[0], qt.shape[-2]
@@ -463,6 +472,7 @@ def qmm_experts(qt, idx, x, interpret: bool = False):
     traffic per DISTINCT expert, not per pair — batched decode and
     expert-parallel shards read each owned expert once.
     """
+    TRACE_COUNTS["qmm_experts"] += 1
     B, k, n = x.shape
     x = x.astype(jnp.float32)
     s16 = None

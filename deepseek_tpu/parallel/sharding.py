@@ -128,14 +128,15 @@ def cache_shardings(cache: KVCache, cfg: ModelConfig, mesh: Mesh) -> KVCache:
             return None
         return NamedSharding(mesh, _fit(arr, spec, mesh))
     return KVCache(
-        k=fit(cache.k, (None, "data", None, "tensor", None)),
-        v=fit(cache.v, (None, "data", None, "tensor", None)),
-        # the MLA latent cache shards along the window on 'seq' (no-op at
-        # seq=1): sequence-parallel decode attention with a flash merge
+        # KV caches shard along the window on 'seq' (no-op at seq=1):
+        # sequence-parallel attention with a flash merge of shard partials;
+        # the MHA caches additionally shard heads on 'tensor'
+        k=fit(cache.k, (None, "data", "seq", "tensor", None)),
+        v=fit(cache.v, (None, "data", "seq", "tensor", None)),
         ckv=fit(cache.ckv, (None, "data", "seq", None)),
         krope=fit(cache.krope, (None, "data", "seq", None)),
-        k_s=fit(cache.k_s, (None, "data", None, "tensor")),
-        v_s=fit(cache.v_s, (None, "data", None, "tensor")),
+        k_s=fit(cache.k_s, (None, "data", "seq", "tensor")),
+        v_s=fit(cache.v_s, (None, "data", "seq", "tensor")),
         ckv_s=fit(cache.ckv_s, (None, "data", "seq")),
         krope_s=fit(cache.krope_s, (None, "data", "seq")),
         sink_krope=fit(cache.sink_krope, (None, "data", None, None)),

@@ -3,8 +3,11 @@
 Two ways to run the model on a mesh:
 
 1. **GSPMD** (``shard_params`` + plain ``jit``): XLA infers collectives from
-   the NamedShardings. Works everywhere, but Pallas kernels are opaque to the
-   partitioner, so the sharded path falls back to XLA-dequant kernels.
+   the NamedShardings. Pallas kernels are opaque to the partitioner, so
+   ``make_forward`` detects spanning params on first call and auto-upgrades
+   to the shard_map body over the params' own mesh (falling back to
+   XLA-dequant kernels only when no standard mesh can be recovered — see
+   ``models.deepseek._gspmd_kernel_gate``).
 2. **shard_map** (this module): the forward body runs on *local shards* with
    the collectives placed explicitly — psum after row-parallel matmuls
    (attention wo, FFN w2), psum over the expert axis for routed-expert
@@ -193,7 +196,6 @@ def make_ctx(cfg: ModelConfig, mesh: Mesh) -> SpmdCtx:
     dp = mesh.shape.get("data", 1)
     sp = mesh.shape.get("seq", 1)
     if sp > 1:
-        _check(cfg.use_mla, "use_mla for seq-parallel KV (MHA SP unsupported)")
         _check(cfg.kv_window % sp == 0,
                f"kv_window {cfg.kv_window} % seq {sp} == 0")
     if tp > 1:

@@ -70,6 +70,32 @@ def test_mha_decode_attn_head_split_int8():
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
 
 
+def test_mha_decode_attn_partials_merge():
+    """Two half-window shards with flash stats merge to the full result
+    (the seq-parallel MHA decode path)."""
+    B, H, Dh, Dv, S = 2, 3, 48, 32, 256
+    q = jnp.asarray(rnd((B, H, Dh), 40, 0.3))
+    k = jnp.asarray(rnd((B, S, H, Dh), 41, 0.3), jnp.bfloat16)
+    v = jnp.asarray(rnd((B, S, H, Dv), 42, 0.3), jnp.bfloat16)
+    kl = jnp.asarray([200, 97], jnp.int32)
+    scale = 1.0 / np.sqrt(Dh)
+    want = np.asarray(decode_attn_mha(q, k, v, kl))
+
+    half = S // 2
+    parts = []
+    for s in range(2):
+        kl_loc = jnp.clip(kl - s * half, 0, half)
+        parts.append(mha_decode_attn(
+            q, k[:, s * half:(s + 1) * half], v[:, s * half:(s + 1) * half],
+            kl_loc, scale, interpret=True, partials=True))
+    (a0, m0, l0), (a1, m1, l1) = parts
+    mg = jnp.maximum(m0, m1)
+    w0, w1 = jnp.exp(m0 - mg), jnp.exp(m1 - mg)
+    got = np.asarray((a0 * w0[..., None] + a1 * w1[..., None])
+                     / (l0 * w0 + l1 * w1)[..., None])
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
 def test_mla_decode_attn_nondivisible_window():
     # S not a multiple of the kv tile; masked tail must not contribute
     B, H, R, P, S = 1, 2, 32, 16, 192

@@ -175,27 +175,66 @@ def test_shard_map_decode_loop_per_slot_params():
                                rtol=2e-3, atol=2e-3)
 
 
-def test_gspmd_jit_disables_pallas_kernels():
-    """Plain-jit (GSPMD) calls with params spanning devices must fall back
-    to the XLA dequant path (pallas_call is opaque to the partitioner)."""
+def test_gspmd_jit_auto_upgrades_to_shard_map_kernels():
+    """Plain-jit (GSPMD) calls with params spanning a standard mesh must
+    auto-upgrade to the shard_map body so the Pallas fused-dequant kernels
+    stay active per shard (pallas_call is opaque to the GSPMD partitioner;
+    VERDICT r1 #9). Evidence: qmm TRACE_COUNTS bumps during the trace."""
+    import dataclasses
     import deepseek_tpu.models.deepseek as dsk
+    from deepseek_tpu.ops.pallas import qmm as qmm_mod
 
     cfg = tiny_config(use_mla=True, vocab_size=64)
+    cfg_pl = dataclasses.replace(cfg, kernel_impl="pallas")
     wd, params = build(cfg, seed=34)
     mesh = make_mesh(data=1, expert=2, tensor=2)
-    sp = shard_params(params, cfg, mesh)
+    sp = shard_params(params, cfg_pl, mesh)
 
     assert dsk._params_span_devices(sp)
     assert not dsk._params_span_devices(params)
+    assert dsk._named_mesh(sp) is not None
 
-    # the gate picks the XLA build for spanning params and still runs
-    step = make_forward(cfg, prefill=False, logits_mode="last")
-    sc = shard_cache(init_cache(cfg, batch=1), cfg, mesh)
+    before = dict(qmm_mod.TRACE_COUNTS)
+    step = make_forward(cfg_pl, prefill=False, logits_mode="last")
+    sc = shard_cache(init_cache(cfg_pl, batch=1), cfg_pl, mesh)
     lg, _ = step(sp, sc, jnp.asarray([[3]], jnp.int32), 0)
+    traced = sum(qmm_mod.TRACE_COUNTS.values()) - sum(before.values())
+    assert traced > 0, "auto-upgrade did not keep the Pallas kernels"
+
     c1 = init_cache(cfg, batch=1)
     want, _ = make_forward(cfg, prefill=False, logits_mode="last")(
         params, c1, jnp.asarray([[3]], jnp.int32), 0)
     np.testing.assert_allclose(np.asarray(lg), np.asarray(want),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_gspmd_jit_fallback_without_mesh_form():
+    """Builders with no shard_map form (with_hidden engine hook) must fall
+    back to the XLA dequant path under GSPMD params — and stay correct."""
+    import dataclasses
+    from deepseek_tpu.ops.pallas import qmm as qmm_mod
+
+    cfg = tiny_config(use_mla=True, vocab_size=64)
+    cfg_pl = dataclasses.replace(cfg, kernel_impl="pallas")
+    wd, params = build(cfg, seed=34)
+    mesh = make_mesh(data=1, expert=2, tensor=2)
+    sp = shard_params(params, cfg_pl, mesh)
+    sc = shard_cache(init_cache(cfg_pl, batch=1), cfg_pl, mesh)
+
+    before = sum(qmm_mod.TRACE_COUNTS.values())
+    step = make_forward(cfg_pl, prefill=False, logits_mode="last",
+                        with_hidden=True)
+    lg, hid, _ = step(sp, sc, jnp.asarray([[3]], jnp.int32), 0)
+    assert sum(qmm_mod.TRACE_COUNTS.values()) == before, \
+        "fallback path must not trace Pallas kernels under plain GSPMD jit"
+
+    c1 = init_cache(cfg, batch=1)
+    want, want_hid, _ = make_forward(
+        cfg, prefill=False, logits_mode="last", with_hidden=True)(
+        params, c1, jnp.asarray([[3]], jnp.int32), 0)
+    np.testing.assert_allclose(np.asarray(lg), np.asarray(want),
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(hid), np.asarray(want_hid),
                                rtol=2e-3, atol=2e-3)
 
 
@@ -374,6 +413,70 @@ def test_seq_parallel_decode_matches(kv_dtype):
                          mesh=mesh, params=params, cache=sc)
     lg2 = None
     for pos, t in enumerate(tokens):
+        lg2, sc = step2(sp, sc, jnp.asarray([[t]], jnp.int32), pos)
+    np.testing.assert_allclose(np.asarray(lg2), np.asarray(lg1),
+                               rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.parametrize("kv_dtype", ["float32", "int8"])
+def test_seq_parallel_decode_matches_mha(kv_dtype):
+    """Sequence-sharded decompressed-MHA KV cache: guarded per-head slot
+    writes, shard-0 sink re-rotation, and the flash merge must reproduce
+    the unsharded decode logits through ring wraparound."""
+    import dataclasses
+
+    cfg = tiny_config(use_mla=False, rs_original_max_position_embeddings=8)
+    cfg = dataclasses.replace(cfg, kv_cache_dtype=kv_dtype)
+    wd, params = build(cfg, seed=37)
+    tokens = np.random.default_rng(4).integers(3, 60, size=14).tolist()
+
+    step1 = make_forward(cfg, prefill=False, logits_mode="last")
+    c1 = init_cache(cfg, batch=1)
+    lg1 = None
+    for pos, t in enumerate(tokens):
+        lg1, c1 = step1(params, c1, jnp.asarray([[t]], jnp.int32), pos)
+
+    mesh = make_mesh(data=1, expert=2, tensor=2, seq=2)
+    sp = shard_params(params, cfg, mesh)
+    sc = shard_cache(init_cache(cfg, batch=1), cfg, mesh)
+    step2 = make_forward(cfg, prefill=False, logits_mode="last",
+                         mesh=mesh, params=params, cache=sc)
+    lg2 = None
+    for pos, t in enumerate(tokens):
+        lg2, sc = step2(sp, sc, jnp.asarray([[t]], jnp.int32), pos)
+    np.testing.assert_allclose(np.asarray(lg2), np.asarray(lg1),
+                               rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.parametrize("kv_dtype", ["float32", "int8"])
+def test_seq_parallel_prefill_matches_mha(kv_dtype):
+    """Chunked prefill with the decompressed-MHA KV cache sharded along the
+    window: shard-intersection chunk writes + flash-merged partial
+    attention reproduce the stepwise single-device logits."""
+    import dataclasses
+
+    cfg = tiny_config(use_mla=False, vocab_size=64,
+                      rs_original_max_position_embeddings=16)
+    cfg = dataclasses.replace(cfg, kv_cache_dtype=kv_dtype)
+    wd, params = build(cfg, seed=38)
+    tokens = np.random.default_rng(5).integers(3, 60, size=10).tolist()
+
+    step1 = make_forward(cfg, prefill=False, logits_mode="last")
+    c1 = init_cache(cfg, batch=1)
+    lg1 = None
+    for pos, t in enumerate(tokens):
+        lg1, c1 = step1(params, c1, jnp.asarray([[t]], jnp.int32), pos)
+
+    mesh = make_mesh(data=1, expert=2, tensor=2, seq=2)
+    sp = shard_params(params, cfg, mesh)
+    sc = shard_cache(init_cache(cfg, batch=1), cfg, mesh)
+    pre = make_forward(cfg, prefill=True, logits_mode="last",
+                       mesh=mesh, params=params, cache=sc)
+    step2 = make_forward(cfg, prefill=False, logits_mode="last",
+                         mesh=mesh, params=params, cache=sc)
+    toks = jnp.asarray([tokens[:8]], jnp.int32)
+    lg2, sc = pre(sp, sc, toks, 0)
+    for pos, t in enumerate(tokens[8:], start=8):
         lg2, sc = step2(sp, sc, jnp.asarray([[t]], jnp.int32), pos)
     np.testing.assert_allclose(np.asarray(lg2), np.asarray(lg1),
                                rtol=2e-3, atol=2e-3)
