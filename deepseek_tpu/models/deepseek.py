@@ -203,6 +203,11 @@ def _attention(lp: LayerParams, cfg: ModelConfig, xb: jnp.ndarray,
                 q_c = mm(lp.wc, q_a).reshape(B, T, H, R).astype(jnp.float32)
             q_rope = apply_rope(q_rope.astype(jnp.float32), posb, theta,
                                 is_v3, yarn)
+            if ctx.cp:
+                # CP prefill: projections/rope ran on this shard's rows
+                # only; attention wants the whole chunk's queries
+                q_c = ctx.cp_gather_rows(q_c)
+                q_rope = ctx.cp_gather_rows(q_rope)
 
         # cache writes scatter straight into the full (L,B,S,·) arrays;
         # under seq parallelism the latent cache is sharded along the
@@ -236,11 +241,23 @@ def _attention(lp: LayerParams, cfg: ModelConfig, xb: jnp.ndarray,
             kr_w, kr_sc = quantize_rows(k_rope)
         else:
             ckv_w, kr_w, ckv_sc, kr_sc = ckv, k_rope, None, None
+        k_rope_rows = k_rope
+        if ctx.cp:
+            # CP prefill: each shard computed T/sp rows; the window-sharded
+            # cache slices are independent of the ROW sharding, so writes
+            # (and the sink master) need the whole chunk — gather rows at
+            # the cache dtype (post-quantization: int8 when q8)
+            ckv_w = ctx.cp_gather_rows(ckv_w.astype(cache.ckv.dtype))
+            kr_w = ctx.cp_gather_rows(kr_w.astype(cache.krope.dtype))
+            ckv_sc = ctx.cp_gather_rows(ckv_sc)
+            kr_sc = ctx.cp_gather_rows(kr_sc)
+            if cache.sink_krope is not None:
+                k_rope_rows = ctx.cp_gather_rows(k_rope)
         ckv_full = wr(cache.ckv, ckv_w)
         krope_full = wr(cache.krope, kr_w)
         ckv_s_full = wr(cache.ckv_s, ckv_sc)
         krope_s_full = wr(cache.krope_s, kr_sc)
-        sink_krope_full = _sink_update(cache.sink_krope, k_rope, layer,
+        sink_krope_full = _sink_update(cache.sink_krope, k_rope_rows, layer,
                                        global_start, prefill)
 
         def sc(full):
@@ -260,6 +277,11 @@ def _attention(lp: LayerParams, cfg: ModelConfig, xb: jnp.ndarray,
             q = q.astype(jnp.float32)
             q_pe = apply_rope(q[..., nope:], posb, theta, is_v3, yarn)
             q = jnp.concatenate([q[..., :nope], q_pe], axis=-1)
+            if ctx.cp:
+                q = ctx.cp_gather_rows(q)       # whole chunk's queries
+            Tq = q.shape[1]                     # == T*sp under CP
+            q_pos = global_start + jnp.arange(Tq, dtype=jnp.int32)
+            merge = ctx.cp_merge_scatter if ctx.cp else ctx.seq_merge
             kv_dec = mm(lp.wkv_b, ckv_l.astype(xb.dtype)).reshape(
                 B, S, H, nope + Dv)
             k_l = jnp.concatenate(
@@ -267,7 +289,7 @@ def _attention(lp: LayerParams, cfg: ModelConfig, xb: jnp.ndarray,
                  jnp.broadcast_to(krope_l[:, :, None, :].astype(jnp.float32),
                                   (B, S, H, P))], axis=-1)
             base = cache_pos[0]
-            if impl is not None and _use_flash_prefill(B, T, S, H):
+            if impl is not None and _use_flash_prefill(B, Tq, S, H):
                 # flash prefill kernel: scores tiled in VMEM, never (T,S)
                 # in HBM (long-window memory bound)
                 from deepseek_tpu.ops.pallas.attention import mha_prefill_attn
@@ -275,13 +297,13 @@ def _attention(lp: LayerParams, cfg: ModelConfig, xb: jnp.ndarray,
                     q, k_l.astype(xb.dtype), kv_dec[..., nope:],
                     global_start, base, float(sm_scale),
                     partials=ctx.sp > 1, interpret=impl["interpret"])
-                v_out = ctx.seq_merge(*res) if ctx.sp > 1 else res
+                v_out = merge(*res) if ctx.sp > 1 else res
             elif ctx.sp > 1:
                 from deepseek_tpu.ops.attention import prefill_attn_mha_partial
                 acc, m_, l_ = prefill_attn_mha_partial(
-                    q, k_l, kv_dec[..., nope:], pos_vec, cache_pos,
+                    q, k_l, kv_dec[..., nope:], q_pos, cache_pos,
                     softmax_scale=sm_scale)
-                v_out = ctx.seq_merge(acc, m_, l_)
+                v_out = merge(acc, m_, l_)
             else:
                 v_out = prefill_attn_mha(
                     q, k_l, kv_dec[..., nope:], pos_vec, cache_pos,
@@ -295,7 +317,10 @@ def _attention(lp: LayerParams, cfg: ModelConfig, xb: jnp.ndarray,
         if prefill:
             base = (sidx * s_local) if ctx.sp > 1 else 0
             S_loc = cache.ckv.shape[2]
-            if impl is not None and _use_flash_prefill(B, T, S_loc, H):
+            Tq = q_c.shape[1]                   # == T*sp under CP (gathered)
+            q_pos = global_start + jnp.arange(Tq, dtype=jnp.int32)
+            merge = ctx.cp_merge_scatter if ctx.cp else ctx.seq_merge
+            if impl is not None and _use_flash_prefill(B, Tq, S_loc, H):
                 # flash prefill over the (possibly int8) latent cache:
                 # scores tiled in VMEM, scales folded in-kernel — no
                 # dequantized cache or (T,S) scores in HBM
@@ -305,7 +330,7 @@ def _attention(lp: LayerParams, cfg: ModelConfig, xb: jnp.ndarray,
                     global_start, base, float(sm_scale),
                     ckv_scale=sc(ckv_s_full), krope_scale=sc(krope_s_full),
                     partials=ctx.sp > 1, interpret=impl["interpret"])
-                lat = ctx.seq_merge(*res) if ctx.sp > 1 else res
+                lat = merge(*res) if ctx.sp > 1 else res
             else:
                 ckv_l = dequant_rows(ckv_full[layer], sc(ckv_s_full))
                 krope_l = dequant_rows(krope_full[layer], sc(krope_s_full))
@@ -315,10 +340,10 @@ def _attention(lp: LayerParams, cfg: ModelConfig, xb: jnp.ndarray,
                     from deepseek_tpu.ops.attention import \
                         prefill_attn_mla_partial
                     acc, m_, l_ = prefill_attn_mla_partial(
-                        q_c, q_rope, ckv_l, krope_l, pos_vec,
+                        q_c, q_rope, ckv_l, krope_l, q_pos,
                         cache_pos + base, cfg.head_dim,
                         softmax_scale=sm_scale)
-                    lat = ctx.seq_merge(acc, m_, l_)                # (B,T,H,R)
+                    lat = merge(acc, m_, l_)    # (B,T,H,R) local rows if CP
                 else:
                     lat = prefill_attn_mla(
                         q_c, q_rope, ckv_l, krope_l, pos_vec,
@@ -448,19 +473,34 @@ def _attention(lp: LayerParams, cfg: ModelConfig, xb: jnp.ndarray,
         v_w, v_sc = quantize_rows(vv.astype(jnp.float32))
     else:
         k_w, v_w, k_sc, v_sc = k, vv, None, None
+    k_rows = k
+    if ctx.cp:
+        # CP prefill (see the MLA branch): cache writes and attention
+        # need the whole chunk; this shard computed only T/sp rows
+        k_w = ctx.cp_gather_rows(k_w.astype(cache.k.dtype))
+        v_w = ctx.cp_gather_rows(v_w.astype(cache.v.dtype))
+        k_sc = ctx.cp_gather_rows(k_sc)
+        v_sc = ctx.cp_gather_rows(v_sc)
+        q = ctx.cp_gather_rows(q)
+        if cache.sink_k is not None:
+            k_rows = ctx.cp_gather_rows(k)
     k_full = wr(cache.k, k_w)
     v_full = wr(cache.v, v_w)
     k_s_full = wr(cache.k_s, k_sc)
     v_s_full = wr(cache.v_s, v_sc)
-    sink_k_full = _sink_update(cache.sink_k, k, layer, global_start, prefill)
+    sink_k_full = _sink_update(cache.sink_k, k_rows, layer, global_start,
+                               prefill)
 
     def sc(full):
         return full[layer] if full is not None else None
 
     if prefill:
         base = (sidx * s_local) if ctx.sp > 1 else 0
+        Tq = q.shape[1]                         # == T*sp under CP (gathered)
+        q_pos = global_start + jnp.arange(Tq, dtype=jnp.int32)
+        merge = ctx.cp_merge_scatter if ctx.cp else ctx.seq_merge
         if impl is not None and _use_flash_prefill(
-                B, T, cache.k.shape[2], H):
+                B, Tq, cache.k.shape[2], H):
             from deepseek_tpu.ops.pallas.attention import mha_prefill_attn
             hs = (lambda a: jnp.swapaxes(a, 1, 2) if a is not None else None)
             res = mha_prefill_attn(
@@ -468,7 +508,7 @@ def _attention(lp: LayerParams, cfg: ModelConfig, xb: jnp.ndarray,
                 float(sm_scale), k_scale=hs(sc(k_s_full)),
                 v_scale=hs(sc(v_s_full)), partials=ctx.sp > 1,
                 interpret=impl["interpret"])
-            out = ctx.seq_merge(*res) if ctx.sp > 1 else res
+            out = merge(*res) if ctx.sp > 1 else res
         else:
             k_l = dequant_rows(k_full[layer], sc(k_s_full))
             v_l = dequant_rows(v_full[layer], sc(v_s_full))
@@ -478,9 +518,9 @@ def _attention(lp: LayerParams, cfg: ModelConfig, xb: jnp.ndarray,
                 from deepseek_tpu.ops.attention import \
                     prefill_attn_mha_partial
                 acc, m_, l_ = prefill_attn_mha_partial(
-                    q, k_l, v_l, pos_vec, cache_pos,
+                    q, k_l, v_l, q_pos, cache_pos,
                     softmax_scale=sm_scale)
-                out = ctx.seq_merge(acc, m_, l_)
+                out = merge(acc, m_, l_)
             else:
                 out = prefill_attn_mha(q, k_l, v_l, pos_vec, cache_pos,
                                        softmax_scale=sm_scale)      # (B,T,H,Dv)
@@ -725,7 +765,22 @@ def _forward_impl(params: ModelParams, cache: KVCache, tokens: jnp.ndarray,
     pos0 = jnp.asarray(pos0, jnp.int32)
     if prefill:
         assert pos0.ndim == 0, "prefill requires a shared scalar position"
-        pos_vec = pos0 + jnp.arange(T, dtype=jnp.int32)
+        # context-parallel prefill: when the chunk divides the seq axis,
+        # shard its ROWS over 'seq' — projections/FFN/lm_head then run on
+        # T/sp rows per shard instead of being replicated sp times.
+        # _attention gathers Q/KV rows and reduce-scatters merged partials
+        # (SpmdCtx.cp_gather_rows / cp_merge_scatter).
+        if ctx.sp > 1 and T % ctx.sp == 0 and not ctx.cp:
+            import dataclasses as _dc
+            ctx = _dc.replace(ctx, cp=True)
+        if ctx.cp:
+            sidx_cp, t_loc = ctx.cp_rows(T)
+            x = jax.lax.dynamic_slice_in_dim(x, sidx_cp * t_loc, t_loc,
+                                             axis=1)
+            pos_vec = pos0 + sidx_cp * t_loc \
+                + jnp.arange(t_loc, dtype=jnp.int32)
+        else:
+            pos_vec = pos0 + jnp.arange(T, dtype=jnp.int32)
         cache_start, kv_len, kv_sink = pos0, None, None
     else:
         assert T == 1, "decode mode processes one token per call"
@@ -741,6 +796,9 @@ def _forward_impl(params: ModelParams, cache: KVCache, tokens: jnp.ndarray,
         cfg, prefill, impl, ctx)
 
     if with_ovf:
+        if ctx.cp:
+            # CP shards each counted only their own rows' overflows
+            ovf_total = jax.lax.psum(ovf_total, ctx.seq_axis)
         ovf_total = ctx.psum_d(ovf_total)   # global count across DP shards
 
     def ret(logits, cache):
@@ -755,10 +813,19 @@ def _forward_impl(params: ModelParams, cache: KVCache, tokens: jnp.ndarray,
     if logits_mode == "none":
         return ret(None, cache)
     if logits_mode == "last":
-        x = x[:, -1:]
+        x = x[:, -1:]     # under CP: each shard's LOCAL last row (cheap)
     x = rmsnorm(x, params.final_norm, cfg.norm_eps)
     logits = ctx.gather_logits(
         qmatmul(params.lm_head, x.astype(jnp.float32), impl=impl))
+    if ctx.cp:
+        if logits_mode == "last":
+            # the global last row lives on the last seq shard: a masked
+            # psum selects it (logits must leave the body replicated)
+            sel = (sidx_cp == ctx.sp - 1).astype(logits.dtype)
+            logits = jax.lax.psum(logits * sel, ctx.seq_axis)
+        else:
+            # "all": lm_head ran on local rows (split sp ways); reassemble
+            logits = ctx.cp_gather_rows(logits)
     if logits_mode == "last":
         logits = logits[:, 0]
     dbg("logits", logits)

@@ -32,10 +32,28 @@ it behind those GEMMs — the overlap falls out of the dataflow instead of
 being hand-scheduled. An activation all-to-all would only pay off if the
 batch were also sharded over the expert axis (dp*ep data shards), which
 contradicts serving's replicated-routing layout.
+
+Context-parallel prefill design note (SURVEY §2b names ring attention as
+the natural seq-scaling extension): when a prefill chunk's length divides
+the seq axis, the chunk ROWS are sharded over 'seq' too — every
+projection, FFN/MoE GEMM and lm_head row runs on T/sp rows per shard
+instead of being replicated sp times. Attention then needs each query
+against every window slice; classical ring attention rotates the KV
+slices via ppermute (sp-1 steps, moving the whole per-layer KV cache —
+S*(R+P) elements — past every shard). Here the cheaper exchange is the
+transpose: all-gather the (skinny) chunk Q/KV rows and reduce-scatter the
+flash-merged partials back to row shards (``cp_gather_rows`` /
+``cp_merge_scatter``). For MLA shapes the latent cache is FAT (S up to
+163k slots of R+P=576) while a chunk's Q is SKINNY (T<=512 rows), so
+Q-movement beats KV-movement whenever S*(R+P) > T*H*R / 2 — i.e. always
+at long windows, which is when sp>1 is worth running. Both paths are
+exact (flash-stat merges); the replicated-row path remains the fallback
+for chunks that don't divide sp.
 """
 
 from __future__ import annotations
 
+import collections
 import dataclasses
 
 import jax
@@ -44,6 +62,10 @@ from jax import lax
 from jax.sharding import Mesh
 
 from deepseek_tpu.config import ModelConfig
+
+# trace-time counters (e.g. "cp_rows" bumps once per CP-prefill trace);
+# tests assert on deltas — never affects compiled code
+TRACE_COUNTS: collections.Counter = collections.Counter()
 
 
 @dataclasses.dataclass(frozen=True)
@@ -59,6 +81,10 @@ class SpmdCtx:
     # EP prefill capacity factor (see ops.matmul.ep_prefill_capacity);
     # 0 = exact/no compaction. Only meaningful when ep > 1.
     ep_capacity_factor: float = 0.0
+    # context-parallel prefill: the current chunk's rows are sharded over
+    # the seq axis (set per-trace by _forward_impl when T % sp == 0, never
+    # in make_ctx — decode and non-divisible chunks keep rows replicated)
+    cp: bool = False
 
     def psum_t(self, x):
         """All-reduce a row-parallel matmul's partial sums over TP shards."""
@@ -167,6 +193,35 @@ class SpmdCtx:
         w = jnp.exp(m - mg)
         num = lax.psum(acc * w[..., None], self.seq_axis)
         den = lax.psum(l * w, self.seq_axis)
+        return num / jnp.maximum(den, 1e-30)[..., None]
+
+    def cp_rows(self, T: int):
+        """(row-shard index, local row count) for a CP-sharded chunk."""
+        TRACE_COUNTS["cp_rows"] += 1   # trace-time evidence (tests)
+        return lax.axis_index(self.seq_axis), T // self.sp
+
+    def cp_gather_rows(self, x):
+        """All-gather chunk-row-sharded values along axis 1 (row order =
+        shard order, so the result is the full chunk). None passes through
+        (optional int8-scale planes)."""
+        if x is None or self.sp <= 1:
+            return x
+        return lax.all_gather(x, self.seq_axis, axis=1, tiled=True)
+
+    def cp_merge_scatter(self, acc, m, l):
+        """Flash-merge partial attention over the full (gathered-Q) chunk
+        and keep only this shard's row slice: psum_scatter along rows is
+        the reduce-scatter dual of cp_gather_rows, moving 1/sp of the
+        bytes a full psum (seq_merge) would. acc (B,T,H,·) unnormalized,
+        m/l (B,T,H) -> normalized (B,T/sp,H,·) local rows."""
+        if self.sp <= 1:
+            return acc / jnp.maximum(l, 1e-30)[..., None]
+        mg = lax.pmax(m, self.seq_axis)
+        w = jnp.exp(m - mg)
+        num = lax.psum_scatter(acc * w[..., None], self.seq_axis,
+                               scatter_dimension=1, tiled=True)
+        den = lax.psum_scatter(l * w, self.seq_axis,
+                               scatter_dimension=1, tiled=True)
         return num / jnp.maximum(den, 1e-30)[..., None]
 
     def local_expert_slice(self, wmat, n_experts: int):

@@ -482,6 +482,69 @@ def test_seq_parallel_prefill_matches_mha(kv_dtype):
                                rtol=2e-3, atol=2e-3)
 
 
+@pytest.mark.parametrize("chunk", [8, 7])
+def test_context_parallel_prefill_engages_and_matches(chunk):
+    """Context-parallel prefill (chunk rows sharded over 'seq', Q-gather +
+    reduce-scatter merge) engages exactly when the chunk divides the seq
+    axis, falls back to replicated rows otherwise, and both reproduce the
+    stepwise single-device logits."""
+    import dataclasses
+    from deepseek_tpu.parallel import spmd as spmd_mod
+
+    cfg = tiny_config(use_mla=True, vocab_size=64,
+                      rs_original_max_position_embeddings=16)
+    wd, params = build(cfg, seed=39)
+    tokens = np.random.default_rng(6).integers(3, 60, size=chunk + 2).tolist()
+
+    step1 = make_forward(cfg, prefill=False, logits_mode="last")
+    c1 = init_cache(cfg, batch=1)
+    lg1 = None
+    for pos, t in enumerate(tokens):
+        lg1, c1 = step1(params, c1, jnp.asarray([[t]], jnp.int32), pos)
+
+    mesh = make_mesh(data=1, expert=2, tensor=1, seq=2)
+    sp = shard_params(params, cfg, mesh)
+    sc = shard_cache(init_cache(cfg, batch=1), cfg, mesh)
+    pre = make_forward(cfg, prefill=True, logits_mode="last",
+                       mesh=mesh, params=params, cache=sc)
+    step2 = make_forward(cfg, prefill=False, logits_mode="last",
+                         mesh=mesh, params=params, cache=sc)
+    before = spmd_mod.TRACE_COUNTS["cp_rows"]
+    lg2, sc = pre(sp, sc, jnp.asarray([tokens[:chunk]], jnp.int32), 0)
+    engaged = spmd_mod.TRACE_COUNTS["cp_rows"] - before
+    if chunk % 2 == 0:
+        assert engaged > 0, "divisible chunk must take the CP path"
+    else:
+        assert engaged == 0, "non-divisible chunk must fall back"
+    for pos, t in enumerate(tokens[chunk:], start=chunk):
+        lg2, sc = step2(sp, sc, jnp.asarray([[t]], jnp.int32), pos)
+    np.testing.assert_allclose(np.asarray(lg2), np.asarray(lg1),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_context_parallel_prefill_all_logits():
+    """logits_mode='all' under CP: lm_head runs on local row shards and the
+    gathered logits match the unsharded prefill (the perplexity path)."""
+    cfg = tiny_config(use_mla=True, vocab_size=64,
+                      rs_original_max_position_embeddings=16)
+    wd, params = build(cfg, seed=40)
+    toks = jnp.asarray([np.random.default_rng(7).integers(3, 60, size=8)],
+                       jnp.int32)
+
+    pre1 = make_forward(cfg, prefill=True, logits_mode="all")
+    lg1, _ = pre1(params, init_cache(cfg, batch=1), toks, 0)
+
+    mesh = make_mesh(data=1, expert=2, tensor=2, seq=2)
+    sp = shard_params(params, cfg, mesh)
+    sc = shard_cache(init_cache(cfg, batch=1), cfg, mesh)
+    pre2 = make_forward(cfg, prefill=True, logits_mode="all",
+                        mesh=mesh, params=params, cache=sc)
+    lg2, _ = pre2(sp, sc, toks, 0)
+    assert lg2.shape == lg1.shape
+    np.testing.assert_allclose(np.asarray(lg2), np.asarray(lg1),
+                               rtol=2e-3, atol=2e-3)
+
+
 def test_ep_prefill_capacity_compaction():
     """EP prefill computes only OWNED pairs, compacted to the static
     capacity: FLOP budget per shard is C = ~cf*N/EP rows (vs N before),
