@@ -1,9 +1,16 @@
 """Decode-throughput benchmark (driver-run on real TPU hardware).
 
 Measures steady-state single-batch decode tokens/s on a DeepSeek-V2-Lite-
-proportioned model (absorbed MLA + 64-expert MoE, bf16 weights) sized to fit
-one chip's HBM. The loop keeps sampling on device (argmax feedback) so it
-measures the serving decode step, not host round-trips.
+proportioned model (absorbed MLA + 64-expert MoE) sized to fit one chip's
+HBM, in the two shipped weight formats that bracket the envelope:
+
+- bf16 (round-1 comparable number), and
+- blockwise fp8 (128x128 scale tiles, the fused-dequant Pallas path) — the
+  fastest measured decode config (PERFORMANCE.md: 493 tok/s, 1.38x bf16),
+  reported as the headline.
+
+The loop keeps sampling on device (argmax feedback) so it measures the
+serving decode step, not host round-trips.
 
 vs_baseline compares against the reference's headline decode number
 (4.02 tok/s, DeepSeek-V3 Q2_K on a 48-core CPU — BASELINE.md); hardware and
@@ -13,6 +20,7 @@ Prints exactly one JSON line.
 """
 
 import json
+import sys
 import time
 
 import jax
@@ -21,11 +29,11 @@ import jax.numpy as jnp
 from deepseek_tpu.config import (
     ActivationType, ModelConfig, QuantKind, ScoringFunc, TopKMethod,
 )
-from deepseek_tpu.models import init_cache, make_forward
-from deepseek_tpu.models.loader import params_active_bytes
-from deepseek_tpu.models.testing import random_params
+from deepseek_tpu.models import init_cache
+from deepseek_tpu.models.loader import fuse_projections, params_active_bytes
 
 BASELINE_TOK_S = 4.02
+HBM_GB_S = 820.0  # measured HBM read bandwidth on this v5e (PERFORMANCE.md)
 
 
 def bench_config(layers: int = 8) -> ModelConfig:
@@ -47,41 +55,29 @@ def bench_config(layers: int = 8) -> ModelConfig:
     )
 
 
-def main():
+def measure_decode(cfg: ModelConfig, params, backend: str):
+    """(tok/s, active GB/s) of the fused on-device decode rollout: one
+    dispatch = `block` decode+sample steps (lax.scan with greedy feedback),
+    the production serving shape."""
     import numpy as np
-
-    backend = jax.default_backend()
-    layers = 8 if backend != "cpu" else 2
-    cfg = bench_config(layers)
-
-    params = random_params(cfg, seed=0)
-    from deepseek_tpu.models.loader import fuse_projections
-    params = fuse_projections(params, cfg, consume=True)
-    jax.block_until_ready(jax.tree.leaves(params))
-    cache = init_cache(cfg, batch=1)
-
-    # fused on-device rollout: one dispatch = `block` decode+sample steps
-    # (lax.scan with greedy feedback), the production serving shape
     from deepseek_tpu.models.deepseek import make_decode_loop
 
+    cache = init_cache(cfg, batch=1)
     block = 32 if backend != "cpu" else 4
     loop = make_decode_loop(cfg, block)
     key = jax.random.PRNGKey(0)
-    temp = jnp.float32(0.0)
-    topp = jnp.float32(1.0)
+    args = (jnp.float32(0.0), jnp.float32(1.0))
 
     tok = jnp.zeros((1, 1), jnp.int32)
     # warmup / compile; NOTE: under remote execution block_until_ready can
     # return before the computation really finishes — a host transfer is the
-    # only reliable sync, so every timing boundary fetches data.
-    toks, _, cache = loop(params, cache, tok, jnp.int32(0), key, temp, topp)
-    tok = toks[:, -1:]
-    _ = int(np.asarray(tok)[0, 0])
-    # second warmup: the first post-compile dispatch runs ~3x slower than
-    # steady state (runtime autotuning/allocator warm-up) — measured on v5e
-    toks, _, cache = loop(params, cache, tok, jnp.int32(block), key, temp, topp)
-    tok = toks[:, -1:]
-    _ = int(np.asarray(tok)[0, 0])
+    # only reliable sync, so every timing boundary fetches data. 2x: the
+    # first post-compile dispatch runs ~3x slower than steady state.
+    for wu in range(2):
+        toks, _, cache = loop(params, cache, tok, jnp.int32(wu * block),
+                              key, *args)
+        tok = toks[:, -1:]
+        _ = int(np.asarray(tok)[0, 0])
 
     n_blocks = 8 if backend != "cpu" else 2
     n_steps = n_blocks * block
@@ -89,45 +85,79 @@ def main():
     t0 = time.perf_counter()
     for i in range(n_blocks):
         toks, _, cache = loop(params, cache, tok, jnp.int32(pos0 + i * block),
-                              key, temp, topp)
+                              key, *args)
         tok = toks[:, -1:]
     _ = int(np.asarray(tok)[0, 0])  # real sync
     dt = time.perf_counter() - t0
 
     tok_s = n_steps / dt
     gb_s = params_active_bytes(params, cfg, pos0 + n_steps) * tok_s / 1e9
-    # the chip-local roofline fraction is the honest headline: measured HBM
-    # read bandwidth on this v5e is ~820 GB/s (PERFORMANCE.md)
-    HBM_GB_S = 820.0
-    roofline_frac = gb_s / HBM_GB_S
+    del cache
+    return tok_s, gb_s
 
-    # prefill throughput (chunked hydrate; grouped-gmm MoE path on TPU).
-    # Guarded: a prefill-path compile failure must not take down the
-    # decode headline (the driver consumes this JSON line).
-    try:
-        from deepseek_tpu.models import make_forward
-        T = 256 if backend != "cpu" else 8
-        pre = make_forward(cfg, prefill=True, logits_mode="none")
-        pcache = init_cache(cfg, batch=1)
-        ptoks = jnp.zeros((1, T), jnp.int32)
-        for i in range(2):  # compile + slow-first-dispatch warmup
-            _, pcache = pre(params, pcache, ptoks, jnp.int32(i * T))
-            _ = np.asarray(pcache.ckv[0, 0, 0, :1])
-        reps = 8 if backend != "cpu" else 1
-        nmax = cfg.kv_window // T - 2
-        t0 = time.perf_counter()
-        for i in range(reps):
-            _, pcache = pre(params, pcache, ptoks,
-                            jnp.int32((2 + i % nmax) * T))
+
+def measure_prefill(cfg: ModelConfig, params, backend: str) -> float:
+    """Chunked-hydrate throughput (grouped-gmm MoE path on TPU)."""
+    import numpy as np
+    from deepseek_tpu.models import make_forward
+
+    T = 256 if backend != "cpu" else 8
+    pre = make_forward(cfg, prefill=True, logits_mode="none")
+    pcache = init_cache(cfg, batch=1)
+    ptoks = jnp.zeros((1, T), jnp.int32)
+    for i in range(2):  # compile + slow-first-dispatch warmup
+        _, pcache = pre(params, pcache, ptoks, jnp.int32(i * T))
         _ = np.asarray(pcache.ckv[0, 0, 0, :1])
-        prefill_tok_s = reps * T / (time.perf_counter() - t0)
+    reps = 8 if backend != "cpu" else 1
+    nmax = cfg.kv_window // T - 2
+    t0 = time.perf_counter()
+    for i in range(reps):
+        _, pcache = pre(params, pcache, ptoks, jnp.int32((2 + i % nmax) * T))
+    _ = np.asarray(pcache.ckv[0, 0, 0, :1])
+    return reps * T / (time.perf_counter() - t0)
+
+
+def main():
+    backend = jax.default_backend()
+    layers = 8 if backend != "cpu" else 2
+    cfg = bench_config(layers)
+
+    # --- bf16 (round-1 comparable) ---
+    from deepseek_tpu.models.testing import random_params
+    params = random_params(cfg, seed=0)
+    params = fuse_projections(params, cfg, consume=True)
+    jax.block_until_ready(jax.tree.leaves(params))
+    bf16_tok_s, bf16_gb_s = measure_decode(cfg, params, backend)
+
+    # prefill throughput on the bf16 model. Guarded: a prefill-path compile
+    # failure must not take down the decode headline.
+    try:
+        prefill_tok_s = measure_prefill(cfg, params, backend)
     except Exception as e:  # pragma: no cover - defensive
-        import sys
         print(f"prefill bench failed: {e!r}", file=sys.stderr)
         prefill_tok_s = 0.0
+    del params
+
+    # --- blockwise fp8 (fastest shipped decode config) ---
+    # Guarded the same way; on failure the headline falls back to bf16.
+    try:
+        from deepseek_tpu.models.testing import random_quantized_params
+        qparams = random_quantized_params(cfg, "f8e5m2")
+        qparams = fuse_projections(qparams, cfg, consume=True)
+        jax.block_until_ready(jax.tree.leaves(qparams))
+        fp8_tok_s, fp8_gb_s = measure_decode(cfg, qparams, backend)
+        del qparams
+    except Exception as e:  # pragma: no cover - defensive
+        print(f"fp8 bench failed: {e!r}", file=sys.stderr)
+        fp8_tok_s, fp8_gb_s = 0.0, 0.0
+
+    if fp8_tok_s > 0:
+        head, tok_s, gb_s = "fp8", fp8_tok_s, fp8_gb_s
+    else:
+        head, tok_s, gb_s = "bf16", bf16_tok_s, bf16_gb_s
 
     print(json.dumps({
-        "metric": f"decode_tok_per_s_1chip_{backend}_v2lite8L_bf16",
+        "metric": f"decode_tok_per_s_1chip_{backend}_v2lite8L_{head}",
         "value": round(tok_s, 3),
         "unit": "tok/s",
         "vs_baseline": round(tok_s / BASELINE_TOK_S, 3),
@@ -136,9 +166,12 @@ def main():
             "active_GB_per_s": round(gb_s, 2),
             # fraction of this chip's measured HBM roofline — the
             # apples-to-apples headline (vs_baseline crosses hardware AND
-            # model scale: 8-layer bf16 V2-Lite-oid on TPU vs 671B Q2_K on
-            # a 48-core CPU; it is the only number the reference publishes)
-            "hbm_roofline_frac": round(roofline_frac, 3),
+            # model scale: 8-layer V2-Lite-oid on TPU vs 671B Q2_K on a
+            # 48-core CPU; it is the only number the reference publishes)
+            "hbm_roofline_frac": round(gb_s / HBM_GB_S, 3),
+            "bf16_tok_per_s": round(bf16_tok_s, 1),
+            "bf16_active_GB_per_s": round(bf16_gb_s, 2),
+            "fp8_tok_per_s": round(fp8_tok_s, 1),
             "prefill_tok_per_s": round(prefill_tok_s, 1),
             "backend": backend,
         },

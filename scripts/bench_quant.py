@@ -24,97 +24,10 @@ from bench import bench_config
 from deepseek_tpu.models import init_cache
 from deepseek_tpu.models.deepseek import make_decode_loop
 from deepseek_tpu.models.loader import params_active_bytes
-from deepseek_tpu.models.params import LayerParams, ModelParams
-from deepseek_tpu.quant.qtensor import (
-    Fp8Tensor, PlainTensor, Q2KTensor, Q3KTensor, q2k_to_turbo, q3k_to_turbo,
-)
 
 
-_KEY = [jax.random.PRNGKey(1234)]
-
-
-def _k():
-    _KEY[0], sub = jax.random.split(_KEY[0])
-    return sub
-
-
-def _quantize(shape, quant: str):
-    """Random *packed* quantized tensor synthesized directly on device.
-
-    Throughput doesn't depend on weight values, and generating the packed
-    planes on-chip avoids both the CPU K-quant encode (~0.3s per expert
-    matrix) and gigabytes of host->device transfers — the real loader path
-    is exercised by tests/test_kquant.py golden tests instead.
-    """
-    rows, cols = shape[-2], shape[-1]
-    lead = shape[:-2]
-    turbo = quant.endswith("_turbo")
-    quant = quant[:-6] if turbo else quant
-    if quant in ("q2_k", "q3_k") and cols % 256 == 0:
-        qs = jax.random.randint(_k(), (*lead, rows, cols // 4), 0, 256, jnp.int32
-                                ).astype(jnp.uint8)
-        d = jax.random.uniform(_k(), (*lead, rows, cols // 256), jnp.float32,
-                               0.001, 0.01)
-        if quant == "q2_k":
-            sm = jax.random.randint(_k(), (*lead, rows, cols // 16), 0, 256,
-                                    jnp.int32).astype(jnp.uint8)
-            dmin = jax.random.uniform(_k(), d.shape, jnp.float32, 0.001, 0.01)
-            qt = Q2KTensor(qs=qs, sm=sm, d=d, dmin=dmin)
-            return q2k_to_turbo(qt) if turbo else qt
-        hm = jax.random.randint(_k(), (*lead, rows, cols // 8), 0, 256,
-                                jnp.int32).astype(jnp.uint8)
-        sc = jax.random.randint(_k(), (*lead, rows, cols // 16), -32, 32,
-                                jnp.int32).astype(jnp.int8)
-        qt = Q3KTensor(qs=qs, hm=hm, sc=sc, d=d)
-        return q3k_to_turbo(qt) if turbo else qt
-    if quant == "f8e5m2" and rows % 128 == 0 and cols % 128 == 0:
-        data = (jax.random.normal(_k(), (*lead, rows, cols), jnp.bfloat16)
-                ).astype(jnp.float8_e5m2)
-        scale = jax.random.uniform(
-            _k(), (*lead, rows // 128, cols // 128), jnp.float32, 0.005, 0.02)
-        return Fp8Tensor(data=data, scale=scale, block_size=(128, 128))
-    # fallback (odd dims): bf16
-    return PlainTensor(
-        data=jax.random.normal(_k(), shape, jnp.bfloat16) * 0.02)
-
-
-def quantized_params(cfg, quant: str, seed=0) -> ModelParams:
-    def w(*shape):
-        return jax.random.normal(_k(), shape, jnp.float32) * 0.02
-
-    def qt(*shape):
-        return _quantize(shape, quant)
-
-    def ones(*shape):
-        return jnp.ones(shape, jnp.float32)
-
-    c = cfg
-    H, hd, nope, P, Dv, R = (c.n_heads, c.head_dim, c.qk_nope_head_dim,
-                             c.qk_rope_head_dim, c.v_head_dim, c.kv_lora_rank)
-    layers = []
-    for l in range(c.n_layers):
-        moe = c.is_moe_layer(l)
-        E, m = c.n_routed_experts, c.moe_intermediate_size
-        layers.append(LayerParams(
-            attn_norm=ones(c.dim), ffn_norm=ones(c.dim), kv_a_norm=ones(R),
-            q_a_norm=ones(c.q_lora_rank),
-            wkv_a=qt(R + P, c.dim), wo=qt(c.dim, H * Dv),
-            wq=None, wq_a=qt(c.q_lora_rank, c.dim), wq_b=None, wkv_b=None,
-            wc=qt(H * R, c.q_lora_rank), wq_rope_b=qt(H * P, c.q_lora_rank),
-            wv_b=qt(H * Dv, R),
-            w1=qt(E, m, c.dim) if moe else qt(c.hidden_dim, c.dim),
-            w2=qt(E, c.dim, m) if moe else qt(c.dim, c.hidden_dim),
-            w3=qt(E, m, c.dim) if moe else qt(c.hidden_dim, c.dim),
-            shared_w1=qt(c.n_shared_experts * m, c.dim) if moe else None,
-            shared_w2=qt(c.dim, c.n_shared_experts * m) if moe else None,
-            shared_w3=qt(c.n_shared_experts * m, c.dim) if moe else None,
-            moegate=w(E, c.dim) if moe else None,
-            moegate_bias=None,
-        ))
-    return ModelParams(
-        embed=PlainTensor(data=w(c.vocab_size, c.dim).astype(jnp.bfloat16)),
-        layers=layers, final_norm=ones(c.dim),
-        lm_head=qt(c.vocab_size, c.dim))
+from deepseek_tpu.models.testing import random_quantized_params as \
+    quantized_params  # packed-plane synth now lives in models.testing
 
 
 def main():
