@@ -137,6 +137,38 @@ def _sink_update(buf, rows_f32, layer: int, global_start, prefill: bool):
 
 
 
+def _seq_ctx(cfg: ModelConfig, ctx, cache_start, prefill: bool, layer: int):
+    """Seq-sharding plumbing shared by the MLA and MHA attention branches.
+
+    Returns ``(wr, global_start, on_sink_shard, sidx, s_local)``:
+    ``wr(full, rows)`` writes chunk/decode rows into the window-sharded
+    cache (prefill chunks commit each shard's intersection; decode writes
+    translate to LOCAL slots with only the owning shard committing);
+    ``on_sink_shard`` guards the sink re-rotation to seq shard 0;
+    ``sidx``/``s_local`` are None at sp == 1.
+    """
+    global_start = cache_start
+    sidx = s_local = None
+    on_sink_shard = True
+    w_mask = None
+    if ctx.sp > 1:
+        sidx, s_local = ctx.seq_shard(cfg.kv_window)
+        on_sink_shard = sidx == 0
+        if not prefill:
+            lpos = cache_start - sidx * s_local              # (B,)
+            w_mask = (lpos >= 0) & (lpos < s_local)
+            cache_start = jnp.clip(lpos, 0, s_local - 1)
+    if prefill and ctx.sp > 1:
+        def wr(full, rows):
+            return _cache_write_sp_prefill(full, rows, layer, global_start,
+                                           sidx, s_local)
+    else:
+        def wr(full, rows):
+            return _cache_write(full, rows, layer, cache_start, prefill,
+                                w_mask)
+    return wr, global_start, on_sink_shard, sidx, s_local
+
+
 def _use_flash_prefill(B: int, T: int, S: int, H: int) -> bool:
     """Flash prefill kernels win when the (B, H, T, S) score tensor would
     be HBM-resident at painful scale; below that the fused jnp einsum path
@@ -211,30 +243,9 @@ def _attention(lp: LayerParams, cfg: ModelConfig, xb: jnp.ndarray,
 
         # cache writes scatter straight into the full (L,B,S,·) arrays;
         # under seq parallelism the latent cache is sharded along the
-        # window: decode writes translate to LOCAL slots with only the
-        # owning shard committing (guarded scatter); prefill chunks commit
-        # each shard's intersection with [pos0, pos0+T) (masked write)
-        global_start = cache_start
-        sp_prefill = prefill and ctx.sp > 1
-        if ctx.sp > 1:
-            sidx, s_local = ctx.seq_shard(cfg.kv_window)
-            on_sink_shard = sidx == 0
-        if not prefill and ctx.sp > 1:
-            lpos = cache_start - sidx * s_local              # (B,)
-            w_mask = (lpos >= 0) & (lpos < s_local)
-            cache_start = jnp.clip(lpos, 0, s_local - 1)
-        else:
-            w_mask = None
-            if ctx.sp <= 1:
-                on_sink_shard = True
-        if sp_prefill:
-            def wr(full, rows):
-                return _cache_write_sp_prefill(full, rows, layer,
-                                               global_start, sidx, s_local)
-        else:
-            def wr(full, rows):
-                return _cache_write(full, rows, layer, cache_start,
-                                    prefill, w_mask)
+        # window (see _seq_ctx)
+        wr, global_start, on_sink_shard, sidx, s_local = _seq_ctx(
+            cfg, ctx, cache_start, prefill, layer)
         q8 = cache.ckv_s is not None  # int8 cache: rows + per-row f32 scale
         if q8:
             ckv_w, ckv_sc = quantize_rows(ckv.astype(jnp.float32))
@@ -443,29 +454,9 @@ def _attention(lp: LayerParams, cfg: ModelConfig, xb: jnp.ndarray,
     vv = kv_b[..., nope:]
 
     # seq-parallel MHA mirrors the MLA machinery: the (L,B,S,H,·) caches
-    # shard S along 'seq'; decode writes are guarded to the owning shard,
-    # prefill chunks commit each shard's intersection, sinks live on shard 0
-    global_start = cache_start
-    sp_prefill = prefill and ctx.sp > 1
-    if ctx.sp > 1:
-        sidx, s_local = ctx.seq_shard(cfg.kv_window)
-        on_sink_shard = sidx == 0
-    if not prefill and ctx.sp > 1:
-        lpos = cache_start - sidx * s_local              # (B,)
-        w_mask = (lpos >= 0) & (lpos < s_local)
-        cache_start = jnp.clip(lpos, 0, s_local - 1)
-    else:
-        w_mask = None
-        if ctx.sp <= 1:
-            on_sink_shard = True
-    if sp_prefill:
-        def wr(full, rows):
-            return _cache_write_sp_prefill(full, rows, layer, global_start,
-                                           sidx, s_local)
-    else:
-        def wr(full, rows):
-            return _cache_write(full, rows, layer, cache_start, prefill,
-                                w_mask)
+    # shard S along 'seq' (see _seq_ctx); sinks live on shard 0
+    wr, global_start, on_sink_shard, sidx, s_local = _seq_ctx(
+        cfg, ctx, cache_start, prefill, layer)
 
     q8 = cache.k_s is not None  # int8 cache: per-(slot, head) f32 scales
     if q8:
@@ -760,23 +751,23 @@ def _forward_impl(params: ModelParams, cache: KVCache, tokens: jnp.ndarray,
     # same fused-dequant kernels (batch-tiled) so quantized weights never
     # materialize; MoE routing picks its prefill formulation in _ffn.
     impl = kernel_impl(cfg)
-    x = embed_lookup(params.embed, tokens, jnp.float32).astype(dtype)
 
     pos0 = jnp.asarray(pos0, jnp.int32)
     if prefill:
         assert pos0.ndim == 0, "prefill requires a shared scalar position"
         # context-parallel prefill: when the chunk divides the seq axis,
-        # shard its ROWS over 'seq' — projections/FFN/lm_head then run on
-        # T/sp rows per shard instead of being replicated sp times.
-        # _attention gathers Q/KV rows and reduce-scatters merged partials
-        # (SpmdCtx.cp_gather_rows / cp_merge_scatter).
+        # shard its ROWS over 'seq' — the embedding gather, projections,
+        # FFN and lm_head then run on T/sp rows per shard instead of being
+        # replicated sp times. _attention gathers Q/KV rows and
+        # reduce-scatters merged partials (SpmdCtx.cp_gather_rows /
+        # cp_merge_scatter).
         if ctx.sp > 1 and T % ctx.sp == 0 and not ctx.cp:
             import dataclasses as _dc
             ctx = _dc.replace(ctx, cp=True)
         if ctx.cp:
             sidx_cp, t_loc = ctx.cp_rows(T)
-            x = jax.lax.dynamic_slice_in_dim(x, sidx_cp * t_loc, t_loc,
-                                             axis=1)
+            tokens = jax.lax.dynamic_slice_in_dim(tokens, sidx_cp * t_loc,
+                                                  t_loc, axis=1)
             pos_vec = pos0 + sidx_cp * t_loc \
                 + jnp.arange(t_loc, dtype=jnp.int32)
         else:
@@ -790,6 +781,7 @@ def _forward_impl(params: ModelParams, cache: KVCache, tokens: jnp.ndarray,
         pos_vec = pos_b[:, None]                                 # (B, 1)
         cache_start = kv_pos
 
+    x = embed_lookup(params.embed, tokens, jnp.float32).astype(dtype)
     dbg("embed", x)
     x, cache, ovf_total = run_layer_stack(
         params.layers, cache, x, pos_vec, cache_start, kv_len, kv_sink,
@@ -913,15 +905,34 @@ def _gspmd_kernel_gate(cfg: ModelConfig, build, build_mesh=None):
     import dataclasses as _dc
     state = {}
 
+    def _fused_layout(params) -> bool:
+        """The shard_map pspecs describe the UNFUSED projection layout
+        (what shard_params produces); fused params (loader.fuse_projections)
+        would hit a pytree-structure mismatch at first call — detect and
+        fall back instead of crashing."""
+        try:
+            lp0 = params.layers[0]
+            return any(getattr(lp0, f, None) is not None
+                       for f in ("wkvq", "wcr", "w13", "w13s"))
+        except Exception:
+            return False
+
     def _upgrade_or_fallback(params, rest):
         import logging
         log = logging.getLogger("deepseek_tpu")
         mesh = _named_mesh(params)
+        if _fused_layout(params):
+            mesh, fused_reason = None, \
+                ("params are in the fused projection layout "
+                 "(unfuse_projections before sharding to keep kernels)")
+        else:
+            fused_reason = None
         if build_mesh is not None and mesh is not None and rest:
             try:
-                from deepseek_tpu.parallel.spmd import make_ctx
+                from deepseek_tpu.parallel.spmd import TRACE_COUNTS, make_ctx
                 make_ctx(cfg, mesh)          # divisibility validation
                 fn = build_mesh(mesh, params, rest[0])
+                TRACE_COUNTS["gspmd_upgrade"] += 1   # test/dryrun evidence
                 log.info(
                     "GSPMD params on mesh %s under plain jit: auto-upgraded "
                     "to the shard_map body (Pallas kernels stay active per "
@@ -929,6 +940,8 @@ def _gspmd_kernel_gate(cfg: ModelConfig, build, build_mesh=None):
                 return fn
             except ValueError as e:
                 reason = str(e)
+        elif fused_reason is not None:
+            reason = fused_reason
         elif mesh is None:
             reason = ("params' shardings expose no usable Mesh "
                       "(non-NamedSharding, mixed meshes, or non-standard "

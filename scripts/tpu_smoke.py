@@ -150,6 +150,77 @@ def main():
         v_scale=jnp.swapaxes(vs, 1, 2)))
     ok &= check("mha flash-decode int8", got, want)
 
+    # seq-parallel partials on real Mosaic: two half-window shards with
+    # flash stats must merge to the full-window result. This exercises the
+    # (1, hc, 1) stat output block specs — interpret-mode tests cannot
+    # catch Mosaic lowering violations (CLAUDE.md).
+    def fmerge(parts):
+        (a0, m0, l0), (a1, m1, l1) = parts
+        mg = jnp.maximum(m0, m1)
+        w0, w1 = jnp.exp(m0 - mg), jnp.exp(m1 - mg)
+        den = jnp.maximum(l0 * w0 + l1 * w1, 1e-30)
+        return np.asarray((a0 * w0[..., None] + a1 * w1[..., None])
+                          / den[..., None])
+
+    half = S // 2
+    kbf, vbf = kf.astype(jnp.bfloat16), vf.astype(jnp.bfloat16)
+    got = fmerge([mha_decode_attn(
+        qm, kbf[:, s * half:(s + 1) * half],
+        vbf[:, s * half:(s + 1) * half],
+        jnp.clip(kl - s * half, 0, half), Dh ** -0.5, partials=True)
+        for s in range(2)])
+    want = np.asarray(mha_decode_attn(qm, kbf, vbf, kl, Dh ** -0.5))
+    ok &= check("mha flash-decode partials merge", got, want)
+
+    ckv_bf, kr_bf = ckv_f.astype(jnp.bfloat16), kr_f.astype(jnp.bfloat16)
+    got = fmerge([mla_decode_attn(
+        q_c, q_r, ckv_bf[:, s * half:(s + 1) * half],
+        kr_bf[:, s * half:(s + 1) * half],
+        jnp.clip(kl - s * half, 0, half), 192 ** -0.5, partials=True)
+        for s in range(2)])
+    want = np.asarray(mla_decode_attn(q_c, q_r, ckv_bf, kr_bf, kl,
+                                      192 ** -0.5))
+    ok &= check("mla flash-decode partials merge", got, want)
+
+    # flash prefill kernels (chunked causal) vs the jnp formulation, full
+    # window and as two merged window slices (the seq/context-parallel
+    # prefill path)
+    from deepseek_tpu.ops.attention import prefill_attn_mha, prefill_attn_mla
+    from deepseek_tpu.ops.pallas.attention import (
+        mha_prefill_attn, mla_prefill_attn,
+    )
+    Tt = 128
+    pos_q = jnp.arange(Tt, dtype=jnp.int32) + (S - Tt)
+    cache_pos = jnp.arange(S, dtype=jnp.int32)
+
+    qc2 = jnp.asarray(rnd((B, Tt, H, R), 12) * 0.2)
+    qr2 = jnp.asarray(rnd((B, Tt, H, P), 13) * 0.2)
+    want = np.asarray(prefill_attn_mla(
+        qc2, qr2, ckv_bf, kr_bf, pos_q, cache_pos, 192))
+    got = np.asarray(mla_prefill_attn(
+        qc2, qr2, ckv_bf, kr_bf, jnp.int32(S - Tt), jnp.int32(0),
+        192 ** -0.5))
+    ok &= check("mla flash-prefill bf16", got, want)
+    got = fmerge([mla_prefill_attn(
+        qc2, qr2, ckv_bf[:, s * half:(s + 1) * half],
+        kr_bf[:, s * half:(s + 1) * half], jnp.int32(S - Tt),
+        jnp.int32(s * half), 192 ** -0.5, partials=True)
+        for s in range(2)])
+    ok &= check("mla flash-prefill partials merge", got, want)
+
+    qm2 = jnp.asarray(rnd((B, Tt, Hh, Dh), 14) * 0.2)
+    want = np.asarray(prefill_attn_mha(
+        qm2, kbf, vbf, pos_q, cache_pos, Dh ** -0.5))
+    got = np.asarray(mha_prefill_attn(
+        qm2, kbf, vbf, jnp.int32(S - Tt), jnp.int32(0), Dh ** -0.5))
+    ok &= check("mha flash-prefill bf16", got, want)
+    got = fmerge([mha_prefill_attn(
+        qm2, kbf[:, s * half:(s + 1) * half],
+        vbf[:, s * half:(s + 1) * half], jnp.int32(S - Tt),
+        jnp.int32(s * half), Dh ** -0.5, partials=True)
+        for s in range(2)])
+    ok &= check("mha flash-prefill partials merge", got, want)
+
     print("SMOKE", "PASS" if ok else "FAIL")
     return 0 if ok else 1
 
