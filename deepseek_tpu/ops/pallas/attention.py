@@ -54,6 +54,38 @@ def _pick_head_chunk(H: int, fits) -> int:
     return cands[-1]
 
 
+# The prefill kernels raise Mosaic's scoped-VMEM stack limit from the
+# 16MB default (v5e has 128MB of VMEM; JAX's own flash kernels do the
+# same). Tile sizing targets ~half of it: the residency model below
+# underestimates Mosaic's true scoped allocation by up to ~1.4x
+# (measured on-chip), so the 2x slack keeps compiles safe.
+_PREFILL_VMEM_LIMIT = 100 * 1024 * 1024
+
+
+def _pick_hc_ts(H: int, S: int, ts_max: int, vmem) -> tuple:
+    """Joint (head-chunk, KV-tile) choice for the prefill kernels under the
+    scoped-VMEM stack limit. KV HBM re-reads scale with H/hc (the
+    cache streams once per head group), so maximize hc first; ts only
+    amortizes grid overhead, so take the largest that still fits (but
+    don't shrink below 128 rows to buy a bigger hc). ``vmem(hc, ts)``
+    models the kernel's resident bytes; budget leaves 2x slack under
+    ``_PREFILL_VMEM_LIMIT``."""
+    budget = _PREFILL_VMEM_LIMIT // 2
+    cands = [H] + [d for d in range(H - 1, 0, -1)
+                   if H % d == 0 and d % 8 == 0]
+    ladder = [t for t in (1024, 512, 256, 128, 64, 32, 16, 8)
+              if t <= max(ts_max, 8)]
+    for hc in cands:
+        for ts in ladder:
+            if vmem(hc, ts) <= budget and (ts >= 128 or ts >= S):
+                return hc, ts
+    hc = cands[-1]
+    for ts in ladder:
+        if vmem(hc, ts) <= budget:
+            return hc, ts
+    return hc, ladder[-1]
+
+
 def _mla_body(kvlen_ref, qc_ref, qr_ref, ckv_ref, kr_ref, *rest,
               ts: int, s_len: int, scale: float, quantized: bool,
               partials: bool = False):
@@ -462,12 +494,20 @@ def mha_prefill_attn(q, k_cache, v_cache, q_pos0, cache_pos0,
     S = k_cache.shape[1]
     Dv = v_cache.shape[-1]
     quantized = k_scale is not None
-    ts = _pick_tile(S, H * (Dh + Dv) * k_cache.dtype.itemsize)
+    tq = min(T, 128)
+    # Scoped-VMEM model (16MB hard stack limit): grid-blocked refs are
+    # double-buffered — q-in (f32) + k/v-in (cache dtype) + out (f32)
+    # count twice, the f32 acc scratch once, and the per-head (tq, ts)
+    # f32 score/p temporaries keep ~2 live copies per head of the
+    # unrolled loop (measured: they dominate at large ts).
+    kv_isz = k_cache.dtype.itemsize
+    hc, ts = _pick_hc_ts(
+        H, S, min(S, 1024),
+        lambda c, t: c * (tq * 4 * (2 * Dh + 3 * Dv)
+                          + 2 * t * (Dh + Dv) * kv_isz
+                          + 2 * tq * t * 4))
     if quantized:
         ts = max(ts, min(S, 128))
-    tq = min(T, 128)
-    hc = _pick_head_chunk(
-        H, lambda c: (ts + tq) * c * (Dh + Dv) * 4 <= 6 * 1024 * 1024)
     grid = (B, H // hc, pl.cdiv(T, tq), pl.cdiv(S, ts))
 
     scal = jnp.stack([jnp.asarray(q_pos0, jnp.int32),
@@ -514,6 +554,8 @@ def mha_prefill_attn(q, k_cache, v_cache, q_pos0, cache_pos0,
             ],
         ),
         out_shape=out_shape, interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_PREFILL_VMEM_LIMIT),
     )(*args)
     if partials:
         acc, m, l = out
@@ -612,14 +654,20 @@ def mla_prefill_attn(q_c, q_rope, ckv_cache, krope_cache, q_pos0, cache_pos0,
     S = ckv_cache.shape[1]
     P = q_rope.shape[-1]
     quantized = ckv_scale is not None
-    ts = _pick_tile(S, (R + P) * ckv_cache.dtype.itemsize)
+    tq = min(T, 128)
+    # Scoped-VMEM model (16MB hard stack limit): double-buffered q_c/q_r
+    # in-tiles (f32) and out tile (f32) plus the single f32 acc scratch
+    # give c*tq*4*(5R+2P); the (head-independent) ckv/kr tiles
+    # double-buffer at cache dtype; the per-head (tq, ts) f32 score/p
+    # temporaries keep ~2 live copies per head of the unrolled loop
+    # (measured on-chip: they dominate at large ts).
+    kv_isz = ckv_cache.dtype.itemsize
+    hc, ts = _pick_hc_ts(
+        H, S, min(S, 1024),
+        lambda c, t: c * tq * 4 * (5 * R + 2 * P)
+        + 2 * t * (R + P) * kv_isz + 2 * c * tq * t * 4)
     if quantized:
         ts = max(ts, min(S, 128))
-    tq = min(T, 128)
-    # scratch acc is (hc, tq, R) f32 — keep it + tiles inside ~8MB
-    hc = _pick_head_chunk(
-        H, lambda c: c * tq * R * 4 + (ts + tq) * (R + P) * 4
-        <= 8 * 1024 * 1024)
     grid = (B, H // hc, pl.cdiv(T, tq), pl.cdiv(S, ts))
 
     scal = jnp.stack([jnp.asarray(q_pos0, jnp.int32),
@@ -670,6 +718,8 @@ def mla_prefill_attn(q_c, q_rope, ckv_cache, krope_cache, q_pos0, cache_pos0,
             ],
         ),
         out_shape=out_shape, interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_PREFILL_VMEM_LIMIT),
     )(*args)
     if partials:
         acc, m, l = out
