@@ -26,6 +26,15 @@ from typing import List, Optional
 
 import numpy as np
 
+# Honor JAX_PLATFORMS even when a sitecustomize pre-imported jax and
+# registered another backend first (the env var is only read at import
+# time, so a pre-import makes a shell-prefix JAX_PLATFORMS=cpu silently
+# lose). Must run before Engine pulls in anything jax.
+if os.environ.get("JAX_PLATFORMS"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 from deepseek_tpu.engine import Engine
 
 USAGE = """Usage:   python -m deepseek_tpu <checkpoint_dir> [options]
