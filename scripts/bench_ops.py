@@ -32,25 +32,36 @@ def gbps(nbytes, secs):
 def bench(name, op, x0, nbytes, iters=ITERS, consts=()):
     """op: (x, *consts) -> out. Chains x_{i+1} = x_i + eps*sum(out_i) inside
     lax.scan. consts are passed as jit args (NOT closures — closed-over
-    arrays become HLO constants, which the remote-compile path re-uploads)."""
+    arrays become HLO constants, which the remote-compile path re-uploads).
 
-    @jax.jit
-    def run(x, *consts):
-        def body(x, _):
-            o = op(x, *consts)
-            dep = (jnp.sum(o[0]) if isinstance(o, tuple) else jnp.sum(o))
-            return x + 1e-20 * dep.astype(x.dtype), ()
-        x, _ = jax.lax.scan(body, x, None, length=iters)
-        return x
+    Per-iter cost comes from the TWO-LENGTH SLOPE (t(4k) - t(k)) / 3k: a
+    single absolute timing here is dominated by the ~25-50 ms fixed
+    dispatch+sync round trip of the remote tunnel (measured: a 55 us
+    matvec reads as ~800 us at 64 iters)."""
 
-    out = run(x0, *consts)
-    jax.block_until_ready(out)
-    _ = np.asarray(out).ravel()[:1]
-    t0 = time.perf_counter()
-    out = run(x0, *consts)
-    jax.block_until_ready(out)
-    _ = np.asarray(out).ravel()[:1]
-    t = (time.perf_counter() - t0) / iters
+    def make(length):
+        @jax.jit
+        def run(x, *consts):
+            def body(x, _):
+                o = op(x, *consts)
+                dep = (jnp.sum(o[0]) if isinstance(o, tuple) else jnp.sum(o))
+                return x + 1e-20 * dep.astype(x.dtype), ()
+            x, _ = jax.lax.scan(body, x, None, length=length)
+            return x
+        return run
+
+    times = {}
+    for length in (iters, 4 * iters):
+        run = make(length)
+        out = run(x0, *consts)          # compile + slow-first-dispatch
+        jax.block_until_ready(out)
+        _ = np.asarray(out).ravel()[:1]
+        t0 = time.perf_counter()
+        out = run(x0, *consts)
+        jax.block_until_ready(out)
+        _ = np.asarray(out).ravel()[:1]  # host fetch = only reliable sync
+        times[length] = time.perf_counter() - t0
+    t = max((times[4 * iters] - times[iters]) / (3 * iters), 1e-9)
     print(f"{name:48s} {t * 1e6:9.1f} us   {gbps(nbytes, t):8.1f} GB/s",
           flush=True)
     return t
