@@ -592,9 +592,17 @@ def _dense_glu(w1, w2, w3, xb: jnp.ndarray, cfg: ModelConfig, impl, ctx,
 
 
 def _ffn(lp: LayerParams, cfg: ModelConfig, xb: jnp.ndarray, layer: int,
-         prefill: bool, impl, ctx):
+         prefill: bool, impl, ctx, active=None, active_bucket=None):
     """Returns (out (B,T,dim), ovf | None) — ovf is the EP prefill capacity
-    overflow count (ops.matmul.ep_prefill_capacity), None off that path."""
+    overflow count (ops.matmul.ep_prefill_capacity), None off that path.
+
+    ``active`` (B,) bool (decode only): rows of empty/finished
+    continuous-batching slots route with weight 0 and sort last in the
+    pair dispatch. ``active_bucket`` (STATIC int) additionally truncates
+    the kernel path's pair list to bucket*k entries — the per-pair-program
+    fixed cost dominates batched decode, so this is what actually makes a
+    partially-idle batch cheaper (the scheduler compiles one loop per
+    power-of-2 occupancy bucket)."""
     ovf = None
     if not cfg.is_moe_layer(layer):
         return _dense_glu(lp.w1, lp.w2, lp.w3, xb, cfg, impl, ctx,
@@ -623,6 +631,16 @@ def _ffn(lp: LayerParams, cfg: ModelConfig, xb: jnp.ndarray, layer: int,
     else:
         n_exp = cfg.n_routed_experts
         t_w1, t_w2, t_w3, t_w13 = lp.w1, lp.w2, lp.w3, lp.w13
+
+    if active is not None and (prefill or impl is None):
+        # Non-kernel paths: collapse inactive rows (empty/finished serving
+        # slots, shared-expert slots included) onto expert 0 with weight 0.
+        # The kernel decode path instead hands ``active`` to
+        # ctx.dispatch_pairs, which sorts dead pairs last and supports the
+        # static ``active_bucket`` truncation.
+        a = active.reshape(-1, 1, 1)
+        idx = jnp.where(a, idx, 0)
+        weights = jnp.where(a, weights, 0.0)
 
     from deepseek_tpu.ops.matmul import grouped_expert_ffn, grouped_ffn_supported
     w1_probe = t_w13 if t_w13 is not None else t_w1
@@ -663,8 +681,13 @@ def _ffn(lp: LayerParams, cfg: ModelConfig, xb: jnp.ndarray, layer: int,
         from deepseek_tpu.ops.pallas.qmm import qmm_experts
         B, T, k = idx.shape
         assert T == 1
-        lidx, wts, tok = ctx.dispatch_pairs(idx[:, 0], weights[:, 0],
-                                            n_exp)                 # (N,) each
+        n_keep = None
+        if active_bucket is not None:
+            n_keep = min(int(active_bucket) * k, B * k)
+        lidx, wts, tok = ctx.dispatch_pairs(
+            idx[:, 0], weights[:, 0], n_exp,
+            active=None if active is None else active.reshape(B),
+            n_keep=n_keep)                                         # (M,) each
         x2 = xb[:, 0]                                              # (B, dim)
         xk = x2[tok][None]                                         # (1, N, dim)
         lidx2 = lidx[None]                                         # (1, N)
@@ -708,7 +731,7 @@ def _ffn(lp: LayerParams, cfg: ModelConfig, xb: jnp.ndarray, layer: int,
 
 def run_layer_stack(layers, cache, x, pos_vec, cache_start, kv_len, kv_sink,
                     cfg: ModelConfig, prefill: bool, impl, ctx,
-                    layer_base: int = 0):
+                    layer_base: int = 0, active=None, active_bucket=None):
     """Run a contiguous range of transformer layers over activations ``x``.
 
     ``layers`` index into ``cache`` locally (a pipeline stage's cache holds
@@ -728,7 +751,8 @@ def run_layer_stack(layers, cache, x, pos_vec, cache_start, kv_len, kv_sink,
         x = x + attn
         xb = rmsnorm(x, lp.ffn_norm, cfg.norm_eps)
         dbg(f"l{layer}.ffn_norm", xb)
-        ffn, ovf = _ffn(lp, cfg, xb, layer, prefill, impl, ctx)
+        ffn, ovf = _ffn(lp, cfg, xb, layer, prefill, impl, ctx,
+                        active=active, active_bucket=active_bucket)
         if ovf is not None:
             ovf_total = ovf_total + ovf
         dbg(f"l{layer}.ffn", ffn)
@@ -739,7 +763,7 @@ def run_layer_stack(layers, cache, x, pos_vec, cache_start, kv_len, kv_sink,
 def _forward_impl(params: ModelParams, cache: KVCache, tokens: jnp.ndarray,
                   pos0, cfg: ModelConfig, prefill: bool, logits_mode: str,
                   ctx=None, with_hidden: bool = False,
-                  with_ovf: bool = False
+                  with_ovf: bool = False, active=None, active_bucket=None
                   ) -> Tuple[Optional[jnp.ndarray], KVCache]:
     if ctx is None:
         from deepseek_tpu.parallel.spmd import NULL_CTX as ctx
@@ -785,7 +809,9 @@ def _forward_impl(params: ModelParams, cache: KVCache, tokens: jnp.ndarray,
     dbg("embed", x)
     x, cache, ovf_total = run_layer_stack(
         params.layers, cache, x, pos_vec, cache_start, kv_len, kv_sink,
-        cfg, prefill, impl, ctx)
+        cfg, prefill, impl, ctx,
+        active=None if prefill else active,
+        active_bucket=None if prefill else active_bucket)
 
     if with_ovf:
         if ctx.cp:
@@ -1052,7 +1078,8 @@ def make_forward(cfg: ModelConfig, *, prefill: bool = False,
 
 
 def make_decode_loop(cfg: ModelConfig, n_steps: int, *, jit: bool = True,
-                     mesh=None, params=None, cache=None):
+                     mesh=None, params=None, cache=None,
+                     active_bucket: Optional[int] = None):
     """Fused multi-token decode: one dispatch runs ``n_steps`` forward+sample
     iterations as a lax.scan with the feedback token staying on device.
 
@@ -1060,9 +1087,12 @@ def make_decode_loop(cfg: ModelConfig, n_steps: int, *, jit: bool = True,
     flattening, runtime round-trips) is amortized over the whole block.
 
     Returns ``fn(params, cache, tok (B,1) int32, pos0, key, temperature,
-    top_p) -> (tokens (B, n_steps) int32, logits_last (B,V), cache)`` where
-    ``tok`` is the already-sampled token to feed first; ``tokens`` are the
-    n_steps tokens sampled on device (tokens[:, 0] is the successor of tok).
+    top_p, active=None) -> (tokens (B, n_steps) int32, logits_last (B,V),
+    cache)`` where ``tok`` is the already-sampled token to feed first;
+    ``tokens`` are the n_steps tokens sampled on device (tokens[:, 0] is
+    the successor of tok). ``active`` (B,) bool marks live batch rows
+    (continuous batching); inactive rows skip MoE expert fan-out
+    (see _ffn) — None means all live.
     """
     from deepseek_tpu.ops.sampling import sample_token
 
@@ -1073,9 +1103,10 @@ def make_decode_loop(cfg: ModelConfig, n_steps: int, *, jit: bool = True,
     def make_loop(cfg):
         fwd = functools.partial(
             _forward_impl, cfg=cfg, prefill=False, logits_mode="last",
-            ctx=ctx)
+            ctx=ctx, active_bucket=active_bucket)
 
-        def loop(params, cache, tok, pos0, key, temperature, top_p):
+        def loop(params, cache, tok, pos0, key, temperature, top_p,
+                 active=None):
             pos0 = jnp.asarray(pos0, jnp.int32)
             if ctx is not None and ctx.dp > 1:
                 # the key arrives replicated; fold in the data-shard index
@@ -1084,7 +1115,8 @@ def make_decode_loop(cfg: ModelConfig, n_steps: int, *, jit: bool = True,
 
             def body(carry, i):
                 cache, tok, key = carry
-                logits, cache = fwd(params, cache, tok, pos0 + i)
+                logits, cache = fwd(params, cache, tok, pos0 + i,
+                                    active=active)
                 key, sub = jax.random.split(key)
                 nxt = sample_token(logits, sub, temperature, top_p)
                 return (cache, nxt[:, None], key), (nxt, logits)
@@ -1102,7 +1134,8 @@ def make_decode_loop(cfg: ModelConfig, n_steps: int, *, jit: bool = True,
 
         def build_mesh(m, ex_params, ex_cache):
             return make_decode_loop(cfg, n_steps, jit=True, mesh=m,
-                                    params=ex_params, cache=ex_cache)
+                                    params=ex_params, cache=ex_cache,
+                                    active_bucket=active_bucket)
         return (_gspmd_kernel_gate(cfg, build, build_mesh) if jit
                 else build(cfg))
 
@@ -1114,16 +1147,19 @@ def make_decode_loop(cfg: ModelConfig, n_steps: int, *, jit: bool = True,
     inner = jax.shard_map(
         make_loop(cfg), mesh=mesh,
         in_specs=(pspec, cspec, P("data"), P("data"), P(), P("data"),
-                  P("data")),
+                  P("data"), P("data")),
         out_specs=(P("data"), P("data"), cspec),
         check_vma=False)
 
-    def loop(params, cache, tok, pos0, key, temperature, top_p):
+    def loop(params, cache, tok, pos0, key, temperature, top_p, active=None):
         B = tok.shape[0]
         bvec = lambda v, dt: jnp.broadcast_to(
             jnp.asarray(v, dt).reshape(-1), (B,))
+        if active is None:
+            active = jnp.ones((B,), jnp.bool_)
         return inner(params, cache, tok, bvec(pos0, jnp.int32), key,
-                     bvec(temperature, jnp.float32), bvec(top_p, jnp.float32))
+                     bvec(temperature, jnp.float32), bvec(top_p, jnp.float32),
+                     bvec(active, jnp.bool_))
 
     if jit:
         loop = jax.jit(loop, donate_argnums=(1,))

@@ -55,6 +55,7 @@ from __future__ import annotations
 
 import collections
 import dataclasses
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -109,11 +110,13 @@ class SpmdCtx:
                                   axis=logits.ndim - 1, tiled=True)
         return logits
 
-    def dispatch_pairs(self, idx, weights, n_experts: int):
+    def dispatch_pairs(self, idx, weights, n_experts: int,
+                       active=None, n_keep: Optional[int] = None):
         """Decode-path EP dispatch: flatten the (B, k) token-expert pairs,
         keep only this shard's ownership (non-owned weights zeroed), and
-        SORT the pair list by local expert id with non-owned pairs last,
-        aliased to the last owned expert.
+        SORT the pair list by local expert id with dead pairs (non-owned
+        under EP, inactive batch rows) last, aliased to the last live
+        expert.
 
         The sort makes consecutive pairs share their expert whenever
         possible, and ``qmm_experts`` runs the pair axis innermost in its
@@ -123,24 +126,45 @@ class SpmdCtx:
         instead of all B*k pairs. Compute for aliased pairs is wasted but
         decode is bandwidth-bound; psum_e restores the full mixture.
 
-        Returns (local_idx (N,), w (N,), token (N,)) in sorted pair order,
-        N = B*k.
+        ``active`` (B,) bool marks live batch rows; dead rows' pairs are
+        zero-weighted and sort last. ``n_keep`` (STATIC) truncates the
+        sorted list: the per-pair-program fixed cost (~2.5 us on v5e)
+        dominates batched decode, so dropping the tail is the only way a
+        partially-idle batch gets cheaper — callers must guarantee the
+        live pair count <= n_keep (continuous batching: occupancy-bucket
+        * k; the dropped tail is then all weight-0 pairs, so truncation
+        is exact).
+
+        Returns (local_idx (M,), w (M,), token (M,)) in sorted pair order,
+        M = n_keep or B*k.
         """
         B, k = idx.shape
         N = B * k
         flat = idx.reshape(N)
         w = weights.reshape(N)
         tok = jnp.arange(N, dtype=jnp.int32) // k
+        live = None
+        if active is not None:
+            live = active.reshape(B)[tok]           # (N,) bool
+            w = jnp.where(live, w, 0.0)
         if self.ep > 1:
             e_local = n_experts // self.ep
             eid = lax.axis_index(self.expert_axis)
-            owned = (flat // e_local) == eid
-            lidx = jnp.where(owned, flat % e_local, 0)
-            w = jnp.where(owned, w, 0.0)
-            cls = jnp.where(owned, lidx, e_local)   # non-owned sort last
+            keep = (flat // e_local) == eid
+            if live is not None:
+                keep = keep & live
+            lidx = jnp.where(keep, flat % e_local, 0)
+            w = jnp.where(keep, w, 0.0)
+            cls = jnp.where(keep, lidx, e_local)    # dead pairs sort last
             n_cls = e_local + 1
+        elif live is not None:
+            e_local = n_experts
+            keep = live
+            lidx = jnp.where(keep, flat, 0)
+            cls = jnp.where(keep, flat, e_local)
+            n_cls = n_experts + 1
         else:
-            owned = None
+            keep = None
             lidx = flat
             cls = lidx
             n_cls = n_experts
@@ -156,13 +180,16 @@ class SpmdCtx:
         src = jnp.zeros((N,), jnp.int32).at[dest].set(
             jnp.arange(N, dtype=jnp.int32))
         lidx_s, w_s, tok_s = lidx[src], w[src], tok[src]
-        if self.ep > 1:
-            owned_s = owned[src]
-            # alias non-owned pairs to the LAST owned expert id: sorted
+        if keep is not None:
+            keep_s = keep[src]
+            # alias dead pairs to the LAST live expert id: sorted
             # ascending, so they immediately follow a pair with that id and
             # their weight-tile fetch elides (their weight is already 0)
-            alias = jnp.maximum(jnp.max(jnp.where(owned_s, lidx_s, -1)), 0)
-            lidx_s = jnp.where(owned_s, lidx_s, alias)
+            alias = jnp.maximum(jnp.max(jnp.where(keep_s, lidx_s, -1)), 0)
+            lidx_s = jnp.where(keep_s, lidx_s, alias)
+        if n_keep is not None and n_keep < N:
+            lidx_s, w_s, tok_s = (lidx_s[:n_keep], w_s[:n_keep],
+                                  tok_s[:n_keep])
         return lidx_s, w_s, tok_s
 
     def expert_slots(self, idx, weights, n_experts: int):

@@ -83,7 +83,11 @@ class BatchScheduler:
         self.pending: Optional[_Pending] = None
         self._ids = itertools.count()
         self._key = jax.random.PRNGKey(0)
-        self._loop = None  # built lazily (jit keyed on block size)
+        # decode loops built lazily, one per power-of-2 occupancy bucket:
+        # the expert pair list truncates to bucket*k (deepseek._ffn
+        # active_bucket), so a partially-idle batch pays per-pair program
+        # cost only for ~its live rows
+        self._loops: Dict[int, object] = {}
         self._merge = None  # jitted donated slot merge
 
     # ------------------------------------------------------------------
@@ -176,29 +180,38 @@ class BatchScheduler:
         if not any(s is not None for s in self.slots):
             return
 
-        if self._loop is None:
-            self._loop = make_decode_loop(
-                self.engine.cfg, self.block, mesh=self.mesh,
-                params=self.engine.params if self.mesh is not None else None,
-                cache=self.cache if self.mesh is not None else None)
-
         temps = np.zeros(self.batch, np.float32)
         topps = np.ones(self.batch, np.float32)
+        act = np.zeros(self.batch, np.bool_)
         for i, req in enumerate(self.slots):
             if req is not None:
                 temps[i] = req.temperature
                 topps[i] = req.top_p
+                act[i] = not req.done
+        n_active = max(1, int(act.sum()))
+        bucket = 1
+        while bucket < n_active:
+            bucket *= 2
+        bucket = min(bucket, self.batch)
+        if bucket not in self._loops:
+            self._loops[bucket] = make_decode_loop(
+                self.engine.cfg, self.block, mesh=self.mesh,
+                params=self.engine.params if self.mesh is not None else None,
+                cache=self.cache if self.mesh is not None else None,
+                active_bucket=bucket if bucket < self.batch else None)
         self._key, sub = jax.random.split(self._key)
-        toks_dev, _, self.cache = self._loop(
+        toks_dev, _, self.cache = self._loops[bucket](
             self.params, self.cache,
             jnp.asarray(self.cur.reshape(-1, 1), jnp.int32),
             jnp.asarray(self.pos, jnp.int32), sub,
-            jnp.asarray(temps), jnp.asarray(topps))
+            jnp.asarray(temps), jnp.asarray(topps), jnp.asarray(act))
         toks = np.asarray(toks_dev)                     # (B, block)
 
         for i, req in enumerate(self.slots):
             if req is None or req.done:
-                self.pos[i] += self.block
+                # pos stays 0 for idle slots: with the active mask their
+                # rows route to no experts, and kv_len=1 keeps their
+                # garbage-cache attention reads minimal
                 continue
             prev = int(self.cur[i])
             for j in range(self.block):
