@@ -76,17 +76,19 @@ def _cache_write_sp_prefill(full, rows, layer: int, pos0, sidx, s_local: int):
     """Prefill write into a seq-sharded cache: each shard commits only the
     rows of the chunk [pos0, pos0+T) that fall inside its window slice.
 
-    Fast path: when the chunk lies entirely inside this shard (every chunk
-    except the ones straddling a shard edge), a plain DUS writes exactly T
-    slots. The straddling/outside cases use a masked whole-slice update —
-    a clamped DUS would corrupt edge slots, but paying the O(s_local) write
-    amplification only at shard edges keeps long-window sp prefill cheap.
+    Fast paths: a chunk entirely OUTSIDE this shard's slice (the common
+    case on sp-1 of sp shards) is a no-op; a chunk entirely inside (every
+    other chunk except the ones straddling a shard edge) is a plain DUS
+    writing exactly T slots. Only straddling chunks take the masked
+    whole-slice update — a clamped DUS would corrupt edge slots, so the
+    O(s_local) write amplification is paid only at shard edges.
     """
     if full is None:
         return None
     T = rows.shape[1]
     lo = sidx * s_local
     interior = (pos0 >= lo) & (pos0 + T <= lo + s_local)
+    disjoint = (pos0 + T <= lo) | (pos0 >= lo + s_local)
 
     def dus(f):
         start = (layer, 0, jnp.clip(pos0 - lo, 0, s_local - T)) \
@@ -103,9 +105,12 @@ def _cache_write_sp_prefill(full, rows, layer: int, pos0, sidx, s_local: int):
         msk = valid.reshape((1, s_local) + (1,) * (cand.ndim - 2))
         return f.at[layer].set(jnp.where(msk, cand, f[layer]))
 
+    def edge(f):
+        return jax.lax.cond(interior, dus, masked, f)
+
     if T > s_local:
-        return masked(full)
-    return jax.lax.cond(interior, dus, masked, full)
+        return jax.lax.cond(disjoint, lambda f: f, masked, full)
+    return jax.lax.cond(disjoint, lambda f: f, edge, full)
 
 
 def _sink_update(buf, rows_f32, layer: int, global_start, prefill: bool):
@@ -760,6 +765,35 @@ def run_layer_stack(layers, cache, x, pos_vec, cache_start, kv_len, kv_sink,
     return x, cache, ovf_total
 
 
+def decode_positions(cfg: ModelConfig, B: int, pos0):
+    """Per-sequence decode ring/sink position math, shared by
+    ``_forward_impl`` and the pipeline stages (parallel.pipeline) so the
+    two execution paths cannot diverge on ring semantics.
+
+    Returns (pos_vec (B,1), cache_start (B,), kv_len (B,), kv_sink)."""
+    pos_b = jnp.broadcast_to(jnp.asarray(pos0, jnp.int32).reshape(-1), (B,))
+    kv_sink, kv_pos, kv_len = ring_positions(cfg, pos_b)        # all (B,)
+    return pos_b[:, None], kv_pos, kv_len, kv_sink
+
+
+def final_logits(final_norm, lm_head, x, cfg: ModelConfig, impl,
+                 logits_mode: str, gather=None, cp_fixup=None):
+    """Final-norm + lm_head tail shared by ``_forward_impl`` and the last
+    pipeline stage. ``gather`` injects the TP vocab all-gather; ``cp_fixup``
+    the context-parallel row reassembly (both identity when absent)."""
+    if logits_mode == "last":
+        x = x[:, -1:]     # under CP: each shard's LOCAL last row (cheap)
+    x = rmsnorm(x, final_norm, cfg.norm_eps)
+    logits = qmatmul(lm_head, x.astype(jnp.float32), impl=impl)
+    if gather is not None:
+        logits = gather(logits)
+    if cp_fixup is not None:
+        logits = cp_fixup(logits)
+    if logits_mode == "last":
+        logits = logits[:, 0]
+    return logits
+
+
 def _forward_impl(params: ModelParams, cache: KVCache, tokens: jnp.ndarray,
                   pos0, cfg: ModelConfig, prefill: bool, logits_mode: str,
                   ctx=None, with_hidden: bool = False,
@@ -800,10 +834,7 @@ def _forward_impl(params: ModelParams, cache: KVCache, tokens: jnp.ndarray,
     else:
         assert T == 1, "decode mode processes one token per call"
         # per-sequence positions: scalar pos0 broadcasts to the batch
-        pos_b = jnp.broadcast_to(pos0.reshape(-1), (B,))
-        kv_sink, kv_pos, kv_len = ring_positions(cfg, pos_b)    # all (B,)
-        pos_vec = pos_b[:, None]                                 # (B, 1)
-        cache_start = kv_pos
+        pos_vec, cache_start, kv_len, kv_sink = decode_positions(cfg, B, pos0)
 
     x = embed_lookup(params.embed, tokens, jnp.float32).astype(dtype)
     dbg("embed", x)
@@ -830,22 +861,19 @@ def _forward_impl(params: ModelParams, cache: KVCache, tokens: jnp.ndarray,
     hidden = x  # (B, T, dim) pre-final-norm — what the MTP module consumes
     if logits_mode == "none":
         return ret(None, cache)
-    if logits_mode == "last":
-        x = x[:, -1:]     # under CP: each shard's LOCAL last row (cheap)
-    x = rmsnorm(x, params.final_norm, cfg.norm_eps)
-    logits = ctx.gather_logits(
-        qmatmul(params.lm_head, x.astype(jnp.float32), impl=impl))
+    cp_fixup = None
     if ctx.cp:
-        if logits_mode == "last":
-            # the global last row lives on the last seq shard: a masked
-            # psum selects it (logits must leave the body replicated)
-            sel = (sidx_cp == ctx.sp - 1).astype(logits.dtype)
-            logits = jax.lax.psum(logits * sel, ctx.seq_axis)
-        else:
+        def cp_fixup(logits):
+            if logits_mode == "last":
+                # the global last row lives on the last seq shard: a masked
+                # psum selects it (logits must leave the body replicated)
+                sel = (sidx_cp == ctx.sp - 1).astype(logits.dtype)
+                return jax.lax.psum(logits * sel, ctx.seq_axis)
             # "all": lm_head ran on local rows (split sp ways); reassemble
-            logits = ctx.cp_gather_rows(logits)
-    if logits_mode == "last":
-        logits = logits[:, 0]
+            return ctx.cp_gather_rows(logits)
+    logits = final_logits(params.final_norm, params.lm_head, x, cfg, impl,
+                          logits_mode, gather=ctx.gather_logits,
+                          cp_fixup=cp_fixup)
     dbg("logits", logits)
     return ret(logits, cache)
 
@@ -937,9 +965,14 @@ def _gspmd_kernel_gate(cfg: ModelConfig, build, build_mesh=None):
         would hit a pytree-structure mismatch at first call — detect and
         fall back instead of crashing."""
         try:
-            lp0 = params.layers[0]
-            return any(getattr(lp0, f, None) is not None
-                       for f in ("wkvq", "wcr", "w13", "w13s"))
+            # scan EVERY layer: layer 0 can be dense with nothing fusible
+            # (q_lora_rank=0 and a non-128-divisible hidden_dim) while MoE
+            # layers fused w13/shared_w13 — layers[0] alone would let such
+            # params slip through to a pytree-structure crash
+            return any(
+                getattr(lp, f, None) is not None
+                for lp in params.layers
+                for f in ("wkvq", "wcr", "w13", "w13s", "shared_w13"))
         except Exception:
             return False
 
@@ -1001,7 +1034,18 @@ def _gspmd_kernel_gate(cfg: ModelConfig, build, build_mesh=None):
 class EPCapacityOverflow(RuntimeError):
     """EP prefill routing skew exceeded the static capacity: the chunk's
     MoE output is missing contributions. Retry the chunk with
-    ep_capacity_factor=0 (exact) or a larger factor."""
+    ep_capacity_factor=0 (exact) or a larger factor.
+
+    ``.cache`` / ``.logits`` carry the call's outputs: the input cache was
+    DONATED (deleted on call), so the returned cache — pre-chunk rows
+    valid, this chunk's rows incomplete — is the only live buffer; a retry
+    of the SAME chunk through an exact-path forward overwrites the bad
+    rows in place."""
+
+    def __init__(self, msg: str, cache=None, logits=None):
+        super().__init__(msg)
+        self.cache = cache
+        self.logits = logits
 
 
 def make_forward(cfg: ModelConfig, *, prefill: bool = False,
@@ -1065,13 +1109,21 @@ def make_forward(cfg: ModelConfig, *, prefill: bool = False,
         inner = fn
 
         def checked(params, cache, tokens, pos0):
+            # NOTE: int(ovf) synchronizes on chunk completion — back-to-back
+            # chunk dispatches no longer pipeline (a ~RTT per chunk on
+            # remote-attached chips). Pipelines that care should use
+            # on_overflow="return" and resolve the (tiny) ovf scalars
+            # asynchronously / once per hydrate.
             logits, ovf, cache = inner(params, cache, tokens, pos0)
             if int(ovf) > 0:
                 raise EPCapacityOverflow(
                     f"{int(ovf)} token-expert pairs overflowed the EP "
                     f"prefill capacity (ep_capacity_factor="
                     f"{cfg.ep_capacity_factor}); retry the chunk with "
-                    f"ep_capacity_factor=0 (exact) or raise the factor")
+                    f"ep_capacity_factor=0 (exact) or raise the factor "
+                    f"(the valid returned cache is on the exception's "
+                    f".cache — the donated input buffer is gone)",
+                    cache=cache, logits=logits)
             return logits, cache
         return checked
     return fn

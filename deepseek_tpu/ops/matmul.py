@@ -102,21 +102,16 @@ def _ep_owned(flat_idx, flat_w, ctx, e_local: int):
     Returns (lidx, owned, within, counts, w): local expert id per pair
     (0 for non-owned), ownership mask, rank among same-expert owned pairs,
     per-local-expert owned counts, weights with non-owned zeroed.
+    (Thin composition of the shared spmd helpers — the decode pair
+    dispatch, SpmdCtx.dispatch_pairs, uses the same core.)
     """
-    if ctx.ep > 1:
-        eid = jax.lax.axis_index(ctx.expert_axis)
-        owned = (flat_idx // e_local) == eid
-        lidx = jnp.where(owned, flat_idx % e_local, 0)
-        flat_w = jnp.where(owned, flat_w, 0.0)
-    else:
+    from deepseek_tpu.parallel.spmd import counting_rank, ep_ownership
+    lidx, owned, flat_w = ep_ownership(flat_idx, flat_w, ctx, e_local)
+    if owned is None:
         owned = jnp.ones(flat_idx.shape, bool)
-        lidx = flat_idx
     cls = jnp.where(owned, lidx, e_local)                    # (N,)
-    oh = jax.nn.one_hot(cls, e_local + 1, dtype=jnp.int32)
-    within = jnp.take_along_axis(
-        jnp.cumsum(oh, axis=0) - 1, cls[:, None], axis=1)[:, 0]
-    counts = oh.sum(axis=0)[:e_local]
-    return lidx, owned, within, counts, flat_w
+    within, counts, _ = counting_rank(cls, e_local + 1)
+    return lidx, owned, within, counts[:e_local], flat_w
 
 
 def _quantized_grouped_ffn(w1, w2, w3, xb, weights, idx, act, ctx, interpret,

@@ -28,11 +28,12 @@ import jax
 import jax.numpy as jnp
 
 from deepseek_tpu.config import ModelConfig
-from deepseek_tpu.models.deepseek import run_layer_stack
-from deepseek_tpu.models.kvcache import init_cache, ring_positions
+from deepseek_tpu.models.deepseek import (
+    decode_positions, final_logits, run_layer_stack,
+)
+from deepseek_tpu.models.kvcache import init_cache
 from deepseek_tpu.models.params import ModelParams, embed_lookup
-from deepseek_tpu.ops import rmsnorm
-from deepseek_tpu.ops.matmul import kernel_impl, qmatmul
+from deepseek_tpu.ops.matmul import kernel_impl
 
 
 def stage_bounds(n_layers: int, n_stages: int) -> List[tuple]:
@@ -49,15 +50,16 @@ def stage_bounds(n_layers: int, n_stages: int) -> List[tuple]:
 
 
 def _positions(cfg: ModelConfig, B: int, T: int, pos0, prefill: bool):
+    """Position math per mode — the decode ring/sink case is the shared
+    ``models.deepseek.decode_positions`` (so pipeline and single-graph
+    execution cannot diverge on ring semantics)."""
     pos0 = jnp.asarray(pos0, jnp.int32)
     if prefill:
         assert pos0.ndim == 0, "prefill requires a shared scalar position"
         pos_vec = pos0 + jnp.arange(T, dtype=jnp.int32)
         return pos_vec, pos0, None, None
     assert T == 1
-    pos_b = jnp.broadcast_to(pos0.reshape(-1), (B,))
-    kv_sink, kv_pos, kv_len = ring_positions(cfg, pos_b)
-    return pos_b[:, None], kv_pos, kv_len, kv_sink
+    return decode_positions(cfg, B, pos0)
 
 
 def _make_stage_fn(cfg: ModelConfig, lo: int, hi: int, first: bool,
@@ -82,13 +84,8 @@ def _make_stage_fn(cfg: ModelConfig, lo: int, hi: int, first: bool,
             return x, cache
         if logits_mode == "none":
             return None, cache
-        if logits_mode == "last":
-            x = x[:, -1:]
-        x = rmsnorm(x, sp.final_norm, cfg.norm_eps)
-        logits = qmatmul(sp.lm_head, x.astype(jnp.float32), impl=impl)
-        if logits_mode == "last":
-            logits = logits[:, 0]
-        return logits, cache
+        return final_logits(sp.final_norm, sp.lm_head, x, cfg, impl,
+                            logits_mode), cache
 
     return jax.jit(fn, donate_argnums=(1,))
 

@@ -69,6 +69,47 @@ from deepseek_tpu.config import ModelConfig
 TRACE_COUNTS: collections.Counter = collections.Counter()
 
 
+def counting_rank(cls, n_cls: int):
+    """One-hot-cumsum counting-sort machinery shared by the decode pair
+    dispatch (SpmdCtx.dispatch_pairs) and the prefill tile dispatch
+    (ops.matmul._ep_owned): returns (within, counts, starts) — each
+    element's rank among its class, per-class counts, and exclusive-prefix
+    class starts. A sort HLO here would sit on the MoE hot path and TPU
+    sorts are milliseconds-slow at pair-list sizes (CLAUDE.md)."""
+    oh = jax.nn.one_hot(cls, n_cls, dtype=jnp.int32)
+    within = jnp.take_along_axis(
+        jnp.cumsum(oh, axis=0) - 1, cls[:, None], axis=1)[:, 0]
+    counts = oh.sum(axis=0)
+    starts = jnp.cumsum(counts) - counts
+    return within, counts, starts
+
+
+def ep_ownership(flat_idx, flat_w, ctx: "SpmdCtx", e_local: int, live=None):
+    """Shared EP-ownership fold: maps global expert ids to this shard's
+    local table and zero-weights pairs the shard must not compute
+    (non-owned under EP; dead batch rows when ``live`` is given).
+
+    Returns (lidx, keep, w): local expert id (0 where dropped), keep mask
+    (None when nothing can be dropped), weights with dropped pairs zeroed.
+    """
+    if live is not None:
+        flat_w = jnp.where(live, flat_w, 0.0)
+    if ctx.ep > 1:
+        eid = lax.axis_index(ctx.expert_axis)
+        keep = (flat_idx // e_local) == eid
+        if live is not None:
+            keep = keep & live
+        lidx = jnp.where(keep, flat_idx % e_local, 0)
+        flat_w = jnp.where(keep, flat_w, 0.0)
+    elif live is not None:
+        keep = live
+        lidx = jnp.where(keep, flat_idx, 0)
+    else:
+        keep = None
+        lidx = flat_idx
+    return lidx, keep, flat_w
+
+
 @dataclasses.dataclass(frozen=True)
 class SpmdCtx:
     tp: int = 1                  # size of the tensor axis
@@ -146,36 +187,15 @@ class SpmdCtx:
         live = None
         if active is not None:
             live = active.reshape(B)[tok]           # (N,) bool
-            w = jnp.where(live, w, 0.0)
-        if self.ep > 1:
-            e_local = n_experts // self.ep
-            eid = lax.axis_index(self.expert_axis)
-            keep = (flat // e_local) == eid
-            if live is not None:
-                keep = keep & live
-            lidx = jnp.where(keep, flat % e_local, 0)
-            w = jnp.where(keep, w, 0.0)
+        e_local = n_experts // self.ep if self.ep > 1 else n_experts
+        lidx, keep, w = ep_ownership(flat, w, self, e_local, live=live)
+        if keep is not None:
             cls = jnp.where(keep, lidx, e_local)    # dead pairs sort last
             n_cls = e_local + 1
-        elif live is not None:
-            e_local = n_experts
-            keep = live
-            lidx = jnp.where(keep, flat, 0)
-            cls = jnp.where(keep, flat, e_local)
-            n_cls = n_experts + 1
         else:
-            keep = None
-            lidx = flat
             cls = lidx
             n_cls = n_experts
-        # one-hot-cumsum counting sort by expert class — a sort HLO here
-        # would sit on the MoE decode hot path (CLAUDE.md: TPU sorts are
-        # milliseconds-slow at pair-list sizes)
-        oh = jax.nn.one_hot(cls, n_cls, dtype=jnp.int32)
-        within = jnp.take_along_axis(
-            jnp.cumsum(oh, axis=0) - 1, cls[:, None], axis=1)[:, 0]
-        counts = oh.sum(axis=0)
-        starts = jnp.cumsum(counts) - counts
+        within, counts, starts = counting_rank(cls, n_cls)
         dest = starts[cls] + within                 # bijective over [0, N)
         src = jnp.zeros((N,), jnp.int32).at[dest].set(
             jnp.arange(N, dtype=jnp.int32))
