@@ -145,8 +145,11 @@ def _q2kt_body(x_ref, s16_ref, p_ref, d_ref, bm_ref, o_ref):
     x = x_ref[...]
     n = pf.shape[-1]
     d_t = d_ref[...].T                                     # (n/256, TD)
+    # bm is stored bf16 — numerically free: this DEFAULT-precision dot
+    # truncates f32 operands to bf16 anyway (module docstring)
     acc = -jax.lax.dot_general(
-        s16_ref[...], bm_ref[...], (((1,), (1,)), ((), ())),
+        s16_ref[...], bm_ref[...].astype(jnp.float32),
+        (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)                # (TB, TD) min term
     for sb in range(n // 256):
         sl = slice(sb * 256, (sb + 1) * 256)
@@ -158,10 +161,11 @@ def _q2kt_body(x_ref, s16_ref, p_ref, d_ref, bm_ref, o_ref):
 
 
 def _q3kt_body(x_ref, p_ref, a_ref, o_ref):
-    """Q3_K turbo: int8 quant plane (permuted) with fused per-16 f32
-    scales a = d*sc. ~3 VPU ops/weight."""
+    """Q3_K turbo: int8 quant plane (permuted) with fused per-16 bf16
+    scales a = d*sc (bf16 storage is numerically free: the big dot below
+    truncates w to bf16 at DEFAULT precision anyway). ~3 VPU ops/weight."""
     pf = p_ref[...].astype(jnp.float32)
-    w = _rep16(a_ref[...]) * pf
+    w = _rep16(a_ref[...].astype(jnp.float32)) * pf
     o_ref[...] = jax.lax.dot_general(
         x_ref[...], w, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)

@@ -168,14 +168,20 @@ class Q2KTurboTensor:
     (s16 = per-16-group activation sums, one tiny extra dot). The only
     per-weight VPU work left is the int8->f32 convert — measured 493 tok/s
     class on fp8 with the same structure vs ~350 for materialized-scale
-    pipelines. Costs 8.25+ bits of HBM per weight instead of 2.625 — a
+    pipelines. Costs 9.125 bits of HBM per weight instead of 2.625 — a
     speed/capacity trade selected per session (Engine
     kquant_runtime="turbo").
     """
 
     p: jax.Array    # (..., out, in) int8 = sc * q, NATURAL column order
     d: jax.Array    # (..., out, in//256) f32 super scale
-    bm: jax.Array   # (..., out, in//16) f32 = dmin * mn (min term)
+    bm: jax.Array   # (..., out, in//16) bf16 = dmin * mn (min term).
+    #                 bf16 storage halves this plane's 0.25 B/weight HBM
+    #                 share at IDENTICAL TPU numerics: the min-term dot
+    #                 runs DEFAULT MXU precision, which truncates its f32
+    #                 operands to bf16 anyway (see ops/pallas/qmm.py
+    #                 module docstring). Only the exact-f32 CPU/XLA test
+    #                 path sees the 2^-9 rounding.
 
     @property
     def shape(self) -> Tuple[int, ...]:
@@ -183,7 +189,7 @@ class Q2KTurboTensor:
 
     @property
     def nbytes_active(self) -> int:
-        return self.p.size + self.d.size * 4 + self.bm.size * 4
+        return self.p.nbytes + self.d.nbytes + self.bm.nbytes
 
     def dequant(self, dtype=jnp.float32) -> jax.Array:
         w = jnp.repeat(self.d.astype(dtype), 256, axis=-1) * self.p.astype(dtype)
@@ -199,13 +205,18 @@ class Q3KTurboTensor:
 
     p = (qlow + 4*hbit - 4) in [-4, 3]; a = d * sc per 16 columns, so the
     kernel is w = rep16(a) * p — convert + repeat + multiply, ~3 VPU ops
-    per weight vs ~8 for the packed planes. 10 bits/weight of HBM vs
+    per weight vs ~8 for the packed planes. 9 bits/weight of HBM vs
     3.4375 packed. Columns are in the stride-16 PERMUTED order (the per-16
     scale expansion is a lane-tile repeat, like the packed kernels).
     """
 
     p: jax.Array    # (..., out, in) int8, PERMUTED column order
-    a: jax.Array    # (..., out, in//16) f32 fused scale, permuted-compatible
+    a: jax.Array    # (..., out, in//16) bf16 fused scale, permuted-
+    #                 compatible. bf16 halves the plane's HBM share; the
+    #                 scaled weight w = rep16(a)*p feeds a DEFAULT-precision
+    #                 dot that truncates w to bf16 regardless, so the TPU
+    #                 error class (2^-9) is unchanged — only the exact-f32
+    #                 CPU/XLA test path sees the storage rounding
 
     @property
     def shape(self) -> Tuple[int, ...]:
@@ -213,7 +224,7 @@ class Q3KTurboTensor:
 
     @property
     def nbytes_active(self) -> int:
-        return self.p.size + self.a.size * 4
+        return self.p.nbytes + self.a.nbytes
 
     def dequant(self, dtype=jnp.float32) -> jax.Array:
         from deepseek_tpu.quant.repack import stride16_inv_perm
@@ -236,7 +247,8 @@ def q2k_to_turbo(qt: Q2KTensor) -> Q2KTurboTensor:
     mn = (qt.sm >> 4).astype(jnp.float32)
     p = (jnp.repeat(sc, 16, axis=-1) * q).astype(jnp.int8)   # exact, <= 45
     bm = jnp.repeat(qt.dmin.astype(jnp.float32), 16, axis=-1) * mn
-    return Q2KTurboTensor(p=p, d=qt.d.astype(jnp.float32), bm=bm)
+    return Q2KTurboTensor(p=p, d=qt.d.astype(jnp.float32),
+                          bm=bm.astype(jnp.bfloat16))
 
 
 def q3k_to_turbo(qt: Q3KTensor) -> Q3KTurboTensor:
@@ -250,7 +262,7 @@ def q3k_to_turbo(qt: Q3KTensor) -> Q3KTurboTensor:
     p = (qlow.astype(jnp.int8) + (hbit.astype(jnp.int8) << 2) - 4)
     a = jnp.repeat(qt.d.astype(jnp.float32), 16, axis=-1) \
         * qt.sc.astype(jnp.float32)                      # (out, in//16)
-    return Q3KTurboTensor(p=p, a=a)
+    return Q3KTurboTensor(p=p, a=a.astype(jnp.bfloat16))
 
 
 QTensorLike = (PlainTensor, Fp8Tensor, Q2KTensor, Q3KTensor,

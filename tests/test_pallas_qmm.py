@@ -197,7 +197,13 @@ def test_turbo_runtime_matches_packed_engine(tmp_path):
 
     p1 = e_pk.perplexity(prompt + out1)[0]
     p2 = e_tb.perplexity(prompt + out1)[0]
-    np.testing.assert_allclose(p2, p1, rtol=1e-4)
+    # turbo stores its fused min/scale planes (bm, a) in bf16: on TPU
+    # that is numerically FREE (the kernel dots truncate those operands
+    # to bf16 at DEFAULT MXU precision regardless — qmm.py docstring),
+    # but this CPU/XLA path computes exact f32, so the 2^-9 storage
+    # rounding surfaces as a ~1%-class ppl shift on a tiny random model.
+    # Greedy tokens (asserted above) must still agree exactly.
+    np.testing.assert_allclose(p2, p1, rtol=2e-2)
 
 
 def test_full_model_pallas_impl_matches_xla(tmp_path):
