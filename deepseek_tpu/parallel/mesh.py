@@ -25,7 +25,9 @@ AXES = ("data", "expert", "tensor", "seq")
 
 def init_multihost(coordinator_address: Optional[str] = None,
                    num_processes: Optional[int] = None,
-                   process_id: Optional[int] = None) -> int:
+                   process_id: Optional[int] = None,
+                   initialization_timeout: int = 300,
+                   heartbeat_timeout_seconds: int = 100) -> int:
     """Initialize multi-host execution (jax.distributed).
 
     On TPU pods the arguments are discovered from the environment; pass them
@@ -36,13 +38,23 @@ def init_multihost(coordinator_address: Optional[str] = None,
     crosses DCN (the mesh device order from jax.devices() already groups by
     process). Returns the process index.
 
+    Failure posture (the reference is single-process; SURVEY.md §5 asks
+    multi-host runs to at least fail cleanly): both timeouts are
+    pass-throughs to the coordination service, so a host that never shows
+    up kills the job after ``initialization_timeout`` seconds and a host
+    that dies mid-run is detected within ``heartbeat_timeout_seconds`` —
+    the surviving processes raise instead of hanging in a collective
+    (tests/test_multihost.py clean-fail tests pin this behavior).
+
     Single-process callers can skip this entirely; it is idempotent-safe to
     guard with ``jax.process_count() > 1`` checks in launch scripts.
     """
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,
-        process_id=process_id)
+        process_id=process_id,
+        initialization_timeout=initialization_timeout,
+        heartbeat_timeout_seconds=heartbeat_timeout_seconds)
     return jax.process_index()
 
 

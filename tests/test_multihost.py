@@ -92,3 +92,77 @@ def test_two_process_data_parallel_matches_single(tmp_path):
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {pid} failed:\n{out[-4000:]}"
         assert f"WORKER_OK pid={pid}" in out, out[-4000:]
+
+
+def _fail_env():
+    env = dict(os.environ)
+    for k in ("JAX_PLATFORMS", "XLA_FLAGS", "JAX_NUM_CPU_DEVICES"):
+        env.pop(k, None)
+    env["PYTHONPATH"] = _REPO + os.pathsep + env.get("PYTHONPATH", "")
+    return env
+
+
+_FAILWORKER = os.path.join(_REPO, "tests", "multihost_failworker.py")
+
+
+def test_multihost_missing_peer_fails_cleanly():
+    """A host that never shows up must kill the job after the bounded
+    initialization_timeout — non-zero exit, no hang (SURVEY.md §5 failure
+    posture; the reference has nothing to distribute)."""
+    try:
+        port = _free_port()
+    except OSError:
+        pytest.skip("no localhost port available")
+    coord = f"127.0.0.1:{port}"
+    # only the coordinator (pid 0) starts; it expects 2 processes
+    p = subprocess.Popen(
+        [sys.executable, _FAILWORKER, "solo", coord, "0", "2"],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=_fail_env())
+    try:
+        out, _ = p.communicate(timeout=120)
+    except subprocess.TimeoutExpired:
+        p.kill()
+        pytest.fail("init with a missing peer hung past its timeout")
+    text = out.decode("utf-8", errors="replace")
+    assert p.returncode != 0, f"expected clean failure, got rc=0:\n{text[-2000:]}"
+    assert "INIT_OK" not in text, text[-2000:]
+
+
+def test_multihost_dead_peer_detected():
+    """A host that dies MID-RUN (exit with no shutdown handshake) must be
+    declared dead within heartbeat_timeout_seconds; the survivor's next
+    barrier raises instead of blocking forever."""
+    try:
+        port = _free_port()
+    except OSError:
+        pytest.skip("no localhost port available")
+    coord = f"127.0.0.1:{port}"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, _FAILWORKER, "die", coord, str(pid), "2"],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            env=_fail_env())
+        for pid in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=180)
+            outs.append(out.decode("utf-8", errors="replace"))
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+        pytest.fail("survivor hung after peer death (no bounded detection)")
+    # pid 1 crashed on purpose
+    assert procs[1].returncode == 1, outs[1][-2000:]
+    # pid 0 (coordinator) must terminate non-zero within the bound — not
+    # hang, not report success. The error reaches it one of two ways:
+    # the barrier raises (our except prints the marker) or the async
+    # error-polling thread aborts the process with the coordination
+    # service's crash report; both are clean bounded failure.
+    assert "NO_FAILURE_SEEN" not in outs[0], outs[0][-2000:]
+    assert procs[0].returncode != 0, outs[0][-2000:]
+    assert ("CLEAN_FAIL_DETECTED pid=0" in outs[0]
+            or "crashed" in outs[0] or "CoordinationService" in outs[0]), \
+        outs[0][-2000:]
