@@ -69,6 +69,9 @@ TPU options:
   --mtp-spec                  self-speculative decoding with the checkpoint's
                               own MTP module (DeepSeek-V3 extra layer)
   --spec-k <int>              draft tokens per speculation round (default 4)
+  --no-scan-layers            keep the layer stack unrolled (default: deep
+                              models run homogeneous layers as one lax.scan
+                              — constant program size, faster compiles)
   --kquant-turbo              expand K-quant weights to pre-scaled int8
                               planes at load: ~2x faster decode for ~3x
                               the packed weight memory (still < bf16)
@@ -107,6 +110,7 @@ class Args:
         self.dtype: Optional[str] = None
         self.kv_dtype: Optional[str] = None
         self.kquant_turbo = False
+        self.scan_layers = "auto"
         self.chunk = 256
         self.seed: Optional[int] = None
         self.yarn = False
@@ -157,6 +161,8 @@ def parse_mode_flags(args: Args, argv: List[str]) -> Args:
             args.kv_dtype = val()
         elif a == "--kquant-turbo":
             args.kquant_turbo = True
+        elif a == "--no-scan-layers":
+            args.scan_layers = False
         elif a == "--chunk":
             args.chunk = int(val())
         elif a == "--seed":
@@ -418,6 +424,7 @@ def main(argv: Optional[List[str]] = None):
         prefill_chunk=args.chunk,
         use_yarn=args.yarn,
         kquant_runtime="turbo" if args.kquant_turbo else None,
+        scan_layers=args.scan_layers,
     )
     md = engine.data.metadata
     print(f"Loaded model: arch={md.get('arch')} quant={md.get('quant')} "

@@ -96,6 +96,7 @@ class Engine:
         load_mtp: bool = True,
         kquant_runtime: Optional[str] = None,
         fuse: bool = True,
+        scan_layers="auto",
     ):
         self.data = load_checkpoint(checkpoint_dir)
         overrides = {}
@@ -126,6 +127,19 @@ class Engine:
             from deepseek_tpu.models.loader import fuse_projections
             p, self.params = self.params, None
             self.params = fuse_projections(p, self.cfg, consume=True)
+            del p
+        # roll homogeneous layer runs into lax.scan stacks: compiled
+        # program size stays depth-independent (unrolled stacks cross a
+        # TPU program-size cliff past ~24 layers — PERFORMANCE.md) and
+        # compile time drops. "auto" engages for deep models; the Engine
+        # is single-chip, so the stacked layout is always legal here.
+        if scan_layers is True or (scan_layers == "auto"
+                                   and self.cfg.n_layers >= 16):
+            from deepseek_tpu.models.loader import stack_layer_groups
+            p, self.params = self.params, None
+            self.params = stack_layer_groups(
+                p, self.cfg, consume=True,
+                min_group=2 if scan_layers is True else 8)
             del p
         if lock_weights:
             jax.block_until_ready(jax.tree.leaves(self.params))

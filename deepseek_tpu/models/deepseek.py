@@ -423,12 +423,25 @@ def _attention(lp: LayerParams, cfg: ModelConfig, xb: jnp.ndarray,
                     cfg.head_dim, softmax_scale=sm_scale)[:, None]  # (B,1,H,R)
 
         # per-head up-projection of attended latents (wv_b, infer.cpp:1134-1137)
+        from deepseek_tpu.ops.matmul import LayerSlicedQT
         if impl is not None and not prefill and not isinstance(lp.wv_b, PlainTensor):
             # expert-gather kernel with idx = head index: each head's packed
             # block is read exactly once, nothing dequantizes to HBM
             from deepseek_tpu.ops.pallas.qmm import qmm_experts
-            wv3 = reshape_rows(lp.wv_b, H)
-            hidx = jnp.broadcast_to(jnp.arange(H, dtype=jnp.int32)[None], (B, H))
+            if isinstance(lp.wv_b, LayerSlicedQT):
+                # scanned stack: (Lg, H*Dv, R) -> (Lg*H, Dv, R) per-head
+                # table (free reshape); head ids offset by li*H
+                wv3 = jax.tree.map(
+                    lambda a: a.reshape(
+                        (a.shape[0] * H, a.shape[1] // H) + a.shape[2:]),
+                    lp.wv_b.qt)
+                hidx = jnp.arange(H, dtype=jnp.int32)[None] \
+                    + jnp.asarray(lp.wv_b.li, jnp.int32) * H
+                hidx = jnp.broadcast_to(hidx, (B, H))
+            else:
+                wv3 = reshape_rows(lp.wv_b, H)
+                hidx = jnp.broadcast_to(
+                    jnp.arange(H, dtype=jnp.int32)[None], (B, H))
             v = qmm_experts(wv3, hidx, lat[:, 0], interpret=impl["interpret"])
             v = v[:, None]                                   # (B,1,H,Dv)
         else:
@@ -637,6 +650,16 @@ def _ffn(lp: LayerParams, cfg: ModelConfig, xb: jnp.ndarray, layer: int,
         n_exp = cfg.n_routed_experts
         t_w1, t_w2, t_w3, t_w13 = lp.w1, lp.w2, lp.w3, lp.w13
 
+    from deepseek_tpu.ops.matmul import LayerSlicedQT
+    if prefill or impl is None:
+        # only the decode kernel path below can index a scanned layer
+        # stack in place (expert_table); every other branch consumes the
+        # materialized slice (XLA fallback / grouped prefill — an extra
+        # slice copy per chunk there, amortized over the chunk's tokens)
+        def _mat(t):
+            return t.materialize() if isinstance(t, LayerSlicedQT) else t
+        t_w1, t_w2, t_w3, t_w13 = map(_mat, (t_w1, t_w2, t_w3, t_w13))
+
     if active is not None and (prefill or impl is None):
         # Non-kernel paths: collapse inactive rows (empty/finished serving
         # slots, shared-expert slots included) onto expert 0 with weight 0.
@@ -683,6 +706,7 @@ def _ffn(lp: LayerParams, cfg: ModelConfig, xb: jnp.ndarray, layer: int,
         # pair list is expert-sorted (EP ownership folded in) so repeated
         # experts' weight tiles are fetched ONCE: per-shard traffic scales
         # with distinct owned experts, ~k/EP under expert parallelism.
+        from deepseek_tpu.ops.matmul import expert_table
         from deepseek_tpu.ops.pallas.qmm import qmm_experts
         B, T, k = idx.shape
         assert T == 1
@@ -696,17 +720,23 @@ def _ffn(lp: LayerParams, cfg: ModelConfig, xb: jnp.ndarray, layer: int,
         x2 = xb[:, 0]                                              # (B, dim)
         xk = x2[tok][None]                                         # (1, N, dim)
         lidx2 = lidx[None]                                         # (1, N)
+        # expert_table: a scanned layer stack merges (layer, expert) into
+        # one gather axis — idx offset li*E, no weight copies
         if t_w13 is not None:
-            h2 = qmm_experts(t_w13, lidx2, xk,
+            tw13, lx13 = expert_table(t_w13, lidx2)
+            h2 = qmm_experts(tw13, lx13, xk,
                              interpret=impl["interpret"]).astype(dtype)
             m = h2.shape[-1] // 2
             h = glu_act(h2[..., :m], h2[..., m:], cfg.act)         # (1, N, m)
         else:
+            tw1, lx1 = expert_table(t_w1, lidx2)
+            tw3, lx3 = expert_table(t_w3, lidx2)
             h = glu_act(
-                qmm_experts(t_w1, lidx2, xk, interpret=impl["interpret"]).astype(dtype),
-                qmm_experts(t_w3, lidx2, xk, interpret=impl["interpret"]).astype(dtype),
+                qmm_experts(tw1, lx1, xk, interpret=impl["interpret"]).astype(dtype),
+                qmm_experts(tw3, lx3, xk, interpret=impl["interpret"]).astype(dtype),
                 cfg.act)                                           # (1, N, m)
-        per = qmm_experts(t_w2, lidx2, h, interpret=impl["interpret"])[0]
+        tw2, lx2 = expert_table(t_w2, lidx2)
+        per = qmm_experts(tw2, lx2, h, interpret=impl["interpret"])[0]
         out = jax.ops.segment_sum(per * wts[:, None], tok, num_segments=B)
         out = ctx.psum_e(out[:, None]).astype(dtype)
     else:
@@ -744,24 +774,94 @@ def run_layer_stack(layers, cache, x, pos_vec, cache_start, kv_len, kv_sink,
     (MoE/dense selection and debug labels are global). Returns
     (x, cache, ovf_total) — see _ffn for the EP overflow count.
     """
-    ovf_total = jnp.int32(0)
-    for local, lp in enumerate(layers):
-        layer = layer_base + local
+    from deepseek_tpu.models.params import StackedLayers
+    from deepseek_tpu.utils.debug import capture_active
+
+    _RAW = frozenset({"attn_norm", "ffn_norm", "kv_a_norm", "q_a_norm",
+                      "moegate", "moegate_bias"})
+
+    def _layer_view(lp_stacked, gi):
+        """Per-iteration view of a stacked LayerParams: raw arrays (norms,
+        gate — KB-scale) slice at the traced group index; QTensor weights
+        wrap as LayerSlicedQT so the kernels index the stack in place."""
+        import dataclasses as _dc
+
+        from deepseek_tpu.ops.matmul import LayerSlicedQT
+        kw = {}
+        for f in _dc.fields(type(lp_stacked)):
+            v = getattr(lp_stacked, f.name)
+            if v is None:
+                kw[f.name] = None
+            elif f.name in _RAW:
+                kw[f.name] = v[gi]
+            else:
+                kw[f.name] = LayerSlicedQT(v, gi)
+        return type(lp_stacked)(**kw)
+
+    def one_layer(lp, x, cache, local, layer_static, label):
+        """One transformer layer. ``local`` may be a TRACED index (scan) —
+        every cache access is [local]-indexed so it lowers to dynamic
+        slices; ``layer_static`` must be a static int for the MoE/dense
+        branch (is_moe_layer) and is the representative global index for
+        a scanned group (homogeneity guaranteed by stack_layer_groups)."""
         xb = rmsnorm(x, lp.attn_norm, cfg.norm_eps)
-        dbg(f"l{layer}.attn_norm", xb)
+        dbg(f"l{label}.attn_norm", xb)
         attn, cache = _attention(
             lp, cfg, xb, cache, local, pos_vec, cache_start, kv_len, kv_sink,
             prefill, impl, ctx)
-        dbg(f"l{layer}.attn", attn)
+        dbg(f"l{label}.attn", attn)
         x = x + attn
         xb = rmsnorm(x, lp.ffn_norm, cfg.norm_eps)
-        dbg(f"l{layer}.ffn_norm", xb)
-        ffn, ovf = _ffn(lp, cfg, xb, layer, prefill, impl, ctx,
+        dbg(f"l{label}.ffn_norm", xb)
+        ffn, ovf = _ffn(lp, cfg, xb, layer_static, prefill, impl, ctx,
                         active=active, active_bucket=active_bucket)
-        if ovf is not None:
-            ovf_total = ovf_total + ovf
-        dbg(f"l{layer}.ffn", ffn)
-        x = x + ffn
+        dbg(f"l{label}.ffn", ffn)
+        return x + ffn, cache, ovf
+
+    ovf_total = jnp.int32(0)
+    local = 0
+    for entry in layers:
+        layer = layer_base + local
+        if isinstance(entry, StackedLayers) and capture_active():
+            # debug capture needs one static label per layer: expand the
+            # stack into per-layer slices (slow path, debug only)
+            entry = [jax.tree.map(lambda a, k=k: a[k], entry.lp)
+                     for k in range(entry.n)]
+        if isinstance(entry, StackedLayers):
+            # one lax.scan over the stacked group: compiled program size
+            # stays depth-independent (unrolled deep stacks cross the TPU
+            # program-size cliff — see StackedLayers docstring). The
+            # stacked WEIGHTS stay loop-invariant closures wrapped as
+            # LayerSlicedQT views — scanning them as xs would materialize
+            # a full per-layer HBM copy each iteration to feed the opaque
+            # Pallas kernels (measured 85 -> 19 tok/s); the kernel paths
+            # instead index the stack via scalar prefetch, copy-free.
+            def body(carry, li, layer=layer, local0=local, entry=entry):
+                x, cache, ovf_t = carry
+                lp_i = _layer_view(entry.lp, li - local0)
+                x, cache, ovf = one_layer(lp_i, x, cache, li, layer,
+                                          f"stack{layer}")
+                if ovf is not None:
+                    ovf_t = ovf_t + ovf
+                return (x, cache, ovf_t), None
+            lidx = jnp.arange(local, local + entry.n, dtype=jnp.int32)
+            (x, cache, ovf_total), _ = jax.lax.scan(
+                body, (x, cache, ovf_total), lidx)
+            local += entry.n
+        elif isinstance(entry, list):      # debug expansion of a stack
+            for lp in entry:
+                x, cache, ovf = one_layer(lp, x, cache, local,
+                                          layer_base + local,
+                                          layer_base + local)
+                if ovf is not None:
+                    ovf_total = ovf_total + ovf
+                local += 1
+        else:
+            x, cache, ovf = one_layer(entry, x, cache, local, layer,
+                                      layer)
+            if ovf is not None:
+                ovf_total = ovf_total + ovf
+            local += 1
     return x, cache, ovf_total
 
 

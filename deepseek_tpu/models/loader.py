@@ -9,6 +9,7 @@ embedding as lm_head (model.cpp:846-871).
 
 from __future__ import annotations
 
+import functools
 from typing import Callable, Optional
 
 import jax
@@ -408,54 +409,165 @@ def unfuse_projections(params: ModelParams, cfg: ModelConfig) -> ModelParams:
     return dataclasses.replace(params, layers=layers, mtp=mtp)
 
 
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _stack_fill(buf, piece, i):
+    return jax.lax.dynamic_update_index_in_dim(buf, piece, i, 0)
+
+
+def _stack_lps(lps, consume: bool):
+    """Stack a list of structurally-identical LayerParams into one whose
+    arrays carry a leading (n,) axis.
+
+    Fills preallocated buffers with donated in-place updates instead of
+    jnp.stack (which peaks at 2x the group's bytes and OOMs Q3_K at full
+    V2-Lite depth). With ``consume`` the source fields are released as
+    they are copied, bounding the transient to roughly the originals plus
+    the single largest field's stacked buffer."""
+    import dataclasses
+    n = len(lps)
+    kw = {}
+    for f in dataclasses.fields(type(lps[0])):
+        v0 = getattr(lps[0], f.name)
+        if v0 is None:
+            kw[f.name] = None
+            continue
+        leaves0, treedef = jax.tree.flatten(v0)
+        bufs = [jnp.zeros((n,) + x.shape, x.dtype) for x in leaves0]
+        for i in range(n):
+            pieces = jax.tree.leaves(getattr(lps[i], f.name))
+            bufs = [_stack_fill(b, p, jnp.int32(i))
+                    for b, p in zip(bufs, pieces)]
+            if consume:
+                object.__setattr__(lps[i], f.name, None)
+        kw[f.name] = jax.tree.unflatten(treedef, bufs)
+    return type(lps[0])(**kw)
+
+
+def stack_layer_groups(params: ModelParams, cfg: ModelConfig,
+                       min_group: int = 8,
+                       consume: bool = False) -> ModelParams:
+    """Stack runs of structurally-identical layers into ``StackedLayers``
+    entries so ``run_layer_stack`` executes them as one ``lax.scan``.
+
+    Why (measured): fully-unrolled deep stacks hit a TPU program-size
+    cliff — Q2_K V2-Lite-class marginal layer cost is ~0.32 ms up to
+    L=24 and 1.7 ms past it (PERFORMANCE.md); scanning keeps the program
+    depth-independent. Layers group only when their pytree structure,
+    leaf shapes/dtypes and MoE/dense selection agree (is_moe_layer must
+    be static inside the scan body). Single-chip layout only — sharded
+    runs keep the flat tuple. ``consume`` releases source fields while
+    copying (the caller's params object is cannibalized — drop it)."""
+    from deepseek_tpu.models.params import StackedLayers
+    layers = list(params.layers)
+
+    def sig(i: int, lp) -> tuple:
+        leaves, treedef = jax.tree.flatten(lp)
+        return (cfg.is_moe_layer(i), str(treedef),
+                tuple((tuple(x.shape), str(x.dtype)) for x in leaves))
+
+    out, i, n = [], 0, len(layers)
+    while i < n:
+        if isinstance(layers[i], StackedLayers):   # idempotent
+            out.append(layers[i])
+            i += 1
+            continue
+        j = i + 1
+        s0 = sig(i, layers[i])
+        while (j < n and not isinstance(layers[j], StackedLayers)
+               and sig(j, layers[j]) == s0):
+            j += 1
+        if j - i >= min_group:
+            out.append(StackedLayers(lp=_stack_lps(layers[i:j], consume),
+                                     n=j - i))
+        else:
+            out.extend(layers[i:j])
+        i = j
+    import dataclasses
+    return dataclasses.replace(params, layers=tuple(out))
+
+
+def iter_layer_views(layers):
+    """Yield (global_layer_index, per-layer LayerParams view) across a
+    layers tuple that may contain StackedLayers entries (host-side
+    inspection: stats, sanity checks; the views are lazy array slices)."""
+    from deepseek_tpu.models.params import StackedLayers
+    l = 0
+    for entry in layers:
+        if isinstance(entry, StackedLayers):
+            for k in range(entry.n):
+                yield l, jax.tree.map(lambda a, k=k: a[k], entry.lp)
+                l += 1
+        else:
+            yield l, entry
+            l += 1
+
+
+def _layer_weight_active_bytes(lp, moe: bool, cfg: ModelConfig) -> float:
+    """Weight bytes one decode token touches in a layer. Also correct for
+    a StackedLayers.lp (fields carry a leading (n,) axis, so the sums
+    count all n layers at once — the fractions apply linearly)."""
+    total = 0.0
+    for name in ("wkv_a", "wo", "wq", "wq_a", "wq_b", "wkv_b",
+                 "wc", "wq_rope_b", "wv_b", "wcr", "wkvq"):
+        t = getattr(lp, name)
+        if t is not None:
+            total += t.nbytes_active
+    for name in ("attn_norm", "ffn_norm", "kv_a_norm", "q_a_norm"):
+        a = getattr(lp, name)
+        if a is not None:
+            total += a.nbytes
+    if moe:
+        frac = cfg.n_active_routed / cfg.n_routed_experts
+        for name in ("w1", "w2", "w3", "w13"):
+            t = getattr(lp, name)
+            if t is not None:
+                total += t.nbytes_active * frac
+        # folded tables: k routed of E plus all n_shared per token
+        frac_tab = ((cfg.n_active_routed + cfg.n_shared_experts)
+                    / (cfg.n_routed_experts + cfg.n_shared_experts))
+        for name in ("w13s", "w2s"):
+            t = getattr(lp, name)
+            if t is not None:
+                total += t.nbytes_active * frac_tab
+        for name in ("shared_w1", "shared_w2", "shared_w3",
+                     "shared_w13"):
+            t = getattr(lp, name)
+            if t is not None:
+                total += t.nbytes_active
+        total += lp.moegate.nbytes
+        if lp.moegate_bias is not None:
+            total += lp.moegate_bias.nbytes
+    else:
+        for name in ("w1", "w2", "w3", "w13"):
+            t = getattr(lp, name)
+            if t is not None:
+                total += t.nbytes_active
+    return total
+
+
 def params_active_bytes(params: ModelParams, cfg: ModelConfig, pos: int = 0) -> float:
     """Analytical bytes touched per decode token (reference active_bytes,
     model.cpp:324-352,885-901): full dense weights + only n_active_routed
     experts per MoE layer + KV cache up to kv_len."""
+    from deepseek_tpu.models.params import StackedLayers
     total = params.embed.nbytes_active / params.embed.shape[0]  # one embed row
     kv_len = min(pos + 1, cfg.kv_window)
-    for l, lp in enumerate(params.layers):
-        for name in ("wkv_a", "wo", "wq", "wq_a", "wq_b", "wkv_b",
-                     "wc", "wq_rope_b", "wv_b", "wcr", "wkvq"):
-            t = getattr(lp, name)
-            if t is not None:
-                total += t.nbytes_active
-        for name in ("attn_norm", "ffn_norm", "kv_a_norm", "q_a_norm"):
-            a = getattr(lp, name)
-            if a is not None:
-                total += a.nbytes
-        if cfg.is_moe_layer(l):
-            frac = cfg.n_active_routed / cfg.n_routed_experts
-            for name in ("w1", "w2", "w3", "w13"):
-                t = getattr(lp, name)
-                if t is not None:
-                    total += t.nbytes_active * frac
-            # folded tables: k routed of E plus all n_shared per token
-            frac_tab = ((cfg.n_active_routed + cfg.n_shared_experts)
-                        / (cfg.n_routed_experts + cfg.n_shared_experts))
-            for name in ("w13s", "w2s"):
-                t = getattr(lp, name)
-                if t is not None:
-                    total += t.nbytes_active * frac_tab
-            for name in ("shared_w1", "shared_w2", "shared_w3",
-                         "shared_w13"):
-                t = getattr(lp, name)
-                if t is not None:
-                    total += t.nbytes_active
-            total += lp.moegate.nbytes
-            if lp.moegate_bias is not None:
-                total += lp.moegate_bias.nbytes
+    itemsize = jnp.dtype(cfg.kv_cache_dtype).itemsize
+    if cfg.use_mla:
+        kv_per_layer = kv_len * (cfg.kv_lora_rank + cfg.qk_rope_head_dim) * itemsize
+    else:
+        kv_per_layer = kv_len * cfg.n_heads * (cfg.head_dim + cfg.v_head_dim) * itemsize
+    l = 0
+    for entry in params.layers:
+        if isinstance(entry, StackedLayers):
+            total += _layer_weight_active_bytes(
+                entry.lp, cfg.is_moe_layer(l), cfg)   # counts all n at once
+            total += kv_per_layer * entry.n
+            l += entry.n
         else:
-            for name in ("w1", "w2", "w3", "w13"):
-                t = getattr(lp, name)
-                if t is not None:
-                    total += t.nbytes_active
-        # KV cache traffic for this layer
-        itemsize = jnp.dtype(cfg.kv_cache_dtype).itemsize
-        if cfg.use_mla:
-            total += kv_len * (cfg.kv_lora_rank + cfg.qk_rope_head_dim) * itemsize
-        else:
-            total += kv_len * cfg.n_heads * (cfg.head_dim + cfg.v_head_dim) * itemsize
+            total += _layer_weight_active_bytes(entry, cfg.is_moe_layer(l), cfg)
+            total += kv_per_layer
+            l += 1
     total += params.final_norm.nbytes
     total += params.lm_head.nbytes_active
     return float(total)

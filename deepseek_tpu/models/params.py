@@ -76,6 +76,30 @@ class LayerParams:
     w2s: Optional[QT] = None        # (E + n_shared, dim, m)
 
 
+@dataclasses.dataclass
+class StackedLayers:
+    """``n`` structurally-identical layers with every array stacked on a
+    new leading axis, executed as ONE ``lax.scan`` iteration space by
+    ``models.deepseek.run_layer_stack``.
+
+    Why: fully unrolling deep stacks makes the compiled program grow
+    linearly with depth and TPU decode falls off a cliff once the program
+    outgrows the core's instruction budget (measured: Q2_K V2-Lite-class
+    marginal layer cost 0.32 ms for L<=24, 1.34 ms at L=27 —
+    PERFORMANCE.md). A scanned stack keeps the program size
+    depth-independent and cuts compile time. Built by
+    ``models.loader.stack_layer_groups``; single-chip only (sharded runs
+    keep the flat tuple — parallel.sharding.shard_params unstacks).
+    """
+
+    lp: "LayerParams"   # every non-None field has a leading (n, ...) axis
+    n: int              # static layer count
+
+
+jax.tree_util.register_dataclass(
+    StackedLayers, data_fields=["lp"], meta_fields=["n"])
+
+
 @_register
 @dataclasses.dataclass
 class MTPParams:

@@ -37,6 +37,58 @@ def kernel_impl(cfg) -> dict | None:
     return {"interpret": False} if on_tpu and _AUTO_PALLAS else None
 
 
+import dataclasses as _dc
+
+
+@_dc.dataclass
+class LayerSlicedQT:
+    """One layer's weight inside a scanned StackedLayers group: the whole
+    stacked QTensor (leading axis = group size) plus a TRACED layer index.
+
+    Why not slice eagerly: ``lax.scan`` feeding a slice to an opaque
+    Pallas kernel materializes the slice as a full HBM copy every
+    iteration — measured 85 -> 19 tok/s on the 27-layer Q2_K bench. The
+    kernel paths instead treat the stacked tensor as an expert table and
+    index it with the traced layer id through the SAME scalar-prefetch
+    machinery qmm_experts already uses: only the addressed layer's tiles
+    leave HBM. Non-kernel (XLA) consumers ``materialize()`` the slice —
+    correct everywhere, copy-free nowhere, which is fine off the TPU hot
+    path (CPU tests, debug)."""
+
+    qt: object   # stacked QTensor; every data field has a leading (Lg,) axis
+    li: object   # int32 scalar (may be a tracer) — index within the group
+
+    @property
+    def shape(self):
+        return tuple(self.qt.shape[1:])
+
+    def materialize(self):
+        return jax.tree.map(lambda a: a[self.li], self.qt)
+
+    def dequant(self, dtype=jnp.float32):
+        return self.materialize().dequant(dtype)
+
+
+jax.tree_util.register_dataclass(
+    LayerSlicedQT, data_fields=["qt", "li"], meta_fields=[])
+
+
+def expert_table(t, idx):
+    """Normalize an expert-table operand for qmm_experts/gather_experts.
+
+    Plain stacked tensors pass through. A LayerSlicedQT merges its layer
+    axis into the expert axis — (Lg, E, out, in) -> (Lg*E, out, in), a
+    free row-major reshape — and offsets the indices by li*E, so the
+    scalar-prefetch kernels address the right layer with zero copies."""
+    if isinstance(t, LayerSlicedQT):
+        E = t.qt.shape[1]
+        flat = jax.tree.map(
+            lambda a: a.reshape((a.shape[0] * a.shape[1],) + a.shape[2:]),
+            t.qt)
+        return flat, idx + jnp.asarray(t.li, idx.dtype) * E
+    return t, idx
+
+
 def qmatmul(qt, x: jnp.ndarray, dtype=None, impl: dict | None = None) -> jnp.ndarray:
     """x (..., in) @ W.T -> (..., out). Accumulates in float32 on the MXU.
 
@@ -44,6 +96,24 @@ def qmatmul(qt, x: jnp.ndarray, dtype=None, impl: dict | None = None) -> jnp.nda
     quantized weights (the dequantized weight never hits HBM) and a tiled
     matvec for large plain weights (small ones fall back to einsum inside
     qmm so XLA keeps fusing them with neighbors)."""
+    if isinstance(qt, LayerSlicedQT):
+        from deepseek_tpu.quant.qtensor import Fp8Tensor
+        if (isinstance(qt.qt, Fp8Tensor)
+                and tuple(qt.qt.block_size) == (0, 0)):
+            qt = qt.materialize()   # per-tensor fp8 has no kernel anywhere
+        if isinstance(qt, LayerSlicedQT) and impl is not None:
+            # the stacked weight IS an expert table with one "expert" per
+            # layer: the gather kernel DMAs only layer li's packed tiles
+            from deepseek_tpu.ops.pallas.qmm import qmm_experts
+            lead, n = x.shape[:-1], x.shape[-1]
+            x2 = x.reshape(1, -1, n)                       # (1, rows, n)
+            rows = x2.shape[1]
+            idx = jnp.broadcast_to(jnp.asarray(qt.li, jnp.int32), (1, rows))
+            out = qmm_experts(qt.qt, idx, x2,
+                              interpret=impl["interpret"])  # (1, rows, out)
+            return out.reshape(*lead, out.shape[-1]).astype(x.dtype)
+        if isinstance(qt, LayerSlicedQT):
+            qt = qt.materialize()
     if impl is not None:
         from deepseek_tpu.ops.pallas.qmm import qmm
         return qmm(qt, x, interpret=impl["interpret"]).astype(x.dtype)

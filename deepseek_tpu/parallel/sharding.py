@@ -163,6 +163,16 @@ def _place(tree, shardings):
 
 
 def shard_params(params: ModelParams, cfg: ModelConfig, mesh: Mesh) -> ModelParams:
+    from deepseek_tpu.models.params import StackedLayers
+    if any(isinstance(e, StackedLayers) for e in params.layers):
+        # scanned layer stacks are a single-chip layout (the per-layer
+        # sharding specs below assume flat layers); load unstacked for
+        # mesh runs (Engine(scan_layers=False) / loader without
+        # stack_layer_groups)
+        raise ValueError(
+            "shard_params got StackedLayers — stacked (scan_layers) "
+            "parameter layouts are single-chip only; load with "
+            "scan_layers=False for mesh execution")
     # fused projection pairs (loader.fuse_projections) are a single-chip
     # layout: TP splits rows per projection, so unfuse before placing
     from deepseek_tpu.models.loader import unfuse_projections

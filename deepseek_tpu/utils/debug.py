@@ -80,3 +80,10 @@ def dbg(name: str, value) -> None:
     """Record an activation if a capture is active (trace-time no-op otherwise)."""
     if _active is not None:
         _active.add(name, value)
+
+
+def capture_active() -> bool:
+    """True while a debug capture is recording. Scanned layer stacks
+    fall back to a static unroll when this is set so every layer keeps
+    its own dbg label (models.deepseek.run_layer_stack)."""
+    return _active is not None

@@ -42,8 +42,13 @@ def main():
 
     t0 = time.perf_counter()
     params = quantized_params(cfg, quant)
-    from deepseek_tpu.models.loader import fuse_projections
+    from deepseek_tpu.models.loader import fuse_projections, stack_layer_groups
     params = fuse_projections(params, cfg, consume=True)
+    if layers >= 16 and "--no-scan" not in sys.argv:
+        # deep stacks: scan homogeneous layers (program-size cliff past
+        # ~24 unrolled layers — PERFORMANCE.md); consume=True bounds the
+        # stacking transient to ~the largest field's stacked buffer
+        params = stack_layer_groups(params, cfg, consume=True)
     jax.block_until_ready(jax.tree.leaves(params))
     print(f"quantize+load: {time.perf_counter()-t0:.1f}s")
 

@@ -1,0 +1,155 @@
+"""Scanned layer stacks (StackedLayers + lax.scan) vs the unrolled loop.
+
+Deep models pay a TPU program-size cliff when every layer is unrolled
+(PERFORMANCE.md: Q2_K marginal layer cost 0.32 ms up to L=24, 1.7 ms past
+it); stack_layer_groups rolls homogeneous layers into one lax.scan. These
+tests pin exact equivalence of the two layouts on CPU.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from deepseek_tpu.config import ModelConfig
+from deepseek_tpu.models import init_cache, make_forward
+from deepseek_tpu.models.loader import (
+    fuse_projections, params_active_bytes, stack_layer_groups,
+)
+from deepseek_tpu.models.params import StackedLayers
+from deepseek_tpu.models.testing import random_params
+from tests.util_tinymodel import tiny_config
+
+
+def _cfg(layers=5, **kw) -> ModelConfig:
+    # layer 0 dense + homogeneous MoE tail (first_k_dense_replace=1)
+    return tiny_config(use_mla=True, n_layers=layers, **kw)
+
+
+def _decode_logits(cfg, params, steps=4):
+    step = make_forward(cfg, prefill=False, logits_mode="last")
+    cache = init_cache(cfg, batch=2)
+    toks = [3, 17, 9, 4][:steps]
+    out = []
+    for pos, t in enumerate(toks):
+        lg, cache = step(params, cache, jnp.asarray([[t]] * 2, jnp.int32),
+                         pos)
+        out.append(np.asarray(lg))
+    return np.stack(out), cache
+
+
+def test_stack_layer_groups_structure():
+    cfg = _cfg(layers=6)
+    params = random_params(cfg, seed=5)
+    stacked = stack_layer_groups(params, cfg, min_group=2)
+    kinds = [type(e).__name__ for e in stacked.layers]
+    # dense layer 0 stays flat; the 5 MoE layers roll into one stack
+    assert kinds[0] == "LayerParams"
+    assert kinds[1] == "StackedLayers" and stacked.layers[1].n == 5
+    assert len(stacked.layers) == 2
+    # active-bytes model is layout-invariant
+    a = params_active_bytes(params, cfg, pos=7)
+    b = params_active_bytes(stacked, cfg, pos=7)
+    assert a == pytest.approx(b, rel=1e-12)
+    # idempotent
+    again = stack_layer_groups(stacked, cfg, min_group=2)
+    assert [type(e).__name__ for e in again.layers] == kinds
+
+
+def test_scan_decode_matches_unrolled():
+    cfg = _cfg(layers=5)
+    params = random_params(cfg, seed=11)
+    want, cache_u = _decode_logits(cfg, params)
+    got, cache_s = _decode_logits(cfg, stack_layer_groups(params, cfg,
+                                                          min_group=2))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+    # cache contents agree too (ring writes went to the same slots)
+    np.testing.assert_allclose(np.asarray(cache_s.ckv),
+                               np.asarray(cache_u.ckv),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_scan_prefill_matches_unrolled():
+    cfg = _cfg(layers=5)
+    params = random_params(cfg, seed=23)
+    pre = make_forward(cfg, prefill=True, logits_mode="last")
+    toks = jnp.asarray([[5, 2, 9, 1]], jnp.int32)
+    lg_u, _ = pre(params, init_cache(cfg, batch=1), toks, 0)
+    lg_s, _ = pre(stack_layer_groups(params, cfg, min_group=2),
+                  init_cache(cfg, batch=1), toks, 0)
+    np.testing.assert_allclose(np.asarray(lg_s), np.asarray(lg_u),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_scan_with_fused_projections():
+    cfg = _cfg(layers=5)
+    params = random_params(cfg, seed=31)
+    want, _ = _decode_logits(cfg, params)
+    fused = fuse_projections(params, cfg)
+    got, _ = _decode_logits(cfg, stack_layer_groups(fused, cfg, min_group=2))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_debug_capture_falls_back_to_unroll():
+    from deepseek_tpu.utils import debug
+    cfg = _cfg(layers=5)
+    params = stack_layer_groups(random_params(cfg, seed=7), cfg, min_group=2)
+    # debug capture runs eager (jit=False), like the DEBUG_MODEL harness
+    step = make_forward(cfg, prefill=False, logits_mode="last", jit=False)
+    with debug.debug_capture() as cap:
+        step(params, init_cache(cfg, batch=1),
+             jnp.asarray([[3]], jnp.int32), 0)
+    names = set(cap.tensors)
+    # per-layer labels exist for every MoE layer — proof the stack was
+    # expanded, not scanned with a traced label
+    for l in range(1, 5):
+        assert f"l{l}.attn" in names, sorted(names)
+
+
+def test_scan_kernel_path_matches_unrolled(tmp_path):
+    """The Pallas kernel route for scanned stacks (LayerSlicedQT -> expert
+    tables indexed by the traced layer id) must match the unrolled kernel
+    path exactly — this is the no-copy path the TPU decode hot loop uses."""
+    import dataclasses
+    import os
+
+    from deepseek_tpu import convert as cv
+    from deepseek_tpu.engine import Engine
+    from deepseek_tpu.models.params import StackedLayers
+    from tests.util_hf import hf_config, hf_weights, write_hf_dir
+
+    cfg = hf_config(dim=256, hidden=256, q_lora=256, kv_lora=256, nope=128,
+                    rope=64, v_dim=128, moe_inter=256, layers=3, vocab=300,
+                    n_experts=4, n_active=2)
+    hf_dir = os.path.join(str(tmp_path), "hf")
+    write_hf_dir(hf_dir, cfg, hf_weights(cfg, seed=29, scale=0.1))
+    out = os.path.join(str(tmp_path), "q2k")
+    cv.convert(hf_dir, out, quant="q2_k", use_mla=True)
+
+    e_flat = Engine(out, seed=0, prefill_chunk=4, decode_block=1,
+                    scan_layers=False)
+    e_flat.cfg = dataclasses.replace(e_flat.cfg, kernel_impl="pallas")
+    e_scan = Engine(out, seed=0, prefill_chunk=4, decode_block=1,
+                    scan_layers=True)
+    e_scan.cfg = dataclasses.replace(e_scan.cfg, kernel_impl="pallas")
+    assert any(isinstance(e, StackedLayers) for e in e_scan.params.layers)
+
+    prompt = e_flat.tokenizer.encode("hello", bos=True)
+    out1, _ = e_flat.generate(prompt, num_steps=6, temperature=0.0)
+    out2, _ = e_scan.generate(prompt, num_steps=6, temperature=0.0)
+    assert out1 == out2
+
+    t1 = e_flat.perplexity(prompt + out1)[0]
+    t2 = e_scan.perplexity(prompt + out1)[0]
+    np.testing.assert_allclose(t2, t1, rtol=1e-3)
+
+
+def test_shard_params_rejects_stacked():
+    from deepseek_tpu.parallel import make_mesh
+    from deepseek_tpu.parallel.sharding import shard_params
+    cfg = _cfg(layers=5)
+    params = stack_layer_groups(random_params(cfg, seed=3), cfg, min_group=2)
+    mesh = make_mesh(data=2)
+    with pytest.raises(ValueError, match="single-chip"):
+        shard_params(params, cfg, mesh)
