@@ -1069,9 +1069,12 @@ def _gspmd_kernel_gate(cfg: ModelConfig, build, build_mesh=None):
             # (q_lora_rank=0 and a non-128-divisible hidden_dim) while MoE
             # layers fused w13/shared_w13 — layers[0] alone would let such
             # params slip through to a pytree-structure crash
+            from deepseek_tpu.models.params import StackedLayers
+            entries = [e.lp if isinstance(e, StackedLayers) else e
+                       for e in params.layers]
             return any(
                 getattr(lp, f, None) is not None
-                for lp in params.layers
+                for lp in entries
                 for f in ("wkvq", "wcr", "w13", "w13s", "shared_w13"))
         except Exception:
             return False

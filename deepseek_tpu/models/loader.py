@@ -486,6 +486,30 @@ def stack_layer_groups(params: ModelParams, cfg: ModelConfig,
     return dataclasses.replace(params, layers=tuple(out))
 
 
+def unstack_layer_groups(params: ModelParams) -> ModelParams:
+    """Inverse of ``stack_layer_groups``: expand every ``StackedLayers``
+    entry back into per-layer ``LayerParams``.
+
+    Used by paths that need the flat per-layer layout — ``shard_params``
+    (per-layer NamedShardings) and ``Pipeline`` (stage slicing by layer
+    index) auto-unstack, mirroring how they auto-unfuse projections. The
+    slices are device-side copies, so the transient peak is the stacked
+    group plus its slices; multi-chip loads that care should build the
+    Engine with ``scan_layers=False`` instead of stacking then undoing."""
+    import dataclasses
+    from deepseek_tpu.models.params import StackedLayers
+    if not any(isinstance(e, StackedLayers) for e in params.layers):
+        return params
+    layers = []
+    for entry in params.layers:
+        if isinstance(entry, StackedLayers):
+            layers.extend(jax.tree.map(lambda a, k=k: a[k], entry.lp)
+                          for k in range(entry.n))
+        else:
+            layers.append(entry)
+    return dataclasses.replace(params, layers=tuple(layers))
+
+
 def iter_layer_views(layers):
     """Yield (global_layer_index, per-layer LayerParams view) across a
     layers tuple that may contain StackedLayers entries (host-side

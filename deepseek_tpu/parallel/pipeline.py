@@ -113,6 +113,11 @@ class Pipeline:
                  devices: Optional[Sequence] = None):
         devices = list(devices if devices is not None else jax.devices())
         assert len(devices) >= n_stages, "one device per stage"
+        # stage slicing below indexes params.layers per layer; expand any
+        # scanned stacks first (each stage may re-stack its own slice via
+        # run_layer_stack if the caller stacked the sub-params)
+        from deepseek_tpu.models.loader import unstack_layer_groups
+        params = unstack_layer_groups(params)
         self.cfg = cfg
         self.n_stages = n_stages
         self.stages: List[_Stage] = []

@@ -166,13 +166,16 @@ def shard_params(params: ModelParams, cfg: ModelConfig, mesh: Mesh) -> ModelPara
     from deepseek_tpu.models.params import StackedLayers
     if any(isinstance(e, StackedLayers) for e in params.layers):
         # scanned layer stacks are a single-chip layout (the per-layer
-        # sharding specs below assume flat layers); load unstacked for
-        # mesh runs (Engine(scan_layers=False) / loader without
-        # stack_layer_groups)
-        raise ValueError(
-            "shard_params got StackedLayers — stacked (scan_layers) "
-            "parameter layouts are single-chip only; load with "
-            "scan_layers=False for mesh execution")
+        # sharding specs below assume flat layers); auto-unstack like we
+        # auto-unfuse — the transient costs a stacked-group copy, so
+        # multi-chip loads should prefer Engine(scan_layers=False)
+        import logging
+        logging.getLogger("deepseek_tpu.sharding").warning(
+            "shard_params got StackedLayers (scan_layers engaged); "
+            "unstacking for mesh placement — build the Engine with "
+            "scan_layers=False to avoid the stack+unstack transient")
+        from deepseek_tpu.models.loader import unstack_layer_groups
+        params = unstack_layer_groups(params)
     # fused projection pairs (loader.fuse_projections) are a single-chip
     # layout: TP splits rows per projection, so unfuse before placing
     from deepseek_tpu.models.loader import unfuse_projections

@@ -145,11 +145,34 @@ def test_scan_kernel_path_matches_unrolled(tmp_path):
     np.testing.assert_allclose(t2, t1, rtol=1e-3)
 
 
-def test_shard_params_rejects_stacked():
+def test_shard_params_unstacks():
+    """A mesh run on stacked params auto-unstacks (mirrors auto-unfuse):
+    BatchScheduler(mesh=...) on a deep auto-scanned Engine must not crash."""
     from deepseek_tpu.parallel import make_mesh
     from deepseek_tpu.parallel.sharding import shard_params
     cfg = _cfg(layers=5)
-    params = stack_layer_groups(random_params(cfg, seed=3), cfg, min_group=2)
+    flat = random_params(cfg, seed=3)
+    stacked = stack_layer_groups(flat, cfg, min_group=2)
     mesh = make_mesh(data=2)
-    with pytest.raises(ValueError, match="single-chip"):
-        shard_params(params, cfg, mesh)
+    sp_flat = shard_params(flat, cfg, mesh)
+    sp_stacked = shard_params(stacked, cfg, mesh)
+    assert not any(isinstance(e, StackedLayers) for e in sp_stacked.layers)
+    for a, b in zip(jax.tree.leaves(sp_flat), jax.tree.leaves(sp_stacked)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_pipeline_unstacks():
+    from deepseek_tpu.parallel.pipeline import Pipeline
+    cfg = _cfg(layers=5)
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >= 2 virtual devices")
+    flat = random_params(cfg, seed=9)
+    want, _ = _decode_logits(cfg, flat)
+    pp = Pipeline(cfg, stack_layer_groups(flat, cfg, min_group=2),
+                  n_stages=2, batch=2)
+    toks = [3, 17, 9, 4]
+    got = []
+    for pos, t in enumerate(toks):
+        lg = pp.decode_step(jnp.asarray([[t]] * 2, jnp.int32), pos)
+        got.append(np.asarray(lg))
+    np.testing.assert_allclose(np.stack(got), want, rtol=1e-5, atol=1e-5)
