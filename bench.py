@@ -4,10 +4,11 @@ Measures steady-state single-batch decode tokens/s on a DeepSeek-V2-Lite-
 proportioned model (absorbed MLA + 64-expert MoE) sized to fit one chip's
 HBM, in the two shipped weight formats that bracket the envelope:
 
-- bf16 (round-1 comparable number), and
-- blockwise fp8 (128x128 scale tiles, the fused-dequant Pallas path) — the
-  fastest measured decode config (PERFORMANCE.md: 493 tok/s, 1.38x bf16),
-  reported as the headline.
+- bf16 (round-1 comparable number),
+- blockwise fp8 (128x128 scale tiles, the fused-dequant Pallas path), and
+- Q3_K nibble (4-bit quant planes + bf16 per-16 scales, 5 bits/weight) —
+  the fastest measured decode layout (PERFORMANCE.md: 697 tok/s at 8L,
+  1.95x bf16, 1.35x fp8), reported as the headline when it wins.
 
 The loop keeps sampling on device (argmax feedback) so it measures the
 serving decode step, not host round-trips.
@@ -151,7 +152,25 @@ def main():
         print(f"fp8 bench failed: {e!r}", file=sys.stderr)
         fp8_tok_s, fp8_gb_s = 0.0, 0.0
 
-    if fp8_tok_s > 0:
+    # --- Q3_K nibble (4-bit planes + bf16 per-16 scales): the fastest
+    # measured decode layout (PERFORMANCE.md: ~1000 Gelem/s kernels, 697
+    # tok/s at 8L — 1.35x fp8) at 5 bits/weight of K-quant capacity.
+    # K-quant superblocks need 256-divisible FFN rows: m=1536 variant.
+    try:
+        import dataclasses
+        kcfg = dataclasses.replace(cfg, moe_intermediate_size=1536)
+        qparams = random_quantized_params(kcfg, "q3_k_nibble")
+        qparams = fuse_projections(qparams, kcfg, consume=True)
+        jax.block_until_ready(jax.tree.leaves(qparams))
+        nib_tok_s, nib_gb_s = measure_decode(kcfg, qparams, backend)
+        del qparams
+    except Exception as e:  # pragma: no cover - defensive
+        print(f"nibble bench failed: {e!r}", file=sys.stderr)
+        nib_tok_s, nib_gb_s = 0.0, 0.0
+
+    if nib_tok_s > fp8_tok_s:
+        head, tok_s, gb_s = "q3knibble", nib_tok_s, nib_gb_s
+    elif fp8_tok_s > 0:
         head, tok_s, gb_s = "fp8", fp8_tok_s, fp8_gb_s
     else:
         head, tok_s, gb_s = "bf16", bf16_tok_s, bf16_gb_s
@@ -172,6 +191,8 @@ def main():
             "bf16_tok_per_s": round(bf16_tok_s, 1),
             "bf16_active_GB_per_s": round(bf16_gb_s, 2),
             "fp8_tok_per_s": round(fp8_tok_s, 1),
+            # Q3_K nibble runs the m=1536 K-quant variant of the config
+            "q3k_nibble_tok_per_s": round(nib_tok_s, 1),
             "prefill_tok_per_s": round(prefill_tok_s, 1),
             "backend": backend,
         },

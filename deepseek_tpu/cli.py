@@ -75,6 +75,10 @@ TPU options:
   --kquant-turbo              expand K-quant weights to pre-scaled int8
                               planes at load: ~2x faster decode for ~3x
                               the packed weight memory (still < bf16)
+  --kquant-nibble             expand K-quant weights to 4-bit nibble
+                              planes at load: fastest K-quant decode
+                              (~2x packed) at 5-6 bits/weight — deep
+                              models that don't fit the turbo layout
   --chunk <int>               prefill chunk size (default 256)
   --seed <int>                sampler seed
   --yarn                      apply YaRN rope scaling (reference parses but
@@ -110,6 +114,7 @@ class Args:
         self.dtype: Optional[str] = None
         self.kv_dtype: Optional[str] = None
         self.kquant_turbo = False
+        self.kquant_nibble = False
         self.scan_layers = "auto"
         self.chunk = 256
         self.seed: Optional[int] = None
@@ -161,6 +166,8 @@ def parse_mode_flags(args: Args, argv: List[str]) -> Args:
             args.kv_dtype = val()
         elif a == "--kquant-turbo":
             args.kquant_turbo = True
+        elif a == "--kquant-nibble":
+            args.kquant_nibble = True
         elif a == "--no-scan-layers":
             args.scan_layers = False
         elif a == "--chunk":
@@ -423,7 +430,8 @@ def main(argv: Optional[List[str]] = None):
         seed=args.seed if args.seed is not None else int(time.time() * 1000) % (1 << 31),
         prefill_chunk=args.chunk,
         use_yarn=args.yarn,
-        kquant_runtime="turbo" if args.kquant_turbo else None,
+        kquant_runtime=("turbo" if args.kquant_turbo
+                        else "nibble" if args.kquant_nibble else None),
         scan_layers=args.scan_layers,
     )
     md = engine.data.metadata

@@ -62,6 +62,11 @@ def load_params(
     planes at load (quant.qtensor.q2k_to_turbo) — ~3x fewer dequant VPU
     ops per weight at decode for ~3x the packed HBM bytes (still far under
     bf16). The wire format is unchanged; this is an in-HBM layout choice.
+
+    kquant_runtime="nibble": 4-bit nibble planes + bf16 per-16 scales
+    (quant.qtensor.KNibbleTensor) — ~1000 Gelem/s decode (2x the packed
+    planes, 1.5x turbo) at 5-6 bits/weight, the layout that fits
+    full-depth V2-Lite-class checkpoints in one v5e HBM.
     """
 
     def norm(name: str, expect: Optional[tuple] = None) -> Optional[jax.Array]:
@@ -121,6 +126,9 @@ def load_params(
                 if kquant_runtime == "turbo":
                     from deepseek_tpu.quant.qtensor import q2k_to_turbo
                     qt = q2k_to_turbo(qt)
+                elif kquant_runtime == "nibble":
+                    from deepseek_tpu.quant.qtensor import q2k_to_nibble
+                    qt = q2k_to_nibble(qt)
                 return qt
             if cfg.weight_quant == QuantKind.Q3_K:
                 cols = raw.shape[-1] // Q3K_BLOCK_BYTES * QK_K
@@ -130,6 +138,9 @@ def load_params(
                 if kquant_runtime == "turbo":
                     from deepseek_tpu.quant.qtensor import q3k_to_turbo
                     qt = q3k_to_turbo(qt)
+                elif kquant_runtime == "nibble":
+                    from deepseek_tpu.quant.qtensor import q3k_to_nibble
+                    qt = q3k_to_nibble(qt)
                 return qt
             raise ValueError(
                 f"U8 tensor {name} but weight_quant={cfg.weight_quant}")

@@ -140,8 +140,11 @@ def embed_lookup(qt, tokens: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
         srow = jnp.take(qt.scale, tokens // b0, axis=0)          # (..., g1)
         srow = jnp.repeat(srow, b1, axis=-1)[..., :dim]
         return rows * srow.astype(dtype)
-    from deepseek_tpu.quant.qtensor import Q2KTurboTensor, Q3KTurboTensor
-    if isinstance(qt, (Q2KTensor, Q3KTensor, Q2KTurboTensor, Q3KTurboTensor)):
+    from deepseek_tpu.quant.qtensor import (
+        KNibbleTensor, Q2KTurboTensor, Q3KTurboTensor,
+    )
+    if isinstance(qt, (Q2KTensor, Q3KTensor, Q2KTurboTensor, Q3KTurboTensor,
+                       KNibbleTensor)):
         sub = jax.tree.map(lambda a: jnp.take(a, tokens, axis=0), qt)
         return sub.dequant(dtype)
     raise TypeError(f"unsupported embedding tensor {type(qt)}")

@@ -103,12 +103,14 @@ def _random_qtensor(key_gen, shape, quant: str):
     is exercised by tests/test_kquant.py golden tests instead.
     """
     from deepseek_tpu.quant.qtensor import (
-        Fp8Tensor, Q2KTensor, Q3KTensor, q2k_to_turbo, q3k_to_turbo,
+        Fp8Tensor, Q2KTensor, Q3KTensor, q2k_to_nibble, q2k_to_turbo,
+        q3k_to_nibble, q3k_to_turbo,
     )
     rows, cols = shape[-2], shape[-1]
     lead = shape[:-2]
     turbo = quant.endswith("_turbo")
-    quant = quant[:-6] if turbo else quant
+    nibble = quant.endswith("_nibble")
+    quant = quant[:-7] if nibble else quant[:-6] if turbo else quant
     if quant in ("q2_k", "q3_k") and cols % 256 == 0:
         qs = jax.random.randint(key_gen(), (*lead, rows, cols // 4), 0, 256,
                                 jnp.int32).astype(jnp.uint8)
@@ -120,13 +122,15 @@ def _random_qtensor(key_gen, shape, quant: str):
             dmin = jax.random.uniform(key_gen(), d.shape, jnp.float32,
                                       0.001, 0.01)
             qt = Q2KTensor(qs=qs, sm=sm, d=d, dmin=dmin)
-            return q2k_to_turbo(qt) if turbo else qt
+            return (q2k_to_turbo(qt) if turbo
+                    else q2k_to_nibble(qt) if nibble else qt)
         hm = jax.random.randint(key_gen(), (*lead, rows, cols // 8), 0, 256,
                                 jnp.int32).astype(jnp.uint8)
         sc = jax.random.randint(key_gen(), (*lead, rows, cols // 16), -32, 32,
                                 jnp.int32).astype(jnp.int8)
         qt = Q3KTensor(qs=qs, hm=hm, sc=sc, d=d)
-        return q3k_to_turbo(qt) if turbo else qt
+        return (q3k_to_turbo(qt) if turbo
+                else q3k_to_nibble(qt) if nibble else qt)
     if quant == "f8e5m2" and rows % 128 == 0 and cols % 128 == 0:
         data = (jax.random.normal(key_gen(), (*lead, rows, cols),
                                   jnp.bfloat16)).astype(jnp.float8_e5m2)
@@ -144,7 +148,8 @@ def random_quantized_params(cfg: ModelConfig, quant: str,
     """Random packed-plane quantized model for throughput benchmarks
     (absorbed-MLA layout; bench.py / scripts/bench_quant.py).
 
-    ``quant``: q2_k | q3_k | f8e5m2 | q2_k_turbo | q3_k_turbo.
+    ``quant``: q2_k | q3_k | f8e5m2 | q2_k_turbo | q3_k_turbo |
+    q2_k_nibble | q3_k_nibble.
     """
     key = [jax.random.PRNGKey(seed)]
 

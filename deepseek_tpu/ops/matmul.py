@@ -200,7 +200,7 @@ def _quantized_grouped_ffn(w1, w2, w3, xb, weights, idx, act, ctx, interpret,
     from deepseek_tpu.ops.activations import glu_act
     from deepseek_tpu.ops.pallas.qmm import _group_sums, _perm_x, qmm_grouped
     from deepseek_tpu.quant.qtensor import (
-        Q2KTensor, Q2KTurboTensor, Q3KTensor, Q3KTurboTensor,
+        KNibbleTensor, Q2KTensor, Q2KTurboTensor, Q3KTensor, Q3KTurboTensor,
     )
 
     TB = 128
@@ -232,10 +232,11 @@ def _quantized_grouped_ffn(w1, w2, w3, xb, weights, idx, act, ctx, interpret,
     x_rows = xb.reshape(B * T, dim)[src // k].astype(jnp.float32)
 
     wp = w13 if w13 is not None else w1
-    kq = isinstance(wp, (Q2KTensor, Q3KTensor, Q3KTurboTensor))
-    turbo2 = isinstance(wp, Q2KTurboTensor)
+    kq = isinstance(wp, (Q2KTensor, Q3KTensor, Q3KTurboTensor,
+                         KNibbleTensor))
+    need_s16 = isinstance(wp, (Q2KTurboTensor, KNibbleTensor))
     s16x = (_group_sums(x_rows, dim).reshape(G, TB, dim // 16)
-            if turbo2 else None)
+            if need_s16 else None)
     xin = _perm_x(x_rows, dim) if kq else x_rows  # Q2 turbo stays natural
     gq = functools.partial(qmm_grouped, interpret=interpret)
     if w13 is not None:
@@ -249,7 +250,7 @@ def _quantized_grouped_ffn(w1, w2, w3, xb, weights, idx, act, ctx, interpret,
             act)
     m = h.shape[-1]
     s16h = None
-    if turbo2:
+    if need_s16:
         s16h = _group_sums(h.reshape(G * TB, m), m).reshape(G, TB, m // 16)
     hin = _perm_x(h.reshape(G * TB, m), m) if kq else h.reshape(G * TB, m)
     y = gq(w2, tile_expert, hin.reshape(G, TB, m), s16_tiles=s16h)
@@ -353,10 +354,11 @@ def grouped_ffn_supported(cfg, w1=None) -> bool:
     m/k/n by 128 (plain weights); qmm_grouped needs K-quant superblocks
     (256) to divide both contraction dims (quantized/turbo weights)."""
     from deepseek_tpu.quant.qtensor import (
-        Q2KTensor, Q2KTurboTensor, Q3KTensor, Q3KTurboTensor,
+        KNibbleTensor, Q2KTensor, Q2KTurboTensor, Q3KTensor, Q3KTurboTensor,
     )
     if w1 is not None and isinstance(w1, (Q2KTensor, Q3KTensor,
-                                          Q2KTurboTensor, Q3KTurboTensor)):
+                                          Q2KTurboTensor, Q3KTurboTensor,
+                                          KNibbleTensor)):
         return (cfg.dim % 256 == 0 and cfg.moe_intermediate_size % 256 == 0)
     return (cfg.dim % 128 == 0 and cfg.moe_intermediate_size % 128 == 0)
 

@@ -44,8 +44,8 @@ from jax.experimental.pallas import tpu as pltpu
 TRACE_COUNTS: collections.Counter = collections.Counter()
 
 from deepseek_tpu.quant.qtensor import (
-    Fp8Tensor, PlainTensor, Q2KTensor, Q2KTurboTensor, Q3KTensor,
-    Q3KTurboTensor,
+    Fp8Tensor, KNibbleTensor, PlainTensor, Q2KTensor, Q2KTurboTensor,
+    Q3KTensor, Q3KTurboTensor,
 )
 
 
@@ -169,6 +169,35 @@ def _q3kt_body(x_ref, p_ref, a_ref, o_ref):
     o_ref[...] = jax.lax.dot_general(
         x_ref[...], w, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
+
+
+def _knib_body(x_ref, s16_ref, p_ref, *rest, off: int, has_c: bool):
+    """K-quant nibble plane (KNibbleTensor): ONE mask + ONE shift unpacks
+    two quants per byte (vs four ops/byte for the 2-bit planes — measured
+    ~1000 vs ~500 Gelem/s, scripts/probe_int4c.py); per-16 bf16 scales
+    expand by tile concatenation in the permuted column order; the
+    sign/min offset is an output-side dot against the activations' per-16
+    group sums (s16, NATURAL order), never a per-element op."""
+    if has_c:
+        a_ref, c_ref, o_ref = rest
+    else:
+        a_ref, o_ref = rest
+    pu = p_ref[...].astype(jnp.int32)                       # (TD, n/2)
+    u = jnp.concatenate([pu & 0xF, pu >> 4], axis=-1).astype(jnp.float32)
+    af = a_ref[...].astype(jnp.float32)                     # (TD, n/16)
+    w = pltpu.repeat(af, 16, axis=af.ndim - 1) * u          # (TD, n)
+    acc = jax.lax.dot_general(
+        x_ref[...], w, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)                 # (TB, TD)
+    corr = af * float(off) if off else None
+    if has_c:
+        cf = c_ref[...].astype(jnp.float32)
+        corr = cf if corr is None else corr + cf
+    if corr is not None:
+        acc = acc - jax.lax.dot_general(
+            s16_ref[...], corr, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    o_ref[...] = acc
 
 
 def _group_sums(x, n: int):
@@ -307,6 +336,21 @@ def qmm(qt, x, interpret: bool = False):
             in_specs=[xspec, wspec(n), wspec(n // 16)],
             out_specs=ospec, interpret=interpret,
         )(_perm_x(x2, n), qt.p, qt.a)
+    elif isinstance(qt, KNibbleTensor):
+        s16 = _group_sums(x2, n)
+        s16spec = pl.BlockSpec((tb, n // 16), lambda i, b: (b, 0),
+                               memory_space=pltpu.VMEM)
+        has_c = qt.c is not None
+        specs = [xspec, s16spec, wspec(n // 2), wspec(n // 16)]
+        args = [_perm_x(x2, n), s16, qt.p, qt.a]
+        if has_c:
+            specs.append(wspec(n // 16))
+            args.append(qt.c)
+        out = pl.pallas_call(
+            functools.partial(_knib_body, off=qt.off, has_c=has_c),
+            grid=grid, out_shape=oshape,
+            in_specs=specs, out_specs=ospec, interpret=interpret,
+        )(*args)
     elif isinstance(qt, Fp8Tensor):
         b0, b1 = qt.block_size
         if (b0, b1) == (0, 0):
@@ -390,6 +434,16 @@ def qmm_grouped(qt, tile_expert, x_tiles, interpret: bool = False,
         cols = (n, n // 16)
         fields = (qt.p, qt.a)
         body = _q3kt_body
+    elif isinstance(qt, KNibbleTensor):
+        assert s16_tiles is not None
+        if qt.c is not None:
+            cols = (n // 2, n // 16, n // 16)
+            fields = (qt.p, qt.a, qt.c)
+        else:
+            cols = (n // 2, n // 16)
+            fields = (qt.p, qt.a)
+        body = functools.partial(_knib_body, off=qt.off,
+                                 has_c=qt.c is not None)
     elif isinstance(qt, PlainTensor):
         cols = (n,)
         fields = (qt.data,)
@@ -408,7 +462,7 @@ def qmm_grouped(qt, tile_expert, x_tiles, interpret: bool = False,
     in_specs = [pl.BlockSpec((1, TB, n), lambda g, j, te: (g, 0, 0),
                              memory_space=pltpu.VMEM)]
     args = [x_tiles]
-    if isinstance(qt, Q2KTurboTensor):
+    if isinstance(qt, (Q2KTurboTensor, KNibbleTensor)):
         in_specs.append(pl.BlockSpec((1, TB, n // 16),
                                      lambda g, j, te: (g, 0, 0),
                                      memory_space=pltpu.VMEM))
@@ -480,9 +534,10 @@ def qmm_experts(qt, idx, x, interpret: bool = False):
     B, k, n = x.shape
     x = x.astype(jnp.float32)
     s16 = None
-    if isinstance(qt, Q2KTurboTensor):
+    if isinstance(qt, (Q2KTurboTensor, KNibbleTensor)):
         s16 = _group_sums(x, n).reshape(B * k, 1, n // 16)
-    if isinstance(qt, (Q2KTensor, Q3KTensor, Q3KTurboTensor)):
+    if isinstance(qt, (Q2KTensor, Q3KTensor, Q3KTurboTensor,
+                       KNibbleTensor)):
         x = _perm_x(x, n)       # Q2 turbo consumes NATURAL order
     N = B * k
     x = x.reshape(N, 1, n)                     # pair-flat: see _squeeze_body
@@ -506,6 +561,15 @@ def qmm_experts(qt, idx, x, interpret: bool = False):
         cols = (n, n // 16)
         fields = (qt.p, qt.a)
         body = _q3kt_body
+    elif isinstance(qt, KNibbleTensor):
+        if qt.c is not None:
+            cols = (n // 2, n // 16, n // 16)
+            fields = (qt.p, qt.a, qt.c)
+        else:
+            cols = (n // 2, n // 16)
+            fields = (qt.p, qt.a)
+        body = functools.partial(_knib_body, off=qt.off,
+                                 has_c=qt.c is not None)
     elif isinstance(qt, PlainTensor):
         cols = (n,)
         fields = (qt.data,)

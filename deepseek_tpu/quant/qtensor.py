@@ -238,6 +238,92 @@ class Q3KTurboTensor:
 _register(Q3KTurboTensor, ["p", "a"], [])
 
 
+@dataclasses.dataclass
+class KNibbleTensor:
+    """K-quant expanded to a 4-bit nibble plane at load time ("nibble").
+
+    The measured sweet spot between the packed planes (2.625-3.4375 bit/w
+    but VPU-bound at ~500 Gelem/s: 4 shift/mask ops per byte) and the
+    int8 "turbo" planes (~650 Gelem/s at the HBM roofline of ~9 bit/w):
+    two quants per byte unpack with ONE mask + ONE shift, and the Mosaic
+    pipeline runs ~1000 Gelem/s (scripts/probe_int4c.py) at 5-6 bit/w —
+    so full-depth (27-layer) V2-Lite-class checkpoints fit one v5e HBM
+    *and* decode ~2x faster than the packed planes. (Native S4 arrays
+    measured even faster — 1.4 Telem/s — but S4 jit arguments crash the
+    axon dispatch path, so the plane stays uint8-packed.)
+
+    Layout: unsigned u = q + off stored two-per-byte in the stride-16
+    PERMUTED column order (quant.repack): low nibble of byte j = permuted
+    column j, high nibble = permuted column j + n/2. The kernel unpack
+    `concat([p & 0xF, p >> 4])` therefore lands in exactly the permuted
+    order, whose per-16 scale expansion is a tile concatenation
+    (pltpu.repeat). The signed/min offset never touches the per-element
+    pipeline: it folds into an output-side correction dot against the
+    activations' per-16 group sums,
+
+        y = sum_c x_c * a_g(c) * u_c  -  sum_g s16_g * (off*a_g + c_g)
+
+    (Q2_K: off=0, c = dmin*mn, the min term exactly as the turbo kernel;
+    Q3_K: off=4, c=None — the -4 shift of q = u-4 becomes 4*a on the
+    output side, no stored plane.) Scales are bf16 (numerically free at
+    DEFAULT MXU precision, see the turbo docstrings).
+    """
+
+    p: jax.Array           # (..., out, in//2) uint8, two nibbles per byte
+    a: jax.Array           # (..., out, in//16) bf16 = d*sc per 16-group
+    c: object = None       # (..., out, in//16) bf16 min term, or None
+    off: int = 0           # u = q + off (static)
+
+    @property
+    def shape(self) -> Tuple[int, ...]:
+        return tuple(self.p.shape[:-1]) + (self.p.shape[-1] * 2,)
+
+    @property
+    def nbytes_active(self) -> int:
+        return (self.p.size + self.a.size * 2
+                + (self.c.size * 2 if self.c is not None else 0))
+
+    def dequant(self, dtype=jnp.float32) -> jax.Array:
+        from deepseek_tpu.quant.repack import stride16_inv_perm
+        n2 = self.p.shape[-1]
+        u = jnp.concatenate([self.p & 0xF, self.p >> 4], axis=-1)
+        a16 = jnp.concatenate([self.a.astype(dtype)] * 16, axis=-1)
+        w = a16 * (u.astype(dtype) - float(self.off))
+        if self.c is not None:
+            w = w - jnp.concatenate([self.c.astype(dtype)] * 16, axis=-1)
+        return jnp.take(w, jnp.asarray(stride16_inv_perm(2 * n2)), axis=-1)
+
+
+_register(KNibbleTensor, ["p", "a", "c"], ["off"])
+
+
+def q2k_to_nibble(qt: Q2KTensor) -> KNibbleTensor:
+    """One-time load conversion Q2_K planes -> nibble layout (6 bit/w).
+    The planes are already permuted; plain concat-unpack keeps the order."""
+    u = jnp.concatenate([(qt.qs >> s) & 3 for s in (0, 2, 4, 6)], axis=-1)
+    n = u.shape[-1]
+    p = (u[..., :n // 2] | (u[..., n // 2:] << 4)).astype(jnp.uint8)
+    sc = (qt.sm & 0xF).astype(jnp.float32)
+    mn = (qt.sm >> 4).astype(jnp.float32)
+    a = jnp.repeat(qt.d.astype(jnp.float32), 16, axis=-1) * sc
+    c = jnp.repeat(qt.dmin.astype(jnp.float32), 16, axis=-1) * mn
+    return KNibbleTensor(p=p, a=a.astype(jnp.bfloat16),
+                         c=c.astype(jnp.bfloat16), off=0)
+
+
+def q3k_to_nibble(qt: Q3KTensor) -> KNibbleTensor:
+    """One-time load conversion Q3_K planes -> nibble layout (5 bit/w).
+    u = qlow + 4*hbit in [0,7]; the -4 offset is output-side (off=4)."""
+    qlow = jnp.concatenate([(qt.qs >> s) & 3 for s in (0, 2, 4, 6)], axis=-1)
+    hbit = jnp.concatenate([(qt.hm >> b) & 1 for b in range(8)], axis=-1)
+    u = qlow + (hbit << 2)
+    n = u.shape[-1]
+    p = (u[..., :n // 2] | (u[..., n // 2:] << 4)).astype(jnp.uint8)
+    a = jnp.repeat(qt.d.astype(jnp.float32), 16, axis=-1) \
+        * qt.sc.astype(jnp.float32)
+    return KNibbleTensor(p=p, a=a.astype(jnp.bfloat16), c=None, off=4)
+
+
 def q2k_to_turbo(qt: Q2KTensor) -> Q2KTurboTensor:
     """One-time load conversion Q2_K planes -> pre-scaled int8 plane in
     NATURAL column order (superblocks contiguous for the kernel's
@@ -266,7 +352,7 @@ def q3k_to_turbo(qt: Q3KTensor) -> Q3KTurboTensor:
 
 
 QTensorLike = (PlainTensor, Fp8Tensor, Q2KTensor, Q3KTensor,
-               Q2KTurboTensor, Q3KTurboTensor)
+               Q2KTurboTensor, Q3KTurboTensor, KNibbleTensor)
 
 
 def bits_per_weight(quant: QuantKind, block_size: Tuple[int, int] = (0, 0)) -> float:

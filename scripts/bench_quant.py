@@ -5,10 +5,14 @@ Synthesizes random packed quantized weights on device (values don't affect
 throughput; encode/decode correctness is covered by the golden tests) and
 measures the fused-kernel decode loop. Usage:
 
-    python scripts/bench_quant.py [q2_k|q3_k|f8e5m2|q2_k_turbo|q3_k_turbo] [layers]
+    python scripts/bench_quant.py [q2_k|q3_k|f8e5m2|q2_k_turbo|q3_k_turbo|
+                                   q2_k_nibble|q3_k_nibble] [layers]
 
 The *_turbo modes run the pre-scaled int8-plane runtime layout
 (quant.qtensor.Q2KTurboTensor): ~3x fewer dequant VPU ops per weight.
+The *_nibble modes run the 4-bit nibble planes (quant.qtensor.
+KNibbleTensor): fastest K-quant decode at 5-6 bits/weight — fits
+full-depth models the turbo layout cannot.
 """
 
 import sys

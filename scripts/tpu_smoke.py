@@ -102,6 +102,18 @@ def main():
         ok &= check(f"q2k-turbo expert slot {s}", got[0, s],
                     xk[0, s] @ deq[idx[0, s]].T)
 
+    # nibble K-quant runtime layout (4-bit planes, output-side offset dot)
+    from deepseek_tpu.quant.qtensor import q2k_to_nibble, q3k_to_nibble
+    nq2 = q2k_to_nibble(qt)
+    ok &= check("q2k-nibble qmm", np.asarray(qmm(nq2, jnp.asarray(x))), want)
+    nq3 = q3k_to_nibble(qt3)
+    ok &= check("q3k-nibble qmm", np.asarray(qmm(nq3, jnp.asarray(x))), want3)
+    neqt = q2k_to_nibble(eqt)
+    got = np.asarray(qmm_experts(neqt, jnp.asarray(idx), jnp.asarray(xk)))
+    for s in range(3):
+        ok &= check(f"q2k-nibble expert slot {s}", got[0, s],
+                    xk[0, s] @ deq[idx[0, s]].T)
+
     # flash-decode attention (bf16 + int8 caches) vs jnp formulation
     from deepseek_tpu.models.kvcache import dequant_rows, quantize_rows
     from deepseek_tpu.ops.attention import decode_attn_mla

@@ -12,7 +12,8 @@ import pytest
 from deepseek_tpu.ops.pallas.qmm import qmm, qmm_experts
 from deepseek_tpu.quant import fp8, kquant, repack
 from deepseek_tpu.quant.qtensor import (
-    Fp8Tensor, PlainTensor, Q2KTensor, Q3KTensor, q2k_to_turbo, q3k_to_turbo,
+    Fp8Tensor, PlainTensor, Q2KTensor, Q3KTensor, q2k_to_nibble,
+    q2k_to_turbo, q3k_to_nibble, q3k_to_turbo,
 )
 
 
@@ -44,7 +45,16 @@ def q3kt_tensor(w):
     return q3k_to_turbo(q3k_tensor(w))
 
 
-_ALL_KQ = [q2k_tensor, q3k_tensor, q2kt_tensor, q3kt_tensor]
+def q2kn_tensor(w):
+    return q2k_to_nibble(q2k_tensor(w))
+
+
+def q3kn_tensor(w):
+    return q3k_to_nibble(q3k_tensor(w))
+
+
+_ALL_KQ = [q2k_tensor, q3k_tensor, q2kt_tensor, q3kt_tensor,
+           q2kn_tensor, q3kn_tensor]
 
 
 @pytest.mark.parametrize("mk", _ALL_KQ)
@@ -204,6 +214,51 @@ def test_turbo_runtime_matches_packed_engine(tmp_path):
     # rounding surfaces as a ~1%-class ppl shift on a tiny random model.
     # Greedy tokens (asserted above) must still agree exactly.
     np.testing.assert_allclose(p2, p1, rtol=2e-2)
+
+
+@pytest.mark.parametrize("quant", ["q2_k", "q3_k"])
+def test_nibble_runtime_matches_packed_engine(tmp_path, quant):
+    """kquant_runtime='nibble' (4-bit planes + bf16 per-16 scales with the
+    sign/min offset folded into an output-side dot) produces the same
+    greedy tokens as the packed layout on the same checkpoint."""
+    import os
+    from deepseek_tpu import convert as cv
+    from deepseek_tpu.engine import Engine
+    from deepseek_tpu.quant.qtensor import KNibbleTensor
+    from tests.util_hf import hf_config, hf_weights, write_hf_dir
+
+    cfg = hf_config(dim=256, hidden=256, q_lora=256, kv_lora=256, nope=128,
+                    rope=64, v_dim=128, moe_inter=256, layers=2, vocab=300,
+                    n_experts=4, n_active=2)
+    hf_dir = os.path.join(str(tmp_path), "hf")
+    write_hf_dir(hf_dir, cfg, hf_weights(cfg, seed=23, scale=0.1))
+    out = os.path.join(str(tmp_path), "ck")
+    cv.convert(hf_dir, out, quant=quant, use_mla=True)
+
+    e_pk = Engine(out, seed=0, prefill_chunk=4, decode_block=1)
+    e_nb = Engine(out, seed=0, prefill_chunk=4, decode_block=1,
+                  kquant_runtime="nibble")
+    # w1/w3 fuse to w13 under the default fusion; nibble layouts fuse too
+    # (every field scales with the output rows). Q3 nibble stores no min
+    # plane (off=4 output-side); Q2 keeps c = dmin*mn.
+    lp = e_nb.params.layers[1]
+    nt = lp.w13s if lp.w13s is not None else lp.w13
+    assert isinstance(nt, KNibbleTensor)
+    assert (nt.c is None) == (quant == "q3_k")
+
+    prompt = e_pk.tokenizer.encode("hello", bos=True)
+    out1, _ = e_pk.generate(prompt, num_steps=6, temperature=0.0)
+    out2, _ = e_nb.generate(prompt, num_steps=6, temperature=0.0)
+    assert out1 == out2
+
+    p1 = e_pk.perplexity(prompt + out1)[0]
+    p2 = e_nb.perplexity(prompt + out1)[0]
+    # bf16 scale planes: numerically free on TPU (DEFAULT-precision dots
+    # truncate anyway), visible only on this exact-f32 CPU path. Nibble
+    # rounds BOTH planes (a = d*sc and the min term) to bf16 — turbo Q2
+    # keeps d in f32 — so the tiny-random-model ppl shift is slightly
+    # larger than the turbo test's (matches the 3% cross-engine q2_k bar).
+    np.testing.assert_allclose(p2, p1, rtol=3e-2)
 
 
 def test_full_model_pallas_impl_matches_xla(tmp_path):
