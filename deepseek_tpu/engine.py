@@ -133,8 +133,15 @@ class Engine:
         # TPU program-size cliff past ~24 layers — PERFORMANCE.md) and
         # compile time drops. "auto" engages for deep models; the Engine
         # is single-chip, so the stacked layout is always legal here.
+        # EXCEPT nibble runtime: scan+nibble at full depth OOMs on the
+        # chip at the first decode dispatch (persists even with params
+        # pre-aligned to the loop's compiled layouts — PERFORMANCE.md),
+        # and unrolled nibble is the fastest deep config anyway, so
+        # "auto" leaves nibble models unrolled. scan_layers=True still
+        # forces stacking for users who want to try it.
         if scan_layers is True or (scan_layers == "auto"
-                                   and self.cfg.n_layers >= 16):
+                                   and self.cfg.n_layers >= 16
+                                   and kquant_runtime != "nibble"):
             from deepseek_tpu.models.loader import stack_layer_groups
             p, self.params = self.params, None
             self.params = stack_layer_groups(
@@ -148,6 +155,22 @@ class Engine:
         self.prefill_chunk = max(1, prefill_chunk)
         # tokens sampled on device per decode dispatch (1 = step-per-token)
         self.decode_block = max(1, decode_block)
+        from deepseek_tpu.models.params import StackedLayers
+        if (self.decode_block > 1
+                and any(isinstance(e, StackedLayers)
+                        for e in self.params.layers)):
+            # deep scanned models: pre-relayout params to the decode
+            # loop's compiled input formats — XLA's auto layouts want
+            # transposed tilings for some stacked scale planes, and the
+            # per-dispatch relayout copies tax every step (loader
+            # docstring has the numbers; NOTE this does NOT fix the
+            # scan+nibble full-depth OOM — that path stays gated off in
+            # "auto" above)
+            from deepseek_tpu.models.loader import align_param_layouts
+            p, self.params = self.params, None
+            self.params = align_param_layouts(p, self.cfg,
+                                              n_steps=self.decode_block)
+            del p
         self._key = jax.random.PRNGKey(seed if seed is not None else 0)
         self._fns = {}
 

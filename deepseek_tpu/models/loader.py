@@ -521,6 +521,71 @@ def unstack_layer_groups(params: ModelParams) -> ModelParams:
     return dataclasses.replace(params, layers=tuple(layers))
 
 
+def align_param_layouts(params: ModelParams, cfg: ModelConfig,
+                        n_steps: int = 32, batch: int = 1) -> ModelParams:
+    """Pre-relayout params to the fused decode loop's compiled input
+    formats (TPU only; a no-op elsewhere).
+
+    XLA compiles jit programs with AUTO argument layouts: for scanned
+    layer stacks it prefers transposed last-two-dim tilings for some
+    bf16 scale planes (measured: the stacked MoE w2 scale plane wants
+    major_to_minor (0,1,3,2)). Arrays built by normal computation carry
+    default layouts, so EVERY dispatch relayout-copies the mismatched
+    arguments — a silent per-dispatch tax (~0.8 GB of copies per step
+    at full V2-Lite depth on an 11.2 GB param set).
+
+    NOTE: this alignment does NOT rescue the scan+nibble full-depth
+    OOM — measured on-chip, the first decode dispatch still exhausts
+    HBM with layouts pre-aligned (PERFORMANCE.md), so the Engine's
+    scan_layers="auto" keeps nibble models unrolled. The alignment
+    remains worthwhile for the scanned packed-K-quant configs where
+    the loop runs.
+
+    Fix: lower the SAME decode-loop jit from avals, read the compiled
+    ``input_formats``, and ``device_put(..., donate=True)`` each
+    mismatched leaf to the layout XLA wants, one at a time (transient
+    bounded by the largest single mismatched leaf). Subsequent engine
+    dispatches then bind copy-free; jit re-lowers keyed on the committed
+    formats and honors them.
+    """
+    if jax.default_backend() != "tpu":
+        return params
+    from deepseek_tpu.models import init_cache
+    from deepseek_tpu.models.deepseek import make_decode_loop
+
+    pav = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), params)
+    cav = jax.eval_shape(lambda: init_cache(cfg, batch=batch))
+    sc = jax.ShapeDtypeStruct((), jnp.float32)
+    loop = jax.jit(make_decode_loop(cfg, n_steps, jit=False),
+                   donate_argnums=(1,))
+    compiled = loop.lower(
+        pav, cav, jax.ShapeDtypeStruct((batch, 1), jnp.int32),
+        jax.ShapeDtypeStruct((), jnp.int32),
+        jax.ShapeDtypeStruct((2,), jnp.uint32), sc, sc).compile()
+    fmts = compiled.input_formats[0][0]
+    moved = [0]
+
+    def put(x, f):
+        if x is None or getattr(x, "format", None) is None:
+            return x
+        if x.format.layout == f.layout:
+            return x
+        y = jax.device_put(x, f, donate=True)
+        y.block_until_ready()          # serialize: bound the transient
+        moved[0] += y.nbytes
+        return y
+
+    out = jax.tree.map(put, params, fmts)
+    if moved[0]:
+        import logging
+        logging.getLogger("deepseek_tpu.loader").info(
+            "aligned %.2f GB of params to the decode loop's compiled "
+            "layouts (dispatch relayout copies eliminated)",
+            moved[0] / 1e9)
+    return out
+
+
 def iter_layer_views(layers):
     """Yield (global_layer_index, per-layer LayerParams view) across a
     layers tuple that may contain StackedLayers entries (host-side

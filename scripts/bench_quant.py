@@ -48,11 +48,21 @@ def main():
     params = quantized_params(cfg, quant)
     from deepseek_tpu.models.loader import fuse_projections, stack_layer_groups
     params = fuse_projections(params, cfg, consume=True)
-    if layers >= 16 and "--no-scan" not in sys.argv:
+    # nibble mirrors Engine scan_layers="auto": scan+nibble at depth
+    # OOMs on chip at the first dispatch (PERFORMANCE.md) and unrolled
+    # nibble is the fastest deep config anyway; pass --scan to force.
+    scan_ok = ("--scan" in sys.argv if quant.endswith("_nibble")
+               else "--no-scan" not in sys.argv)
+    if layers >= 16 and scan_ok:
         # deep stacks: scan homogeneous layers (program-size cliff past
         # ~24 unrolled layers — PERFORMANCE.md); consume=True bounds the
         # stacking transient to ~the largest field's stacked buffer
         params = stack_layer_groups(params, cfg, consume=True)
+        # pre-relayout to the loop's compiled formats so decode steps
+        # bind copy-free (align_param_layouts docstring; does NOT fix
+        # the scan+nibble full-depth OOM)
+        from deepseek_tpu.models.loader import align_param_layouts
+        params = align_param_layouts(params, cfg, n_steps=32)
     jax.block_until_ready(jax.tree.leaves(params))
     print(f"quantize+load: {time.perf_counter()-t0:.1f}s")
 

@@ -176,3 +176,41 @@ def test_pipeline_unstacks():
         lg = pp.decode_step(jnp.asarray([[t]] * 2, jnp.int32), pos)
         got.append(np.asarray(lg))
     np.testing.assert_allclose(np.stack(got), want, rtol=1e-5, atol=1e-5)
+
+
+def test_align_param_layouts_cpu_identity():
+    """align_param_layouts is a TPU-only relayout; on CPU it must return
+    the params untouched (same leaves, no copies) and never crash — the
+    Engine calls it for every scanned deep model."""
+    from deepseek_tpu.models.loader import align_param_layouts
+    cfg = _cfg(layers=5)
+    params = stack_layer_groups(random_params(cfg, seed=5), cfg,
+                                min_group=2)
+    out = align_param_layouts(params, cfg, n_steps=2)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(out)):
+        assert a is b
+
+
+def test_auto_scan_skips_nibble_runtime(tmp_path):
+    """scan_layers="auto" must leave nibble-runtime models unrolled: the
+    scan+nibble combination OOMs on chip at the first decode dispatch
+    (PERFORMANCE.md), and unrolled nibble is the fastest deep config.
+    Explicit scan_layers=True still stacks."""
+    import os
+
+    from deepseek_tpu import convert as cv
+    from deepseek_tpu.engine import Engine
+    from tests.util_hf import hf_config, hf_weights, write_hf_dir
+
+    cfg = hf_config(dim=256, hidden=256, q_lora=256, kv_lora=256, nope=128,
+                    rope=64, v_dim=128, moe_inter=256, layers=16, vocab=300,
+                    n_experts=4, n_active=2)
+    hf_dir = os.path.join(str(tmp_path), "hf")
+    write_hf_dir(hf_dir, cfg, hf_weights(cfg, seed=31, scale=0.1))
+    out = os.path.join(str(tmp_path), "q2k16")
+    cv.convert(hf_dir, out, quant="q2_k", use_mla=True)
+
+    e_nib = Engine(out, seed=0, decode_block=1, kquant_runtime="nibble")
+    assert not any(isinstance(e, StackedLayers) for e in e_nib.params.layers)
+    e_auto = Engine(out, seed=0, decode_block=1)
+    assert any(isinstance(e, StackedLayers) for e in e_auto.params.layers)
