@@ -168,8 +168,18 @@ class Engine:
             # "auto" above)
             from deepseek_tpu.models.loader import align_param_layouts
             p, self.params = self.params, None
-            self.params = align_param_layouts(p, self.cfg,
-                                              n_steps=self.decode_block)
+            try:
+                # perf hygiene only — if the aval-lowered probe compile
+                # fails (or the compiled input_formats API shifts), run
+                # with default layouts instead of failing the load
+                self.params = align_param_layouts(p, self.cfg,
+                                                  n_steps=self.decode_block)
+            except Exception:  # noqa: BLE001
+                import logging
+                logging.getLogger("deepseek_tpu.engine").warning(
+                    "param layout alignment failed; decode dispatches "
+                    "may pay relayout copies", exc_info=True)
+                self.params = p
             del p
         self._key = jax.random.PRNGKey(seed if seed is not None else 0)
         self._fns = {}
