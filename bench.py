@@ -27,6 +27,10 @@ import time
 import jax
 import jax.numpy as jnp
 
+from deepseek_tpu.utils.compile_cache import enable_compile_cache
+
+enable_compile_cache()
+
 from deepseek_tpu.config import (
     ActivationType, ModelConfig, QuantKind, ScoringFunc, TopKMethod,
 )

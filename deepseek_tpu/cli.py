@@ -396,6 +396,8 @@ def run_interactive(engine: Engine, args: Args):
 
 
 def main(argv: Optional[List[str]] = None):
+    from deepseek_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
     argv = list(sys.argv[1:] if argv is None else argv)
     if not argv or argv[0] in ("-h", "--help"):
         _die()

@@ -27,3 +27,11 @@ except Exception:
     pass
 # K-quant golden tests compare against a locally-built reference shared lib
 os.environ.setdefault("DSEEK_REFERENCE_DIR", "/root/reference")
+
+# Persistent compilation cache: the suite is compile-dominated (hundreds of
+# tiny-model jit programs); cached re-runs skip all of it. Keyed on HLO +
+# compile options, so virtual-mesh/CPU programs never collide with TPU ones.
+from deepseek_tpu.utils.compile_cache import enable_compile_cache  # noqa: E402
+
+enable_compile_cache(os.environ.get("DSEEK_TEST_COMPILE_CACHE",
+                                    "/tmp/dseek_test_jaxcache"))
