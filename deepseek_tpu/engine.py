@@ -171,7 +171,10 @@ class Engine:
             try:
                 # perf hygiene only — if the aval-lowered probe compile
                 # fails (or the compiled input_formats API shifts), run
-                # with default layouts instead of failing the load
+                # with default layouts instead of failing the load.
+                # align_param_layouts only raises BEFORE moving any leaf
+                # (donation failures mid-tree are absorbed there and the
+                # merged tree returned), so restoring p here is safe
                 self.params = align_param_layouts(p, self.cfg,
                                                   n_steps=self.decode_block)
             except Exception:  # noqa: BLE001

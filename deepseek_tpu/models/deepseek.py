@@ -908,7 +908,7 @@ def _forward_impl(params: ModelParams, cache: KVCache, tokens: jnp.ndarray,
     # operands (pallas_call is opaque to the partitioner). Prefill uses the
     # same fused-dequant kernels (batch-tiled) so quantized weights never
     # materialize; MoE routing picks its prefill formulation in _ffn.
-    impl = kernel_impl(cfg)
+    impl = kernel_impl(cfg, prefill=prefill)
 
     pos0 = jnp.asarray(pos0, jnp.int32)
     if prefill:

@@ -576,7 +576,25 @@ def align_param_layouts(params: ModelParams, cfg: ModelConfig,
         moved[0] += y.nbytes
         return y
 
-    out = jax.tree.map(put, params, fmts)
+    # leaf-at-a-time with donation means a mid-tree failure (e.g. a
+    # transient OOM on a near-full-HBM model — the exact target of this
+    # feature) leaves already-donated sources DELETED: the only valid
+    # result is the merged tree (moved prefix + untouched suffix), never
+    # the caller's original reference
+    leaves, treedef = jax.tree.flatten(params)
+    fleaves = jax.tree.flatten(fmts)[0]
+    assert len(leaves) == len(fleaves), (len(leaves), len(fleaves))
+    out_leaves = list(leaves)
+    try:
+        for i, (x, f) in enumerate(zip(leaves, fleaves)):
+            out_leaves[i] = put(x, f)
+    except Exception:  # noqa: BLE001 - partial alignment is still valid
+        import logging
+        logging.getLogger("deepseek_tpu.loader").warning(
+            "param layout alignment stopped early after %.2f GB; "
+            "remaining dispatches may pay relayout copies on the "
+            "unaligned leaves", moved[0] / 1e9, exc_info=True)
+    out = jax.tree.unflatten(treedef, out_leaves)
     if moved[0]:
         import logging
         logging.getLogger("deepseek_tpu.loader").info(
@@ -584,22 +602,6 @@ def align_param_layouts(params: ModelParams, cfg: ModelConfig,
             "layouts (dispatch relayout copies eliminated)",
             moved[0] / 1e9)
     return out
-
-
-def iter_layer_views(layers):
-    """Yield (global_layer_index, per-layer LayerParams view) across a
-    layers tuple that may contain StackedLayers entries (host-side
-    inspection: stats, sanity checks; the views are lazy array slices)."""
-    from deepseek_tpu.models.params import StackedLayers
-    l = 0
-    for entry in layers:
-        if isinstance(entry, StackedLayers):
-            for k in range(entry.n):
-                yield l, jax.tree.map(lambda a, k=k: a[k], entry.lp)
-                l += 1
-        else:
-            yield l, entry
-            l += 1
 
 
 def _layer_weight_active_bytes(lp, moe: bool, cfg: ModelConfig) -> float:

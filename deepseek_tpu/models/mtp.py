@@ -53,7 +53,7 @@ def _mtp_impl(params: ModelParams, cache, tokens, h, pos0,
     assert mp is not None, "checkpoint has no MTP module"
     B, T = tokens.shape
     dtype = jnp.dtype(cfg.compute_dtype)
-    impl = kernel_impl(cfg)
+    impl = kernel_impl(cfg, prefill=prefill)
 
     e = rmsnorm(embed_lookup(params.embed, tokens, jnp.float32).astype(dtype),
                 mp.enorm, cfg.norm_eps)

@@ -24,17 +24,26 @@ from deepseek_tpu.quant.qtensor import PlainTensor
 _AUTO_PALLAS = True  # scripts/tpu_smoke.py passes on v5e (all kernels ~4e-7)
 
 
-def kernel_impl(cfg) -> dict | None:
-    """Resolve cfg.kernel_impl -> None (XLA path) or {'interpret': bool}."""
+def kernel_impl(cfg, prefill: bool = False) -> dict | None:
+    """Resolve cfg.kernel_impl -> None (XLA path) or {'interpret': bool}.
+
+    ``prefill`` tags the dict so row-count-sensitive dispatches (qmatmul's
+    scanned-stack branch) can pick the chunk-amortized formulation."""
     mode = getattr(cfg, "kernel_impl", "auto")
     if mode == "xla":
         return None
     on_tpu = jax.default_backend() == "tpu"
     if mode == "pallas":
-        return {"interpret": not on_tpu}
-    # "auto": pallas on TPU once per-primitive Mosaic support is verified
-    # (scripts/tpu_smoke.py); conservatively XLA until then
-    return {"interpret": False} if on_tpu and _AUTO_PALLAS else None
+        impl = {"interpret": not on_tpu}
+    elif on_tpu and _AUTO_PALLAS:
+        # "auto": pallas on TPU once per-primitive Mosaic support is
+        # verified (scripts/tpu_smoke.py); conservatively XLA until then
+        impl = {"interpret": False}
+    else:
+        return None
+    if prefill:
+        impl["prefill"] = True
+    return impl
 
 
 import dataclasses as _dc
@@ -101,9 +110,17 @@ def qmatmul(qt, x: jnp.ndarray, dtype=None, impl: dict | None = None) -> jnp.nda
         if (isinstance(qt.qt, Fp8Tensor)
                 and tuple(qt.qt.block_size) == (0, 0)):
             qt = qt.materialize()   # per-tensor fp8 has no kernel anywhere
-        if isinstance(qt, LayerSlicedQT) and impl is not None:
-            # the stacked weight IS an expert table with one "expert" per
-            # layer: the gather kernel DMAs only layer li's packed tiles
+        if (isinstance(qt, LayerSlicedQT) and impl is not None
+                and not impl.get("prefill")):
+            # DECODE: the stacked weight IS an expert table with one
+            # "expert" per layer — the gather kernel DMAs only layer li's
+            # packed tiles, no slice copy per scan iteration (measured
+            # 85 -> 19 tok/s when sliced). The pair-flat grid dequants
+            # once per ROW though, so PREFILL chunks (hundreds of rows)
+            # skip this branch and materialize the slice instead — one
+            # copy per chunk per layer, amortized over the chunk's
+            # tokens, then the batch-tiled qmm dequants once per 128
+            # rows (same policy as _ffn's grouped prefill)
             from deepseek_tpu.ops.pallas.qmm import qmm_experts
             lead, n = x.shape[:-1], x.shape[-1]
             x2 = x.reshape(1, -1, n)                       # (1, rows, n)

@@ -67,7 +67,7 @@ def _make_stage_fn(cfg: ModelConfig, lo: int, hi: int, first: bool,
     from deepseek_tpu.parallel.spmd import NULL_CTX
 
     def fn(sp: ModelParams, cache, xin, pos0):
-        impl = kernel_impl(cfg)
+        impl = kernel_impl(cfg, prefill=prefill)
         dtype = jnp.dtype(cfg.compute_dtype)
         if first:
             B, T = xin.shape

@@ -35,8 +35,10 @@ from deepseek_tpu.models.testing import random_quantized_params as \
 
 
 def main():
-    quant = sys.argv[1] if len(sys.argv) > 1 else "q2_k"
-    layers = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    # usage: bench_quant.py [quant] [layers] [--scan|--no-scan]
+    pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+    quant = pos[0] if pos else "q2_k"
+    layers = int(pos[1]) if len(pos) > 1 else 8
     backend = jax.default_backend()
     cfg = bench_config(layers)
     # moe_intermediate 1408 is not 256-divisible; use 1536 for K-quant rows

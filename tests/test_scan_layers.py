@@ -214,3 +214,41 @@ def test_auto_scan_skips_nibble_runtime(tmp_path):
     assert not any(isinstance(e, StackedLayers) for e in e_nib.params.layers)
     e_auto = Engine(out, seed=0, decode_block=1)
     assert any(isinstance(e, StackedLayers) for e in e_auto.params.layers)
+
+
+def test_sliced_qmatmul_prefill_materializes():
+    """qmatmul on a LayerSlicedQT picks the formulation by mode: decode
+    (1 row) routes through the expert-gather kernel (no slice copy per
+    scan iteration), prefill (a chunk of rows) materializes the slice and
+    batch-tiles — the pair-flat gather grid would re-dequant every weight
+    tile once per ROW. Both must agree numerically."""
+    from deepseek_tpu.models.testing import _random_qtensor
+    from deepseek_tpu.ops.matmul import LayerSlicedQT, qmatmul
+    from deepseek_tpu.ops.pallas.qmm import TRACE_COUNTS
+
+    rng = np.random.default_rng(7)
+    Lg, d, n = 3, 128, 256
+    key = [jax.random.PRNGKey(11)]
+
+    def nxt():
+        key[0], sub = jax.random.split(key[0])
+        return sub
+
+    stacked = _random_qtensor(nxt, (Lg, d, n), "q2_k")
+    sl = LayerSlicedQT(stacked, jnp.int32(1))
+
+    xp = jnp.asarray(rng.standard_normal((1, 16, n), dtype=np.float32))
+    xd = xp[:, :1]
+    ref = qmatmul(sl, xp, impl=None)  # XLA dequant reference
+
+    base = dict(TRACE_COUNTS)
+    out_d = qmatmul(sl, xd, impl={"interpret": True})
+    assert TRACE_COUNTS["qmm_experts"] == base.get("qmm_experts", 0) + 1
+    out_p = qmatmul(sl, xp, impl={"interpret": True, "prefill": True})
+    assert TRACE_COUNTS["qmm_experts"] == base.get("qmm_experts", 0) + 1
+    assert TRACE_COUNTS["qmm"] > base.get("qmm", 0)
+
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(ref),
+                               rtol=2e-2, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(out_p[:, :1]), np.asarray(out_d),
+                               rtol=2e-2, atol=2e-2)
