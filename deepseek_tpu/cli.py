@@ -227,6 +227,7 @@ def run_completion(engine: Engine, args: Args):
           f"{len(encoding)/enc_s:.5g}tok/s, latency: {enc_s/len(encoding):.5g}s/tok, "
           f"total: {enc_s:.5g}s)\n")
     print(f"Model active bytes per token: {engine.active_bytes(0):.0f}")
+    print(f"Model bits per weight: {engine.bits_per_weight():.4g}")
 
     def emit(token, piece: bytes):
         sys.stdout.write(piece.decode("utf-8", errors="replace"))

@@ -172,12 +172,17 @@ class Engine:
                 # perf hygiene only — if the aval-lowered probe compile
                 # fails (or the compiled input_formats API shifts), run
                 # with default layouts instead of failing the load.
-                # align_param_layouts only raises BEFORE moving any leaf
-                # (donation failures mid-tree are absorbed there and the
-                # merged tree returned), so restoring p here is safe
+                # align_param_layouts absorbs mid-tree donation failures
+                # itself (returning the merged live tree); it re-raises
+                # only when (a) nothing was moved yet (probe/compile
+                # errors) or (b) a leaf lost BOTH copies — in that case
+                # p shares the deleted leaf and must not be restored.
                 self.params = align_param_layouts(p, self.cfg,
                                                   n_steps=self.decode_block)
             except Exception:  # noqa: BLE001
+                if any(getattr(leaf, "is_deleted", lambda: False)()
+                       for leaf in jax.tree.leaves(p)):
+                    raise  # a param leaf is irrecoverably gone
                 import logging
                 logging.getLogger("deepseek_tpu.engine").warning(
                     "param layout alignment failed; decode dispatches "
@@ -206,6 +211,13 @@ class Engine:
 
     def active_bytes(self, pos: int = 0) -> float:
         return params_active_bytes(self.params, self.cfg, pos)
+
+    def bits_per_weight(self) -> float:
+        """Measured storage bits/weight of the loaded projection tensors
+        (stat-line parity with the reference's bits_per_weight,
+        codec.cpp:40-66; storage truth, runtime layout included)."""
+        from deepseek_tpu.models.loader import params_bits_per_weight
+        return params_bits_per_weight(self.params)
 
     # ------------------------------------------------------------------
     def _target_logprobs(self, logits, targets, r: int) -> np.ndarray:

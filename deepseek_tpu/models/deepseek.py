@@ -1122,8 +1122,25 @@ def _gspmd_kernel_gate(cfg: ModelConfig, build, build_mesh=None):
                 reason)
         return build(_dc.replace(cfg, kernel_impl="xla"))
 
+    def _sharding_key(params):
+        """Hashable signature of the params' sharding layout. The
+        upgraded/fallback decision depends on it, so the cache must be
+        keyed on it: re-calling the same builder with differently-sharded
+        (or unsharded) params must re-decide, not reuse a stale fn
+        (VERDICT r2 #9). Single-device leaves collapse to None so
+        unsharded trees share one entry regardless of device identity."""
+        try:
+            return tuple(
+                (id(getattr(sh, "mesh", None)),
+                 str(getattr(sh, "spec", sh)))
+                if (sh := getattr(leaf, "sharding", None)) is not None
+                and getattr(sh, "num_devices", 1) > 1 else None
+                for leaf in jax.tree.leaves(params))
+        except Exception:
+            return None
+
     def wrapper(params, *rest):
-        key = "fn"
+        key = _sharding_key(params)
         if key not in state:
             if _params_span_devices(params) and kernel_impl(cfg) is not None:
                 state[key] = _upgrade_or_fallback(params, rest)

@@ -566,29 +566,42 @@ def align_param_layouts(params: ModelParams, cfg: ModelConfig,
     fmts = compiled.input_formats[0][0]
     moved = [0]
 
-    def put(x, f):
-        if x is None or getattr(x, "format", None) is None:
-            return x
-        if x.format.layout == f.layout:
-            return x
-        y = jax.device_put(x, f, donate=True)
-        y.block_until_ready()          # serialize: bound the transient
-        moved[0] += y.nbytes
-        return y
-
     # leaf-at-a-time with donation means a mid-tree failure (e.g. a
     # transient OOM on a near-full-HBM model — the exact target of this
     # feature) leaves already-donated sources DELETED: the only valid
-    # result is the merged tree (moved prefix + untouched suffix), never
-    # the caller's original reference
+    # result is the merged tree (moved prefix + live copy of the failing
+    # leaf + untouched suffix), never the caller's original reference
     leaves, treedef = jax.tree.flatten(params)
     fleaves = jax.tree.flatten(fmts)[0]
     assert len(leaves) == len(fleaves), (len(leaves), len(fleaves))
     out_leaves = list(leaves)
     try:
         for i, (x, f) in enumerate(zip(leaves, fleaves)):
-            out_leaves[i] = put(x, f)
+            if x is None or getattr(x, "format", None) is None:
+                continue
+            if x.format.layout == f.layout:
+                continue
+            y = jax.device_put(x, f, donate=True)
+            # record y BEFORE syncing: on TPU an allocation OOM often
+            # surfaces at block_until_ready, AFTER the donation consumed
+            # x — at that point y is the only live handle for this leaf
+            out_leaves[i] = y
+            y.block_until_ready()      # serialize: bound the transient
+            moved[0] += y.nbytes
     except Exception:  # noqa: BLE001 - partial alignment is still valid
+        # scrub the merged tree: every slot must hold a LIVE array. The
+        # failing leaf may have lost either copy (y poisoned by the OOM,
+        # or x consumed before device_put raised) — fall back to
+        # whichever survived; if both are gone no valid tree exists and
+        # the caller must not dispatch on these params at all.
+        for i, src in enumerate(leaves):
+            leaf = out_leaves[i]
+            if getattr(leaf, "is_deleted", lambda: False)():
+                if (src is not leaf
+                        and not getattr(src, "is_deleted", lambda: True)()):
+                    out_leaves[i] = src
+                else:
+                    raise
         import logging
         logging.getLogger("deepseek_tpu.loader").warning(
             "param layout alignment stopped early after %.2f GB; "
@@ -673,3 +686,25 @@ def params_active_bytes(params: ModelParams, cfg: ModelConfig, pos: int = 0) -> 
     total += params.final_norm.nbytes
     total += params.lm_head.nbytes_active
     return float(total)
+
+
+def params_bits_per_weight(params: ModelParams) -> float:
+    """Measured storage bits per weight across the projection tensors as
+    actually loaded (reference stat: bits_per_weight, codec.cpp:40-66 —
+    a per-format constant there; here runtime layouts like the turbo
+    int8 planes or the 4-bit nibble planes change the true figure, so we
+    report storage truth: total packed plane bytes / logical elements,
+    the convention BASELINE.md settles the reference's own Q2_K
+    inconsistency with)."""
+    from deepseek_tpu.quant.qtensor import QTensorLike
+    bits = 0.0
+    weights = 0.0
+    for leaf in jax.tree.leaves(
+            params, is_leaf=lambda x: isinstance(x, QTensorLike)):
+        if isinstance(leaf, QTensorLike):
+            n = 1
+            for s in leaf.shape:
+                n *= int(s)
+            bits += 8.0 * sum(x.nbytes for x in jax.tree.leaves(leaf))
+            weights += n
+    return bits / weights if weights else 0.0

@@ -36,6 +36,11 @@ from deepseek_tpu.models.testing import random_quantized_params as \
 
 def main():
     # usage: bench_quant.py [quant] [layers] [--scan|--no-scan]
+    flags = {a for a in sys.argv[1:] if a.startswith("--")}
+    unknown = flags - {"--scan", "--no-scan"}
+    if unknown:
+        sys.exit(f"unknown flags: {sorted(unknown)} "
+                 "(supported: --scan, --no-scan)")
     pos = [a for a in sys.argv[1:] if not a.startswith("--")]
     quant = pos[0] if pos else "q2_k"
     layers = int(pos[1]) if len(pos) > 1 else 8
@@ -50,11 +55,16 @@ def main():
     params = quantized_params(cfg, quant)
     from deepseek_tpu.models.loader import fuse_projections, stack_layer_groups
     params = fuse_projections(params, cfg, consume=True)
-    # nibble mirrors Engine scan_layers="auto": scan+nibble at depth
-    # OOMs on chip at the first dispatch (PERFORMANCE.md) and unrolled
-    # nibble is the fastest deep config anyway; pass --scan to force.
-    scan_ok = ("--scan" in sys.argv if quant.endswith("_nibble")
-               else "--no-scan" not in sys.argv)
+    # --scan/--no-scan force either way for every quant; the default
+    # mirrors Engine scan_layers="auto": scan+nibble at depth OOMs on
+    # chip at the first dispatch (PERFORMANCE.md) and unrolled nibble is
+    # the fastest deep config anyway, so nibble defaults to unrolled.
+    if "--scan" in flags:
+        scan_ok = True
+    elif "--no-scan" in flags:
+        scan_ok = False
+    else:
+        scan_ok = not quant.endswith("_nibble")
     if layers >= 16 and scan_ok:
         # deep stacks: scan homogeneous layers (program-size cliff past
         # ~24 unrolled layers — PERFORMANCE.md); consume=True bounds the

@@ -241,6 +241,14 @@ def test_sliced_qmatmul_prefill_materializes():
     xd = xp[:, :1]
     ref = qmatmul(sl, xp, impl=None)  # XLA dequant reference
 
+    # TRACE_COUNTS bumps at jit TRACE time only: an earlier test tracing
+    # qmm/qmm_experts at identical avals would turn the calls below into
+    # cache hits and the exact `== base + 1` asserts would fail
+    # spuriously. Clear the jit caches so each call re-traces.
+    from deepseek_tpu.ops.pallas import qmm as _qmm_mod
+    _qmm_mod.qmm.clear_cache()
+    _qmm_mod.qmm_experts.clear_cache()
+
     base = dict(TRACE_COUNTS)
     out_d = qmatmul(sl, xd, impl={"interpret": True})
     assert TRACE_COUNTS["qmm_experts"] == base.get("qmm_experts", 0) + 1

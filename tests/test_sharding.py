@@ -210,6 +210,43 @@ def test_gspmd_jit_auto_upgrades_to_shard_map_kernels():
                                rtol=2e-3, atol=2e-3)
 
 
+def test_gspmd_gate_rekeys_on_sharding_change():
+    """One builder called with unsharded THEN sharded params (and back)
+    must re-decide per sharding signature — the r2 gate cached its first
+    decision keyed on nothing, so the sharded call would silently reuse
+    the plain single-device fn (Pallas kernels under GSPMD = per-chip
+    weight replication; VERDICT r2 #9)."""
+    import dataclasses
+    from deepseek_tpu.parallel import spmd as spmd_mod
+
+    cfg = tiny_config(use_mla=True, vocab_size=64)
+    cfg_pl = dataclasses.replace(cfg, kernel_impl="pallas")
+    wd, params = build(cfg, seed=35)
+    mesh = make_mesh(data=1, expert=2, tensor=2)
+    sp = shard_params(params, cfg_pl, mesh)
+    tk = jnp.asarray([[3]], jnp.int32)
+
+    step = make_forward(cfg_pl, prefill=False, logits_mode="last")
+
+    # 1. unsharded call first: plain single-device fn
+    before = spmd_mod.TRACE_COUNTS["gspmd_upgrade"]
+    want, _ = step(params, init_cache(cfg_pl, batch=1), tk, 0)
+    assert spmd_mod.TRACE_COUNTS["gspmd_upgrade"] == before
+
+    # 2. sharded call on the SAME builder: must upgrade, not reuse
+    sc = shard_cache(init_cache(cfg_pl, batch=1), cfg_pl, mesh)
+    lg, _ = step(sp, sc, tk, 0)
+    assert spmd_mod.TRACE_COUNTS["gspmd_upgrade"] > before, \
+        "stale gate: sharded params reused the single-device fn"
+    np.testing.assert_allclose(np.asarray(lg), np.asarray(want),
+                               rtol=2e-3, atol=2e-3)
+
+    # 3. unsharded again: back to the plain fn, still correct
+    lg3, _ = step(params, init_cache(cfg_pl, batch=1), tk, 0)
+    np.testing.assert_allclose(np.asarray(lg3), np.asarray(want),
+                               rtol=2e-3, atol=2e-3)
+
+
 def test_gspmd_jit_fallback_without_mesh_form():
     """Builders with no shard_map form (with_hidden engine hook) must fall
     back to the XLA dequant path under GSPMD params — and stay correct."""
