@@ -87,6 +87,7 @@ Serve mode options:
   --port <int>                HTTP port (default 8080)
   --host <str>                bind address (default 127.0.0.1)
   --batch <int>               continuous-batching slots (default 4)
+  --no-warmup                 skip startup precompile of serving shapes
 """
 
 
@@ -125,6 +126,7 @@ class Args:
         self.port = 8080
         self.host = "127.0.0.1"
         self.batch = 4
+        self.warmup = True
 
 
 def parse_mode_flags(args: Args, argv: List[str]) -> Args:
@@ -188,6 +190,8 @@ def parse_mode_flags(args: Args, argv: List[str]) -> Args:
             args.host = val()
         elif a == "--batch":
             args.batch = int(val())
+        elif a == "--no-warmup":
+            args.warmup = False
         else:
             _die(f"unknown flag {a}")
         i += 1
@@ -451,7 +455,8 @@ def main(argv: Optional[List[str]] = None):
         run_passkey(engine, args)
     elif args.mode == "serve":
         from deepseek_tpu.server import Server
-        Server(engine, batch_size=args.batch).serve_forever(args.host, args.port)
+        Server(engine, batch_size=args.batch,
+               warmup=args.warmup).serve_forever(args.host, args.port)
     else:
         run_interactive(engine, args)
 

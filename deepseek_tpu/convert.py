@@ -118,7 +118,13 @@ def normalize_metadata(config: dict, tokenizer_config: dict, quant: str,
         "rope_scaling_original_max_position_embeddings":
             str(rs["original_max_position_embeddings"]),
     }
-    if quant == "f8e5m2":
+    if quant == "f8e5m2" and bsize != 0:
+        # --bsize 0 = per-tensor scalar scales (the reference's no---bsize
+        # default, convert.py:326-334): no block-size keys in the metadata,
+        # the runtime loads scalar/(E,1,1) scales (loader.py). The default
+        # here stays 128x128 blockwise — scale tiles map 1:1 onto MXU tiles
+        # and feed the fused Pallas kernels; per-tensor fp8 runs the XLA
+        # dequant path.
         b = bsize if bsize else 128
         md["quantization_block_size_0"] = str(b)
         md["quantization_block_size_1"] = str(b)
@@ -170,15 +176,49 @@ def load_tokens(tokenizer_path: str, vocab_size: int) -> List[bytes]:
 # weights
 # ---------------------------------------------------------------------------
 
-def _read_safetensors(paths: List[str]) -> Dict[str, np.ndarray]:
+def _read_safetensors(paths: List[str]
+                      ) -> Tuple[Dict[str, np.ndarray], List[np.memmap]]:
+    """Memmap every input shard: tensors are lazy views, fetched (copied)
+    one at a time by Converter.fetch — conversion never holds the
+    checkpoint in RAM. Also returns the underlying memmaps so the caller
+    can drop already-consumed pages (see _release_mapped_pages)."""
     weights: Dict[str, np.ndarray] = {}
+    mms: List[np.memmap] = []
     for path in paths:
         _, tensors = codec.load_shard(path, read_metadata=False)
+        first = True
         for name, tv in tensors.items():
             if name in weights:
                 raise ValueError(f"duplicate tensor {name}")
             weights[name] = tv.array
-    return weights
+            if first:
+                b = tv.array
+                while b is not None and not isinstance(b, np.memmap):
+                    b = b.base
+                if isinstance(b, np.memmap):
+                    mms.append(b)
+                first = False
+    return weights, mms
+
+
+def _release_mapped_pages(mms: List[np.memmap]) -> None:
+    """Drop the input memmaps' resident pages (MADV_DONTNEED).
+
+    Every HF tensor is read exactly once, but touched pages of a private
+    read-only mapping stay counted in RSS until memory pressure — on a
+    671B-scale checkpoint that reads as an unbounded-memory converter.
+    Called after each output shard is written; peak RSS stays ~one output
+    shard + the largest single tensor, independent of checkpoint size
+    (verified by scripts/check_convert_rss.py). Pages not yet touched are
+    unaffected; a hypothetical re-read just refaults from disk."""
+    import mmap as _m
+    if not hasattr(_m, "MADV_DONTNEED"):  # pragma: no cover - non-Linux
+        return
+    for mm in mms:
+        try:
+            mm._mmap.madvise(_m.MADV_DONTNEED)
+        except (AttributeError, ValueError, OSError):  # pragma: no cover
+            pass
 
 
 class Converter:
@@ -187,7 +227,11 @@ class Converter:
         self.w = weights
         self.md = md
         self.quant = quant
-        self.block = (bsize or 128, bsize or 128) if quant == "f8e5m2" else None
+        if quant == "f8e5m2":
+            # (0, 0) = per-tensor scalar scale (--bsize 0)
+            self.block = (0, 0) if bsize == 0 else (bsize or 128,) * 2
+        else:
+            self.block = None
         self.dequant_block = dequant_block
 
     def fetch(self, name: str) -> np.ndarray:
@@ -206,6 +250,15 @@ class Converter:
         if self.quant == "fp16":
             return t.astype(np.float16), None
         if self.quant == "f8e5m2":
+            if self.block == (0, 0):
+                # per-tensor scalar scale, ONE per stored tensor even for
+                # expert stacks — byte-identical wire format to the
+                # reference's no---bsize path (convert.py:326-334,344-362;
+                # note the reference BINARY cannot load this format back:
+                # its check_tensor divides by block_size 0, model.cpp:192+
+                # — convert-side only there; this engine loads and runs it,
+                # loader.py broadcasts the scalar per expert axis)
+                return fp8q.per_tensor_quantize(t)
             if t.ndim == 3:  # stacked experts: per-expert block grids
                 qs, ss = zip(*(fp8q.blockwise_quantize(e, self.block) for e in t))
                 return np.stack(qs), np.stack(ss)
@@ -381,7 +434,7 @@ def convert(input_dir: str, output_dir: str, *, quant: str = "fp16",
         if f.endswith(".safetensors"))
     if not model_files:
         raise FileNotFoundError(f"no .safetensors in {input_dir}")
-    weights = _read_safetensors(model_files)
+    weights, mms = _read_safetensors(model_files)
 
     tokens = load_tokens(os.path.join(input_dir, "tokenizer.json"),
                          int(md["vocab_size"]))
@@ -401,6 +454,7 @@ def convert(input_dir: str, output_dir: str, *, quant: str = "fp16",
         codec.save_shard(
             os.path.join(output_dir, f"shard_{i:03d}.dseek"),
             shard, metadata=md if i == 0 else None)
+        _release_mapped_pages(mms)   # bounded RSS at any checkpoint size
         if progress:
             print(f"Saved shard {i}", flush=True)
 
@@ -412,7 +466,9 @@ def main():
     ap.add_argument("--mla", action="store_true", help="absorbed-MLA attention")
     ap.add_argument("--quant", default="fp16", choices=SUPPORTED_QUANTS)
     ap.add_argument("--bsize", type=int, default=None,
-                    help="block size for blockwise f8e5m2")
+                    help="f8e5m2 scale block size (default 128; 0 = "
+                         "per-tensor scalar scales like the reference's "
+                         "no---bsize default)")
     ap.add_argument("--n-layers", type=int, default=None)
     ap.add_argument("--ref-compat-topk", action="store_true",
                     help="downgrade noaux_tc to group_limited_greedy like the reference")

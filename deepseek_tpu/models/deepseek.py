@@ -423,8 +423,10 @@ def _attention(lp: LayerParams, cfg: ModelConfig, xb: jnp.ndarray,
                     cfg.head_dim, softmax_scale=sm_scale)[:, None]  # (B,1,H,R)
 
         # per-head up-projection of attended latents (wv_b, infer.cpp:1134-1137)
-        from deepseek_tpu.ops.matmul import LayerSlicedQT
-        if impl is not None and not prefill and not isinstance(lp.wv_b, PlainTensor):
+        from deepseek_tpu.ops.matmul import LayerSlicedQT, per_tensor_fp8
+        if (impl is not None and not prefill
+                and not isinstance(lp.wv_b, PlainTensor)
+                and not per_tensor_fp8(lp.wv_b)):
             # expert-gather kernel with idx = head index: each head's packed
             # block is read exactly once, nothing dequantizes to HBM
             from deepseek_tpu.ops.pallas.qmm import qmm_experts
@@ -650,8 +652,14 @@ def _ffn(lp: LayerParams, cfg: ModelConfig, xb: jnp.ndarray, layer: int,
         n_exp = cfg.n_routed_experts
         t_w1, t_w2, t_w3, t_w13 = lp.w1, lp.w2, lp.w3, lp.w13
 
-    from deepseek_tpu.ops.matmul import LayerSlicedQT
-    if prefill or impl is None:
+    from deepseek_tpu.ops.matmul import LayerSlicedQT, per_tensor_fp8
+    # per-tensor fp8 (scalar scales) has no fused expert kernel — the
+    # dequant is one XLA multiply, so those tables run the gather/dense
+    # formulations (qmm_experts/qmm_grouped assert on the (0,0) grid)
+    w1_probe0 = t_w13 if t_w13 is not None else t_w1
+    impl_ffn = None if (w1_probe0 is not None
+                        and per_tensor_fp8(w1_probe0)) else impl
+    if prefill or impl_ffn is None:
         # only the decode kernel path below can index a scanned layer
         # stack in place (expert_table); every other branch consumes the
         # materialized slice (XLA fallback / grouped prefill — an extra
@@ -660,7 +668,7 @@ def _ffn(lp: LayerParams, cfg: ModelConfig, xb: jnp.ndarray, layer: int,
             return t.materialize() if isinstance(t, LayerSlicedQT) else t
         t_w1, t_w2, t_w3, t_w13 = map(_mat, (t_w1, t_w2, t_w3, t_w13))
 
-    if active is not None and (prefill or impl is None):
+    if active is not None and (prefill or impl_ffn is None):
         # Non-kernel paths: collapse inactive rows (empty/finished serving
         # slots, shared-expert slots included) onto expert 0 with weight 0.
         # The kernel decode path instead hands ``active`` to
@@ -700,7 +708,7 @@ def _ffn(lp: LayerParams, cfg: ModelConfig, xb: jnp.ndarray, layer: int,
         d2 = t_w2.dequant(dtype)                                  # (E_l,dim,m)
         per_e = jnp.einsum("btem,edm->bted", h, d2, preferred_element_type=jnp.float32)
         out = ctx.psum_e(jnp.einsum("bted,bte->btd", per_e, wmat)).astype(dtype)
-    elif impl is not None:
+    elif impl_ffn is not None:
         # decode hot path: scalar-prefetch expert kernel — only the k active
         # experts' packed bytes leave HBM (the XLA gather reads all E). The
         # pair list is expert-sorted (EP ownership folded in) so repeated

@@ -111,7 +111,14 @@ def load_params(
         if dt == "F8_E5M2":
             block = cfg.block_size if (scale is not None and scale.ndim >= 2) else (0, 0)
             s = np.asarray(scale, np.float32) if scale is not None else np.float32(1.0).reshape(())
-            return Fp8Tensor(data=put(name, np.asarray(w)),
+            arr = np.asarray(w)
+            if block == (0, 0) and arr.ndim == 3 and s.size == 1:
+                # per-tensor scalar over an expert stack (the reference
+                # wire format, convert.py:344-362): broadcast to (E,1,1)
+                # so the scale gathers along the expert axis with the
+                # weights and broadcasts in dequant
+                s = np.full((arr.shape[0], 1, 1), s.item(), np.float32)
+            return Fp8Tensor(data=put(name, arr),
                              scale=put(name + ".scale", s),
                              block_size=tuple(block))
 

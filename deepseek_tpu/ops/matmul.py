@@ -366,13 +366,27 @@ def grouped_expert_ffn(w1, w2, w3, xb: jnp.ndarray, weights: jnp.ndarray,
     return ctx.psum_e(y.sum(axis=2)).astype(dtype), ctx.psum_e(ovf)
 
 
+def per_tensor_fp8(t) -> bool:
+    """True for an Fp8Tensor with a per-tensor scalar scale ((0,0) block) —
+    a compatibility format (reference convert.py:326-334) with no fused
+    kernel: the scalar-scale dequant is one XLA multiply, so those paths
+    fall back to the dequant formulation instead of qmm_experts/
+    qmm_grouped (which assert on it)."""
+    from deepseek_tpu.quant.qtensor import Fp8Tensor
+    tt = t.qt if isinstance(t, LayerSlicedQT) else t
+    return isinstance(tt, Fp8Tensor) and tuple(tt.block_size) == (0, 0)
+
+
 def grouped_ffn_supported(cfg, w1=None) -> bool:
     """Tile/kernel divisibility for the grouped prefill paths: gmm tiles
     m/k/n by 128 (plain weights); qmm_grouped needs K-quant superblocks
-    (256) to divide both contraction dims (quantized/turbo weights)."""
+    (256) to divide both contraction dims (quantized/turbo weights).
+    Per-tensor fp8 has no grouped kernel (see per_tensor_fp8)."""
     from deepseek_tpu.quant.qtensor import (
         KNibbleTensor, Q2KTensor, Q2KTurboTensor, Q3KTensor, Q3KTurboTensor,
     )
+    if w1 is not None and per_tensor_fp8(w1):
+        return False
     if w1 is not None and isinstance(w1, (Q2KTensor, Q3KTensor,
                                           Q2KTurboTensor, Q3KTurboTensor,
                                           KNibbleTensor)):

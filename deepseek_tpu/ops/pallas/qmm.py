@@ -97,11 +97,17 @@ def _tile_d(d: int, n: int) -> int:
     """Output-row tile: smaller for huge reduction dims to bound VMEM.
     Grids use cdiv, so td need not divide d (partial tiles are masked).
     Bigger tiles amortize per-program overhead — td=1024 measured ~25%
-    faster than 256 for bf16 expert tiles on v5e."""
-    for td in (1024, 512, 256, 128, 64, 32, 16):
+    faster than 256 for bf16 expert tiles on v5e.
+
+    Floor at 128: td is the OUTPUT block's lane dim, and Mosaic requires
+    the last block dim be 128-divisible (or the full array) — td=64 fails
+    to lower outright (first hit at DeepSeek-V3's hidden_dim=18432, where
+    the VMEM heuristic alone would shrink below the floor; the ~14 MB
+    working set at td=128 is well under the scoped-VMEM budget)."""
+    for td in (1024, 512, 256):
         if td * n * 6 <= 12 * 1024 * 1024:
             return td
-    return 8
+    return 128
 
 
 # ---------------------------------------------------------------------------

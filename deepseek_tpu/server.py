@@ -46,9 +46,23 @@ class _Pending:
 
 
 class Server:
-    def __init__(self, engine: Engine, batch_size: int = 4):
+    def __init__(self, engine: Engine, batch_size: int = 4,
+                 warmup: bool = True):
+        """``warmup`` precompiles every serving shape (occupancy-bucket
+        decode loops, admission chunk modes, slot merge) before the first
+        request — without it the first use of each shape compiles inline
+        under traffic (measured p95 1.6 s vs steady p50 158 ms). Costs
+        one compile pass at startup; disable for fast-iteration dev runs
+        (``-m serve --no-warmup``)."""
         self.engine = engine
+        self._warmup = warmup
         self.scheduler = BatchScheduler(engine, batch_size=batch_size)
+        if warmup:
+            import time
+            t0 = time.perf_counter()
+            self.scheduler.warmup()
+            print(f"serving warmup: compiled decode buckets + admission "
+                  f"shapes in {time.perf_counter()-t0:.1f}s", flush=True)
         self.inbox: "queue.Queue[_Pending]" = queue.Queue()
         self._pending: list[_Pending] = []
         self._shutdown = threading.Event()
@@ -82,6 +96,11 @@ class Server:
                     p.error = "internal error during generation"
                 self.scheduler = BatchScheduler(
                     self.engine, batch_size=self.scheduler.batch)
+                if self._warmup:
+                    try:
+                        self.scheduler.warmup()
+                    except Exception:
+                        traceback.print_exc()
             still = []
             for p in self._pending:
                 if p.req.done:

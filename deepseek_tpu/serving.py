@@ -102,6 +102,63 @@ class BatchScheduler:
                 or any(s is not None for s in self.slots))
 
     # ------------------------------------------------------------------
+    def _loop_for(self, bucket: int):
+        """The fused decode loop for one power-of-2 occupancy bucket
+        (compiled lazily on first use unless warmup() precompiled it)."""
+        if bucket not in self._loops:
+            from deepseek_tpu.models.deepseek import make_decode_loop
+            self._loops[bucket] = make_decode_loop(
+                self.engine.cfg, self.block, mesh=self.mesh,
+                params=self.engine.params if self.mesh is not None else None,
+                cache=self.cache if self.mesh is not None else None,
+                active_bucket=bucket if bucket < self.batch else None)
+        return self._loops[bucket]
+
+    def warmup(self) -> None:
+        """Precompile every serving hot shape BEFORE accepting traffic:
+        the decode loop of each power-of-2 occupancy bucket, the admission
+        prefill chunk shapes (mid-prompt "none" mode plus the final-chunk
+        "last" and "all" modes — admission chunks are padded to
+        ``engine.prefill_chunk``, so three shapes cover every admission
+        until the window edge), and the donated slot merge.
+
+        Without this, the first use of each bucket / chunk shape compiles
+        inline under traffic — measured p95-with-admissions 1.6 s vs p50
+        158 ms (PERFORMANCE.md). The reference warms its forward before
+        timing for the same reason (main.cpp:297-304); a daemon must do
+        it before the first request. Safe on live state: warmup decode
+        blocks write garbage rows into idle slots, and admission
+        overwrites the whole batch row at merge time.
+        """
+        B = self.batch
+        eng = self.engine
+        key = jax.random.PRNGKey(0)
+        tok = jnp.zeros((B, 1), jnp.int32)
+        pos = jnp.zeros((B,), jnp.int32)
+        temps = jnp.zeros((B,), jnp.float32)
+        topps = jnp.ones((B,), jnp.float32)
+        act = jnp.zeros((B,), jnp.bool_)
+        bucket = 1
+        while True:
+            b = min(bucket, B)
+            _, _, self.cache = self._loop_for(b)(
+                self.params, self.cache, tok, pos, key, temps, topps, act)
+            if b >= B:
+                break
+            bucket *= 2
+        # admission shapes: throwaway 1-row hydrates covering the padded
+        # chunk modes ("none" then final "last"; a short tail compiles
+        # "all"), then the slot merge
+        C = eng.prefill_chunk
+        window = eng.cfg.kv_window
+        sub = eng.new_cache(batch=1)
+        if 2 * C <= window:
+            sub, _, _, _ = eng.hydrate(sub, [0] * (2 * C), 0)
+        if C + 1 <= window:
+            sub, _, _, _ = eng.hydrate(sub, [0] * (C + 1), 0)
+        self.cache = self._merge_slot(self.cache, sub, 0)
+        jax.block_until_ready(jax.tree.leaves(self.cache))
+
     def _merge_slot(self, cache, sub, slot):
         """Write the hydrated 1-row cache into batch row ``slot`` of the
         shared cache, in place (the shared cache is donated; slot is
@@ -196,14 +253,8 @@ class BatchScheduler:
         while bucket < n_active:
             bucket *= 2
         bucket = min(bucket, self.batch)
-        if bucket not in self._loops:
-            self._loops[bucket] = make_decode_loop(
-                self.engine.cfg, self.block, mesh=self.mesh,
-                params=self.engine.params if self.mesh is not None else None,
-                cache=self.cache if self.mesh is not None else None,
-                active_bucket=bucket if bucket < self.batch else None)
         self._key, sub = jax.random.split(self._key)
-        toks_dev, _, self.cache = self._loops[bucket](
+        toks_dev, _, self.cache = self._loop_for(bucket)(
             self.params, self.cache,
             jnp.asarray(self.cur.reshape(-1, 1), jnp.int32),
             jnp.asarray(self.pos, jnp.int32), sub,

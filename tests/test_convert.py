@@ -109,6 +109,63 @@ def test_convert_quantized_runs(tmp_path, quant):
         assert data.metadata["quantization_block_size_0"] == "128"
 
 
+def test_convert_per_tensor_fp8(tmp_path):
+    """--bsize 0 = per-tensor scalar scales, wire-format-identical to the
+    reference's no---bsize default (/root/reference/convert.py:326-334,
+    344-362: ONE scalar even for expert stacks). The reference binary
+    cannot load this format back (its check_tensor divides by
+    block_size=0, model.cpp:192+), so parity here is converter-side wire
+    format + this engine loading and running it on both kernel paths."""
+    import dataclasses
+    from deepseek_tpu.models import init_cache, make_forward
+
+    cfg = hf_config(dim=256, hidden=256, q_lora=256, kv_lora=256, nope=128,
+                    rope=64, v_dim=128, moe_inter=256, layers=2, vocab=300)
+    wd = hf_weights(cfg, seed=7, scale=0.1)
+    hf_dir = _mk(tmp_path, "hf", cfg, wd)
+    out = os.path.join(str(tmp_path), "pt")
+    cv.convert(hf_dir, out, quant="f8e5m2", use_mla=True, bsize=0)
+    data = codec.load_checkpoint(out)
+
+    # wire format: no block-size metadata, ONE scalar scale per tensor
+    # (the codec round-trips 0-d as shape-(1,))
+    assert "quantization_block_size_0" not in data.metadata
+    assert np.asarray(data["model.layers.0.attn.wo.scale"]).size == 1
+    assert np.asarray(data["model.layers.1.mlp.w1.scale"]).size == 1
+
+    # dequant roundtrip accuracy: e5m2 normals carry 2 mantissa bits
+    orig = wd["model.layers.0.self_attn.o_proj.weight"]
+    q = np.asarray(data["model.layers.0.attn.wo.weight"]).astype(np.float32)
+    s = float(np.asarray(data["model.layers.0.attn.wo.scale"]))
+    np.testing.assert_allclose(q * s, orig, rtol=0.13,
+                               atol=float(np.abs(orig).max()) / 2 ** 10)
+
+    # engine loads it (expert-stack scalar broadcasts to (E,1,1)) and the
+    # XLA and kernel (gated: per-tensor fp8 has no fused expert kernel)
+    # paths agree
+    eng = Engine(out, seed=0, prefill_chunk=8)
+    assert eng.cfg.block_size == (0, 0)
+    from deepseek_tpu.quant.qtensor import Fp8Tensor
+    w1 = eng.params.layers[1].w1
+    assert isinstance(w1, Fp8Tensor) and w1.scale.shape == (4, 1, 1)
+    lg = _greedy_logits(out, [1, 9], steps=1)
+    assert np.isfinite(lg).all()
+
+    cfg_k = dataclasses.replace(eng.cfg, kernel_impl="pallas")
+    cfg_x = dataclasses.replace(eng.cfg, kernel_impl="xla")
+    toks = jnp.asarray([[1, 9, 4, 7]], jnp.int32)
+    outs = []
+    for c in (cfg_k, cfg_x):
+        cache = init_cache(c, batch=1)
+        l, cache = make_forward(c, prefill=True, logits_mode="last")(
+            eng.params, cache, toks, jnp.int32(0))
+        d, cache = make_forward(c, prefill=False, logits_mode="last")(
+            eng.params, cache, jnp.asarray([[2]], jnp.int32), jnp.int32(4))
+        outs.append((np.asarray(l), np.asarray(d)))
+    np.testing.assert_allclose(outs[0][0], outs[1][0], rtol=2e-2, atol=2e-2)
+    np.testing.assert_allclose(outs[0][1], outs[1][1], rtol=2e-2, atol=2e-2)
+
+
 def test_convert_dequantizes_hf_fp8_checkpoints(tmp_path):
     """HF-native FP8 weights with weight_scale_inv grids must be dequantized
     (convert.py:315-324)."""

@@ -114,7 +114,11 @@ def hf_tokenizer_json(vocab_size=300):
     return {"model": {"vocab": vocab, "byte_fallback": True}, "added_tokens": []}
 
 
-def write_hf_dir(path: str, cfg: dict, wd: dict, vocab_size=None):
+def write_hf_dir(path: str, cfg: dict, wd: dict, vocab_size=None,
+                 n_files: int = 1):
+    """``n_files > 1`` splits the weights across several .safetensors
+    files (HF multi-shard layout) — exercises the converter's multi-shard
+    memmap path."""
     os.makedirs(path, exist_ok=True)
     with open(os.path.join(path, "config.json"), "w") as f:
         json.dump(cfg, f)
@@ -122,4 +126,13 @@ def write_hf_dir(path: str, cfg: dict, wd: dict, vocab_size=None):
         json.dump({"model_max_length": 128}, f)
     with open(os.path.join(path, "tokenizer.json"), "w") as f:
         json.dump(hf_tokenizer_json(vocab_size or cfg["vocab_size"]), f)
-    codec.save_shard(os.path.join(path, "model.safetensors"), wd)
+    if n_files <= 1:
+        codec.save_shard(os.path.join(path, "model.safetensors"), wd)
+        return
+    names = list(wd)
+    per = -(-len(names) // n_files)
+    for i in range(n_files):
+        part = {k: wd[k] for k in names[i * per:(i + 1) * per]}
+        if part:
+            codec.save_shard(
+                os.path.join(path, f"model-{i:05d}.safetensors"), part)
