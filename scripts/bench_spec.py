@@ -11,6 +11,12 @@ plain fused decode loop on the bench-scale model:
   the printed table evaluates the measured t_r at several a values.
 
 Usage: python scripts/bench_spec.py [layers] [k] [rounds]
+           [--draft-layers N] [--mtp]
+
+--draft-layers N overrides the default layers//4 draft depth (the VERDICT
+r2 #7 measurement is 16-layer target / 1-layer draft); --mtp additionally
+benches self-speculation through a synthesized MTP module (one extra
+transformer block + eh_proj drafting from the main hidden state).
 """
 
 import sys
@@ -29,17 +35,52 @@ from deepseek_tpu.models.testing import random_params
 from deepseek_tpu.speculative import make_spec_rounds
 
 
+def synth_mtp(cfg, seed=3):
+    """Random MTPParams matching the main model's block structure (the
+    converter emits the same shape from V3 checkpoints, convert.py
+    mtp_layer path)."""
+    import dataclasses
+    from deepseek_tpu.models.params import MTPParams
+    from deepseek_tpu.quant.qtensor import PlainTensor
+    blk = random_params(
+        dataclasses.replace(cfg, n_layers=1, first_k_dense_replace=0),
+        seed=seed)
+    key = jax.random.PRNGKey(seed + 1)
+    eh = PlainTensor(data=(jax.random.normal(
+        key, (cfg.dim, 2 * cfg.dim), jnp.float32) * 0.02
+    ).astype(jnp.bfloat16))
+    ones = jnp.ones((cfg.dim,), jnp.float32)
+    return MTPParams(enorm=ones, hnorm=ones, eh_proj=eh,
+                     block=blk.layers[0], final_norm=ones)
+
+
 def main():
-    layers = int(sys.argv[1]) if len(sys.argv) > 1 else 8
-    k = int(sys.argv[2]) if len(sys.argv) > 2 else 4
-    R = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+    argv, pos, draft_layers, want_mtp = sys.argv[1:], [], None, False
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a == "--draft-layers":
+            i += 1
+            draft_layers = int(argv[i])
+        elif a == "--mtp":
+            want_mtp = True
+        elif a.startswith("--"):
+            sys.exit(f"unknown flag {a} (supported: --draft-layers, --mtp)")
+        else:
+            pos.append(a)
+        i += 1
+    layers = int(pos[0]) if pos else 8
+    k = int(pos[1]) if len(pos) > 1 else 4
+    R = int(pos[2]) if len(pos) > 2 else 4
     backend = jax.default_backend()
     if backend == "cpu":
         layers, block = 2, 4
     else:
         block = 32
+    if draft_layers is None:
+        draft_layers = max(1, layers // 4)
     cfg = bench_config(layers)
-    dcfg = bench_config(max(1, layers // 4))      # 4x shallower draft
+    dcfg = bench_config(draft_layers)
 
     params = random_params(cfg, seed=0)
     dparams = random_params(dcfg, seed=1)
@@ -109,7 +150,47 @@ def main():
         return t_round
 
     run_spec(params, params, cfg, "self-draft spec (upper bound)")
-    run_spec(params, dparams, dcfg, f"{max(1, layers // 4)}-layer draft spec")
+    run_spec(params, dparams, dcfg, f"{draft_layers}-layer draft spec")
+
+    if want_mtp:
+        # self-speculation through the MTP module: drafter = ONE extra
+        # block chained on the main hidden state (the V3 deployment shape)
+        from deepseek_tpu.models.mtp import init_mtp_cache
+        from deepseek_tpu.speculative import make_mtp_spec_rounds
+        import dataclasses
+        mtp = synth_mtp(cfg)
+        mparams = dataclasses.replace(params, mtp=mtp)
+        fn = make_mtp_spec_rounds(cfg, k, R, greedy=True)
+        ct = init_cache(cfg, batch=1)
+        cm = init_mtp_cache(cfg)
+        tok = jnp.zeros((1, 1), jnp.int32)
+        h = jnp.zeros((1, 1, cfg.dim), jnp.float32)
+        pos = 0
+        accs = []
+        for _ in range(2):
+            dr, na, nx, h, ct, cm = fn(mparams, ct, cm, tok, h,
+                                       jnp.int32(pos), key, t0f, t1f)
+            na_np = np.asarray(na)
+            accs.append(na_np.mean() / k)
+            pos += int(na_np.sum()) + R
+            tok = nx[-1][None, None]
+        acc = float(accs[-1])
+        n_disp = 6 if backend != "cpu" else 1
+        t0 = time.perf_counter()
+        for _ in range(n_disp):
+            dr, na, nx, h, ct, cm = fn(mparams, ct, cm, tok, h,
+                                       jnp.int32(pos), key, t0f, t1f)
+            tok = nx[-1][None, None]
+            pos += R
+        _ = np.asarray(na)
+        t_round = (time.perf_counter() - t0) / (n_disp * R)
+        print(f"MTP spec: {t_round*1e3:.2f} ms/round (k={k}, R={R}), "
+              f"measured acceptance {acc:.2f} (random MTP weights -> "
+              f"meaningless draft quality; real checkpoints measure a)")
+        for a in (0.6, 0.8, 1.0):
+            eff = (a * k + 1) / t_round
+            print(f"   acceptance {a:.2f} -> {eff:.1f} tok/s "
+                  f"({eff / plain_tok_s:.2f}x plain)")
 
 
 if __name__ == "__main__":

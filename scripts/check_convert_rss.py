@@ -24,19 +24,30 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from tests.util_hf import hf_config, hf_weights, write_hf_dir
 
 _CHILD = r"""
-import resource, sys, time
+import sys, time
 sys.path.insert(0, {repo!r})
 from deepseek_tpu import convert as cv
+
+def status(key):   # NOTE: ru_maxrss survives execve on Linux (the child
+    # would inherit the fixture-building parent's peak); VmHWM resets
+    with open("/proc/self/status") as f:
+        for ln in f:
+            if ln.startswith(key):
+                return int(ln.split()[1]) / 1e6
+
 rel = cv._release_mapped_pages
 n = [0]
 def traced(mms):
+    before = status("VmRSS")
     rel(mms)
     n[0] += 1
+    print(f"release {{n[0]}} ({{len(mms)}} maps): rss {{before:.2f}} -> "
+          f"{{status('VmRSS'):.2f}} GB", flush=True)
 cv._release_mapped_pages = traced
 t0 = time.perf_counter()
 cv.convert({hf_dir!r}, {out_dir!r}, quant="fp16", use_mla=True)
 print(f"CONVERT_S {{time.perf_counter()-t0:.1f}} releases={{n[0]}}")
-print(f"PEAK_RSS_GB {{resource.getrusage(resource.RUSAGE_SELF).ru_maxrss/1e6:.3f}}")
+print(f"PEAK_RSS_GB {{status('VmHWM'):.3f}}")
 """
 
 

@@ -74,6 +74,63 @@ def test_pipeline_microbatched_decode():
                                rtol=2e-3, atol=2e-3)
 
 
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 devices")
+def test_pipeline_pp_x_tp_matches_single_device():
+    """PP x TP composition: 2 stages x a 2-device tensor mesh each — stage
+    weights shard over heads/FFN-hidden, collectives stay inside the
+    stage, prefill + decode logits match the single-device forward."""
+    cfg = tiny_config(use_mla=True, vocab_size=64)
+    wd, params = build(cfg, seed=47)
+    B = 2
+    tokens = [1, 9, 22, 40, 3]
+
+    pre1 = make_forward(cfg, prefill=True, logits_mode="last")
+    step1 = make_forward(cfg, prefill=False, logits_mode="last")
+    c1 = init_cache(cfg, batch=B)
+    toks = jnp.asarray([tokens[:4]] * B, jnp.int32)
+    lg1, c1 = pre1(params, c1, toks, 0)
+    lg1, c1 = step1(params, c1, jnp.asarray([[tokens[4]]] * B, jnp.int32), 4)
+
+    pp = Pipeline(cfg, params, n_stages=2, batch=B,
+                  mesh_shape={"tensor": 2})
+    assert pp.stages[0].mesh is not None
+    # a head-major projection is genuinely sharded over the stage mesh
+    wvb = pp.stages[0].params.layers[0].wv_b
+    leaf = jax.tree.leaves(wvb)[0]
+    assert leaf.sharding.num_devices == 2
+    lg2 = pp.prefill(toks, 0)
+    lg2 = pp.decode_step(jnp.asarray([[tokens[4]]] * B, jnp.int32), 4)
+    np.testing.assert_allclose(np.asarray(lg2), np.asarray(lg1),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_pipeline_microbatch_whole_batch_transitions():
+    """Persistent microbatch caches: split once, no per-call slicing, and
+    a whole-batch decode_step after microbatched decode re-merges and
+    stays correct."""
+    cfg = tiny_config(use_mla=True, vocab_size=64)
+    wd, params = build(cfg, seed=48)
+    B = 4
+    tok = jnp.asarray([[3], [5], [7], [9]], jnp.int32)
+
+    step = make_forward(cfg, prefill=False, logits_mode="last")
+    c1 = init_cache(cfg, batch=B)
+    lg1a, c1 = step(params, c1, tok, 0)
+    lg1b, c1 = step(params, c1, tok, 1)
+    lg1c, c1 = step(params, c1, tok, 2)
+
+    pp = Pipeline(cfg, params, n_stages=2, batch=B)
+    lg2a = pp.decode_microbatched(tok, 0, n_micro=2)
+    assert pp.stages[0].cache is None            # split state persists
+    assert len(pp.stages[0].mb_caches) == 2
+    lg2b = pp.decode_microbatched(tok, 1, n_micro=2)
+    lg2c = pp.decode_step(tok, 2)                # re-merge + whole batch
+    assert pp.stages[0].mb_caches is None
+    for got, want in ((lg2a, lg1a), (lg2b, lg1b), (lg2c, lg1c)):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-3, atol=2e-3)
+
+
 def test_pipeline_three_stages_int8_cache():
     import dataclasses
     cfg = tiny_config(use_mla=True, vocab_size=64)
