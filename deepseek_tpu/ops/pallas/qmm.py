@@ -93,6 +93,15 @@ def _perm_x(x, n: int):
     return x.reshape(*lead, n16, 16).swapaxes(-1, -2).reshape(*lead, n)
 
 
+import os
+
+# per-program VMEM budget the output-tile heuristic targets (x1e6 bytes;
+# working set ~6 B per weight element across the dequant pipeline). 12 MB
+# is the measured-safe default; DSEEK_TILE_VMEM_MB overrides for tile-size
+# A/Bs at new shapes (e.g. dim-7168 V3 slices) without code edits.
+_TILE_VMEM_MB = int(os.environ.get("DSEEK_TILE_VMEM_MB", "12"))
+
+
 def _tile_d(d: int, n: int) -> int:
     """Output-row tile: smaller for huge reduction dims to bound VMEM.
     Grids use cdiv, so td need not divide d (partial tiles are masked).
@@ -105,7 +114,7 @@ def _tile_d(d: int, n: int) -> int:
     the VMEM heuristic alone would shrink below the floor; the ~14 MB
     working set at td=128 is well under the scoped-VMEM budget)."""
     for td in (1024, 512, 256):
-        if td * n * 6 <= 12 * 1024 * 1024:
+        if td * n * 6 <= _TILE_VMEM_MB * 1024 * 1024:
             return td
     return 128
 

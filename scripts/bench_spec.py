@@ -56,6 +56,7 @@ def synth_mtp(cfg, seed=3):
 
 def main():
     argv, pos, draft_layers, want_mtp = sys.argv[1:], [], None, False
+    quant = None
     i = 0
     while i < len(argv):
         a = argv[i]
@@ -64,8 +65,12 @@ def main():
             draft_layers = int(argv[i])
         elif a == "--mtp":
             want_mtp = True
+        elif a == "--quant":
+            i += 1
+            quant = argv[i]
         elif a.startswith("--"):
-            sys.exit(f"unknown flag {a} (supported: --draft-layers, --mtp)")
+            sys.exit(f"unknown flag {a} "
+                     "(supported: --draft-layers, --mtp, --quant)")
         else:
             pos.append(a)
         i += 1
@@ -81,9 +86,21 @@ def main():
         draft_layers = max(1, layers // 4)
     cfg = bench_config(layers)
     dcfg = bench_config(draft_layers)
+    if quant:
+        # quantized weights let DEEP targets fit the chip (16L bf16 is
+        # ~18 GB; nibble is ~3 GB) — the depth-RATIO scaling measurement
+        # VERDICT r2 #7 asks for. K-quant rows need 256-divisible m.
+        import dataclasses
+        cfg = dataclasses.replace(cfg, moe_intermediate_size=1536)
+        dcfg = dataclasses.replace(dcfg, moe_intermediate_size=1536)
 
-    params = random_params(cfg, seed=0)
-    dparams = random_params(dcfg, seed=1)
+    if quant:
+        from deepseek_tpu.models.testing import random_quantized_params
+        params = random_quantized_params(cfg, quant, seed=0)
+        dparams = random_quantized_params(dcfg, quant, seed=1)
+    else:
+        params = random_params(cfg, seed=0)
+        dparams = random_params(dcfg, seed=1)
     from deepseek_tpu.models.loader import fuse_projections
     params = fuse_projections(params, cfg, consume=True)
     dparams = fuse_projections(dparams, dcfg, consume=True)

@@ -9,8 +9,12 @@ experts with k=8 sigmoid/noaux_tc group-8 routing + e-score bias, m=2048,
 vocab 129280 — models.testing.deepseek_v3_proportions) and only the layer
 count is sliced to what HBM holds:
 
-    q3_k_nibble : 1 dense + 1 MoE layer  (~10.1 GB)   <- headline v3slice
-    f8e5m2      : 1 dense + 1 MoE layer  (~15.0 GB)   guarded, may OOM
+    q3_k_nibble : 1 dense + 1 MoE layer, E=256 (~10.1 GB) <- headline v3slice
+    f8e5m2      : 1 dense + 1 MoE layer, E=160 (~10.6 GB) — the full E=256
+                  table is 11.6 GB in fp8 and measured-OOMs against the
+                  chip's ~15.0 GB usable once program temps (+1.3 GB) and
+                  embed/lm_head land; E=160 keeps every fp8 kernel shape
+                  (dim 7168, m 2048) while fitting
     bf16        : impossible (one MoE layer = 22.6 GB weights alone)
 
 Measurements:
@@ -86,13 +90,14 @@ def run(quant: str, quick: bool):
     nb = 2 if quick else 8
 
     # --- headline: L=2 (1 dense + 1 MoE), exact V3 proportions ---
-    cfg2 = v3_slice_config(2)
+    e_full = 256 if quant != "f8e5m2" else 160   # see module docstring
+    cfg2 = v3_slice_config(2, experts=e_full)
     t0 = time.perf_counter()
     params = random_fused_params(cfg2, quant)
     jax.block_until_ready(jax.tree.leaves(params))
-    print(f"synth L2 E256: {time.perf_counter()-t0:.0f}s")
+    print(f"synth L2 E{e_full}: {time.perf_counter()-t0:.0f}s")
     results["v3slice_L2"] = measure_decode(cfg2, params, nb,
-                                           tag=f"{quant} L2 E256")
+                                           tag=f"{quant} L2 E{e_full}")
     del params
 
     # --- L=1 dense-only: isolates the MoE layer's marginal cost ---
