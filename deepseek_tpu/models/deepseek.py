@@ -597,6 +597,17 @@ def _attention(lp: LayerParams, cfg: ModelConfig, xb: jnp.ndarray,
     return attn, cache
 
 
+# Prefill chunks with at most this many token-expert pairs run the
+# decode-style pair dispatch instead of the grouped/dense chunk
+# formulations. The grouped path's cost floor is ~E single-expert 128-row
+# tiles of MXU work per chunk — irrelevant once tokens fill the tiles
+# (T >= ~128) but ~10x a decode step for a 5-token speculative verify
+# chunk (measured 1.9 ms/layer at 16L nibble); the pair path computes
+# exactly N pair rows. Crossover: pair cost ~2.5 us/pair of fixed program
+# cost vs the grouped floor — ~128 pairs on v5e.
+_PAIR_PREFILL_MAX_PAIRS = 128
+
+
 def _dense_glu(w1, w2, w3, xb: jnp.ndarray, cfg: ModelConfig, impl, ctx,
                w13=None) -> jnp.ndarray:
     """Column-parallel w1/w3, row-parallel w2: psum restores the full sum.
@@ -659,11 +670,23 @@ def _ffn(lp: LayerParams, cfg: ModelConfig, xb: jnp.ndarray, layer: int,
     w1_probe0 = t_w13 if t_w13 is not None else t_w1
     impl_ffn = None if (w1_probe0 is not None
                         and per_tensor_fp8(w1_probe0)) else impl
-    if prefill or impl_ffn is None:
-        # only the decode kernel path below can index a scanned layer
-        # stack in place (expert_table); every other branch consumes the
-        # materialized slice (XLA fallback / grouped prefill — an extra
-        # slice copy per chunk there, amortized over the chunk's tokens)
+
+    # SMALL prefill chunks route through the decode-style pair dispatch
+    # below instead of the grouped/dense chunk formulations: the grouped
+    # path pays a fixed floor of ~E single-expert 128-row tiles of MXU
+    # work per chunk (it amortizes beautifully at T >= 128 where tokens
+    # fill the tiles, but a 5-token speculative VERIFY chunk measured
+    # ~1.9 ms/layer — 10x a decode step); the pair path computes exactly
+    # the N = B*T*k pair rows and reads only the distinct experts hit.
+    _B0, _T0, _k0 = idx.shape
+    small_prefill = (prefill and impl_ffn is not None
+                     and _B0 * _T0 * _k0 <= _PAIR_PREFILL_MAX_PAIRS)
+
+    if (prefill and not small_prefill) or impl_ffn is None:
+        # only the pair-dispatch kernel path below can index a scanned
+        # layer stack in place (expert_table); every other branch consumes
+        # the materialized slice (XLA fallback / grouped prefill — an
+        # extra slice copy per chunk there, amortized over the chunk)
         def _mat(t):
             return t.materialize() if isinstance(t, LayerSlicedQT) else t
         t_w1, t_w2, t_w3, t_w13 = map(_mat, (t_w1, t_w2, t_w3, t_w13))
@@ -680,7 +703,8 @@ def _ffn(lp: LayerParams, cfg: ModelConfig, xb: jnp.ndarray, layer: int,
 
     from deepseek_tpu.ops.matmul import grouped_expert_ffn, grouped_ffn_supported
     w1_probe = t_w13 if t_w13 is not None else t_w1
-    if prefill and impl is not None and grouped_ffn_supported(cfg, w1_probe):
+    if (prefill and impl is not None and not small_prefill
+            and grouped_ffn_supported(cfg, w1_probe)):
         # ragged grouped matmul (megablocks gmm): FLOPs scale with the k
         # routed experts per token, not all E — and with ~cf*k/EP under
         # expert parallelism (owned-pair compaction) — see grouped_expert_ffn
@@ -688,7 +712,7 @@ def _ffn(lp: LayerParams, cfg: ModelConfig, xb: jnp.ndarray, layer: int,
                                       cfg.act, ctx,
                                       interpret=impl["interpret"],
                                       w13=t_w13)
-    elif prefill:
+    elif prefill and not small_prefill:
         # dense-over-experts fallback: every expert read once per chunk;
         # routing weights scatter-combined through a (B,T,E) matrix
         wmat = jax.nn.one_hot(idx, n_exp, dtype=jnp.float32) \
@@ -709,23 +733,26 @@ def _ffn(lp: LayerParams, cfg: ModelConfig, xb: jnp.ndarray, layer: int,
         per_e = jnp.einsum("btem,edm->bted", h, d2, preferred_element_type=jnp.float32)
         out = ctx.psum_e(jnp.einsum("bted,bte->btd", per_e, wmat)).astype(dtype)
     elif impl_ffn is not None:
-        # decode hot path: scalar-prefetch expert kernel — only the k active
-        # experts' packed bytes leave HBM (the XLA gather reads all E). The
-        # pair list is expert-sorted (EP ownership folded in) so repeated
-        # experts' weight tiles are fetched ONCE: per-shard traffic scales
-        # with distinct owned experts, ~k/EP under expert parallelism.
+        # decode hot path (and small prefill chunks): scalar-prefetch
+        # expert kernel — only the distinct selected experts' packed bytes
+        # leave HBM (the XLA gather reads all E). The pair list is
+        # expert-sorted (EP ownership folded in) so repeated experts'
+        # weight tiles are fetched ONCE: per-shard traffic scales with
+        # distinct owned experts, ~k/EP under expert parallelism.
         from deepseek_tpu.ops.matmul import expert_table
         from deepseek_tpu.ops.pallas.qmm import qmm_experts
         B, T, k = idx.shape
-        assert T == 1
+        assert T == 1 or prefill
+        Bt = B * T
         n_keep = None
         if active_bucket is not None:
+            assert T == 1
             n_keep = min(int(active_bucket) * k, B * k)
         lidx, wts, tok = ctx.dispatch_pairs(
-            idx[:, 0], weights[:, 0], n_exp,
+            idx.reshape(Bt, k), weights.reshape(Bt, k), n_exp,
             active=None if active is None else active.reshape(B),
             n_keep=n_keep)                                         # (M,) each
-        x2 = xb[:, 0]                                              # (B, dim)
+        x2 = xb.reshape(Bt, -1)                                    # (Bt, dim)
         xk = x2[tok][None]                                         # (1, N, dim)
         lidx2 = lidx[None]                                         # (1, N)
         # expert_table: a scanned layer stack merges (layer, expert) into
@@ -745,8 +772,8 @@ def _ffn(lp: LayerParams, cfg: ModelConfig, xb: jnp.ndarray, layer: int,
                 cfg.act)                                           # (1, N, m)
         tw2, lx2 = expert_table(t_w2, lidx2)
         per = qmm_experts(tw2, lx2, h, interpret=impl["interpret"])[0]
-        out = jax.ops.segment_sum(per * wts[:, None], tok, num_segments=B)
-        out = ctx.psum_e(out[:, None]).astype(dtype)
+        out = jax.ops.segment_sum(per * wts[:, None], tok, num_segments=Bt)
+        out = ctx.psum_e(out.reshape(B, T, -1)).astype(dtype)
     else:
         # decode: gather only the k active experts' quantized weights
         idx, weights = ctx.expert_slots(idx, weights, n_exp)

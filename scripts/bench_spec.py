@@ -56,7 +56,7 @@ def synth_mtp(cfg, seed=3):
 
 def main():
     argv, pos, draft_layers, want_mtp = sys.argv[1:], [], None, False
-    quant = None
+    quant, experts = None, None
     i = 0
     while i < len(argv):
         a = argv[i]
@@ -68,9 +68,12 @@ def main():
         elif a == "--quant":
             i += 1
             quant = argv[i]
+        elif a == "--experts":
+            i += 1
+            experts = int(argv[i])
         elif a.startswith("--"):
-            sys.exit(f"unknown flag {a} "
-                     "(supported: --draft-layers, --mtp, --quant)")
+            sys.exit(f"unknown flag {a} (supported: --draft-layers, --mtp, "
+                     "--quant, --experts)")
         else:
             pos.append(a)
         i += 1
@@ -93,6 +96,15 @@ def main():
         import dataclasses
         cfg = dataclasses.replace(cfg, moe_intermediate_size=1536)
         dcfg = dataclasses.replace(dcfg, moe_intermediate_size=1536)
+    if experts:
+        # slim expert table (same per-layer op structure, fewer resident
+        # bytes): lets FULL-DEPTH targets (61L) fit one chip, like
+        # scripts/bench_depth.py
+        import dataclasses
+        slim = dict(n_routed_experts=experts, n_active_routed=6,
+                    n_group=4, topk_group=2)
+        cfg = dataclasses.replace(cfg, **slim)
+        dcfg = dataclasses.replace(dcfg, **slim)
 
     if quant:
         from deepseek_tpu.models.testing import random_quantized_params

@@ -10,11 +10,11 @@ vocab 129280 — models.testing.deepseek_v3_proportions) and only the layer
 count is sliced to what HBM holds:
 
     q3_k_nibble : 1 dense + 1 MoE layer, E=256 (~10.1 GB) <- headline v3slice
-    f8e5m2      : 1 dense + 1 MoE layer, E=160 (~10.6 GB) — the full E=256
+    f8e5m2      : 1 dense + 1 MoE layer, E=128 (~9.2 GB) — the full E=256
                   table is 11.6 GB in fp8 and measured-OOMs against the
-                  chip's ~15.0 GB usable once program temps (+1.3 GB) and
-                  embed/lm_head land; E=160 keeps every fp8 kernel shape
-                  (dim 7168, m 2048) while fitting
+                  chip's ~15.0 GB usable (E=160 at 10.6 GB also OOM'd at
+                  dispatch: fp8 program temps run larger than nibble's);
+                  E=128 keeps every fp8 kernel shape (dim 7168, m 2048)
     bf16        : impossible (one MoE layer = 22.6 GB weights alone)
 
 Measurements:
@@ -90,7 +90,7 @@ def run(quant: str, quick: bool):
     nb = 2 if quick else 8
 
     # --- headline: L=2 (1 dense + 1 MoE), exact V3 proportions ---
-    e_full = 256 if quant != "f8e5m2" else 160   # see module docstring
+    e_full = 256 if quant != "f8e5m2" else 128   # see module docstring
     cfg2 = v3_slice_config(2, experts=e_full)
     t0 = time.perf_counter()
     params = random_fused_params(cfg2, quant)

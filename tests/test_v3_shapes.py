@@ -86,3 +86,30 @@ def test_fused_synth_kernel_vs_xla_agree():
             params, cache, jnp.zeros((1, 1), jnp.int32), jnp.int32(0))
         outs.append(np.asarray(lg))
     np.testing.assert_allclose(outs[0], outs[1], rtol=2e-2, atol=2e-2)
+
+
+def test_small_prefill_pair_dispatch_matches_chunk_paths():
+    """Prefill chunks with <= _PAIR_PREFILL_MAX_PAIRS token-expert pairs
+    route through the decode-style pair dispatch on the kernel path (the
+    grouped path's ~E-tile MXU floor is ~10x a decode step for a 5-token
+    speculative verify chunk). Its logits must match the XLA chunk path
+    on BOTH sides of the threshold, for every row of the chunk."""
+    from deepseek_tpu.models.deepseek import _PAIR_PREFILL_MAX_PAIRS
+    cfg = tiny_v3()
+    params = random_fused_params(cfg, "q3_k_nibble")
+    k_eff = cfg.n_active_routed + cfg.n_shared_experts   # folded slots
+    t_small = max(1, _PAIR_PREFILL_MAX_PAIRS // k_eff)   # pair path
+    t_big = _PAIR_PREFILL_MAX_PAIRS // k_eff + 2         # grouped path
+    assert t_big * k_eff > _PAIR_PREFILL_MAX_PAIRS
+    toks = jax.random.randint(jax.random.PRNGKey(0), (1, t_big), 0,
+                              cfg.vocab_size, jnp.int32)
+    for T in (5, t_small, t_big):
+        outs = []
+        for impl in ("pallas", "xla"):
+            c = dataclasses.replace(cfg, kernel_impl=impl)
+            cache = init_cache(c, batch=1)
+            lg, cache = make_forward(c, prefill=True, logits_mode="all")(
+                params, cache, toks[:, :T], jnp.int32(0))
+            outs.append(np.asarray(lg))
+        np.testing.assert_allclose(outs[0], outs[1], rtol=2e-2, atol=2e-2,
+                                   err_msg=f"T={T}")
