@@ -56,7 +56,7 @@ def synth_mtp(cfg, seed=3):
 
 def main():
     argv, pos, draft_layers, want_mtp = sys.argv[1:], [], None, False
-    quant, experts = None, None
+    quant, experts, pos_self = None, None, True
     i = 0
     while i < len(argv):
         a = argv[i]
@@ -71,9 +71,11 @@ def main():
         elif a == "--experts":
             i += 1
             experts = int(argv[i])
+        elif a == "--no-self":
+            pos_self = False
         elif a.startswith("--"):
             sys.exit(f"unknown flag {a} (supported: --draft-layers, --mtp, "
-                     "--quant, --experts)")
+                     "--quant, --experts, --no-self)")
         else:
             pos.append(a)
         i += 1
@@ -178,7 +180,10 @@ def main():
                   f"({eff / plain_tok_s:.2f}x plain)")
         return t_round
 
-    run_spec(params, params, cfg, "self-draft spec (upper bound)")
+    if pos_self:
+        # skippable (--no-self): a deep target drafting ITSELF doubles the
+        # verify program's footprint for a row nobody deploys
+        run_spec(params, params, cfg, "self-draft spec (upper bound)")
     run_spec(params, dparams, dcfg, f"{draft_layers}-layer draft spec")
 
     if want_mtp:
