@@ -88,6 +88,32 @@ def test_fused_synth_kernel_vs_xla_agree():
     np.testing.assert_allclose(outs[0], outs[1], rtol=2e-2, atol=2e-2)
 
 
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 devices")
+def test_small_prefill_pair_dispatch_under_ep_mesh():
+    """The pair-dispatch prefill under an EP x TP mesh: dispatch_pairs'
+    ownership folding + psum_e must reproduce the replicated logits for a
+    small chunk (the EP capacity machinery never engages below the pair
+    threshold, so this path has no overflow mode to recover from)."""
+    from deepseek_tpu.parallel import make_mesh, shard_cache, shard_params
+    cfg = tiny_v3(kernel_impl="pallas")
+    params = random_fused_params(cfg, "q3_k_nibble")
+    toks = jax.random.randint(jax.random.PRNGKey(1), (1, 4), 0,
+                              cfg.vocab_size, jnp.int32)
+
+    ref_cache = init_cache(cfg, batch=1)
+    lg_ref, _ = make_forward(cfg, prefill=True, logits_mode="last")(
+        params, ref_cache, toks, jnp.int32(0))
+
+    mesh = make_mesh(expert=2, tensor=2)
+    sp = shard_params(params, cfg, mesh)
+    cache = shard_cache(init_cache(cfg, batch=1), cfg, mesh)
+    pre = make_forward(cfg, prefill=True, logits_mode="last",
+                       mesh=mesh, params=params, cache=cache)
+    lg, cache = pre(sp, cache, toks, jnp.int32(0))
+    np.testing.assert_allclose(np.asarray(lg), np.asarray(lg_ref),
+                               rtol=2e-2, atol=2e-2)
+
+
 def test_small_prefill_pair_dispatch_matches_chunk_paths():
     """Prefill chunks with <= _PAIR_PREFILL_MAX_PAIRS token-expert pairs
     route through the decode-style pair dispatch on the kernel path (the
