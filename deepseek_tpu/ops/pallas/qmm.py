@@ -96,10 +96,13 @@ def _perm_x(x, n: int):
 import os
 
 # per-program VMEM budget the output-tile heuristic targets (x1e6 bytes;
-# working set ~6 B per weight element across the dequant pipeline). 12 MB
-# is the measured-safe default; DSEEK_TILE_VMEM_MB overrides for tile-size
-# A/Bs at new shapes (e.g. dim-7168 V3 slices) without code edits.
-_TILE_VMEM_MB = int(os.environ.get("DSEEK_TILE_VMEM_MB", "12"))
+# working set ~6 B per weight element across the dequant pipeline).
+# Default 32 MB — same-session A/B vs the old 12 MB: V3-slice nibble
+# decode 377 -> 404 tok/s (+7%, td 256->512 at n=7168), full-depth 27L
+# 182 -> 191 (+4.6%), 8L neutral (689 vs 686). Bigger output tiles
+# amortize per-program cost at large reduction dims and stay far under
+# the 128 MB hardware VMEM. DSEEK_TILE_VMEM_MB overrides for A/Bs.
+_TILE_VMEM_MB = int(os.environ.get("DSEEK_TILE_VMEM_MB", "32"))
 
 
 def _tile_d(d: int, n: int) -> int:
