@@ -200,7 +200,7 @@ def main():
         qparams = fuse_projections(qparams, fcfg, consume=True)
         jax.block_until_ready(jax.tree.leaves(qparams))
         full_tok_s, full_gb_s = measure_decode(fcfg, qparams, backend,
-                                               n_blocks=4)
+                                               n_blocks=8)
         del qparams
     except Exception as e:  # pragma: no cover - defensive
         print(f"full-depth bench failed: {e!r}", file=sys.stderr)
@@ -226,7 +226,7 @@ def main():
         jax.block_until_ready(jax.tree.leaves(v3params))
         v3params = align_param_layouts(v3params, v3cfg)
         v3_tok_s, v3_gb_s = measure_decode(v3cfg, v3params, backend,
-                                           n_blocks=4)
+                                           n_blocks=8)
         del v3params
     except Exception as e:  # pragma: no cover - defensive
         print(f"v3 slice bench failed: {e!r}", file=sys.stderr)

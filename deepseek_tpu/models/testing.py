@@ -228,6 +228,20 @@ def _direct_qtensor(key_gen, shape, quant: str):
 
     rows, cols = shape[-2], shape[-1]
     lead = shape[:-2]
+    if quant in ("q2_k", "q3_k") and cols % 256 == 0:
+        # packed TPU plane layouts (quant.repack shapes) with random bits
+        from deepseek_tpu.quant.qtensor import Q2KTensor, Q3KTensor
+        qs = rand_u8((*lead, rows, cols // 4))
+        d = rand_f((*lead, rows, cols // 256), jnp.float32, 0.001, 0.01)
+        if quant == "q2_k":
+            sm = rand_u8((*lead, rows, cols // 16))
+            dmin = rand_f(d.shape, jnp.float32, 0.001, 0.01)
+            return Q2KTensor(qs=qs, sm=sm, d=d, dmin=dmin)
+        hm = rand_u8((*lead, rows, cols // 8))
+        sc = tile_lead(jax.random.randint(
+            key_gen(), (rows, cols // 16), -32, 32, jnp.int8),
+            (*lead, rows, cols // 16))
+        return Q3KTensor(qs=qs, hm=hm, sc=sc, d=d)
     if quant in ("q3_k_nibble", "q2_k_nibble") and cols % 256 == 0:
         p = rand_u8((*lead, rows, cols // 2))
         a = rand_f((*lead, rows, cols // 16), jnp.bfloat16, 0.001, 0.01)

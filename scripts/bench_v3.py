@@ -10,6 +10,17 @@ vocab 129280 — models.testing.deepseek_v3_proportions) and only the layer
 count is sliced to what HBM holds:
 
     q3_k_nibble : 1 dense + 1 MoE layer, E=256 (~10.1 GB) <- headline v3slice
+    q2_k packed : 1 dense + 1 MoE layer, E=256 (~6 GB) — BASELINE.md's
+                  north-star format (the reference's published number IS
+                  DeepSeek-V3 Q2_K). 2.625 bits/weight would fit a 3-layer
+                  slice, but the packed planes' NARROW-MINOR f32 scale
+                  arrays ((rows, n/256): 28 lanes at dim 7168) relayout-
+                  copy into (8,128)-padded HLO temps inside the program —
+                  measured 7.2 GB of temps at 30% utilization, OOM at L=3.
+                  The Q2_K->nibble runtime layout (Engine
+                  kquant_runtime="nibble", same wire bytes) avoids it and
+                  is 1.8x faster besides; packed L=2 is kept as the
+                  wire-layout measurement.
     f8e5m2      : 1 dense + 1 MoE layer, E=128 (~9.2 GB) — the full E=256
                   table is 11.6 GB in fp8 and measured-OOMs against the
                   chip's ~15.0 GB usable (E=160 at 10.6 GB also OOM'd at
@@ -89,15 +100,16 @@ def run(quant: str, quick: bool):
     results = {}
     nb = 2 if quick else 8
 
-    # --- headline: L=2 (1 dense + 1 MoE), exact V3 proportions ---
+    # --- headline: exact V3 proportions, as deep as the format fits ---
     e_full = 256 if quant != "f8e5m2" else 128   # see module docstring
-    cfg2 = v3_slice_config(2, experts=e_full)
+    n_slice = 2
+    cfg2 = v3_slice_config(n_slice, experts=e_full)
     t0 = time.perf_counter()
     params = random_fused_params(cfg2, quant)
     jax.block_until_ready(jax.tree.leaves(params))
-    print(f"synth L2 E{e_full}: {time.perf_counter()-t0:.0f}s")
-    results["v3slice_L2"] = measure_decode(cfg2, params, nb,
-                                           tag=f"{quant} L2 E{e_full}")
+    print(f"synth L{n_slice} E{e_full}: {time.perf_counter()-t0:.0f}s")
+    results["v3slice_L2"] = measure_decode(
+        cfg2, params, nb, tag=f"{quant} L{n_slice} E{e_full}")
     del params
 
     # --- L=1 dense-only: isolates the MoE layer's marginal cost ---
@@ -108,15 +120,17 @@ def run(quant: str, quick: bool):
                                                 tag=f"{quant} L1 dense")
     del params
 
-    moe_ms = 1e3 / results["v3slice_L2"] - 1e3 / results["v3slice_L1dense"]
+    n_moe = n_slice - 1
+    moe_ms = (1e3 / results["v3slice_L2"]
+              - 1e3 / results["v3slice_L1dense"]) / n_moe
     print(f"marginal MoE-layer cost: {moe_ms:.2f} ms/layer")
 
     # --- E=64 variant, same k=8: E-scaling of dispatch + gating ---
-    cfg64 = v3_slice_config(2, experts=64)
+    cfg64 = v3_slice_config(n_slice, experts=64)
     params = random_fused_params(cfg64, quant)
     jax.block_until_ready(jax.tree.leaves(params))
-    results["v3slice_L2_E64"] = measure_decode(cfg64, params, nb,
-                                               tag=f"{quant} L2 E64")
+    results["v3slice_L2_E64"] = measure_decode(
+        cfg64, params, nb, tag=f"{quant} L{n_slice} E64")
     del params
     d = 1e3 / results["v3slice_L2"] - 1e3 / results["v3slice_L2_E64"]
     print(f"E=256 vs E=64 at k=8: {d*1e3:+.0f} us/token "
@@ -128,6 +142,9 @@ if __name__ == "__main__":
     quant = "q3_k_nibble"
     if len(sys.argv) > 1 and sys.argv[1] in ("fp8", "f8e5m2"):
         quant = "f8e5m2"
-    elif len(sys.argv) > 1 and sys.argv[1] not in ("nibble", "q3_k_nibble"):
-        sys.exit(f"usage: {sys.argv[0]} [nibble|fp8] [--quick]")
+    elif len(sys.argv) > 1 and sys.argv[1] in ("q2_k", "q2k"):
+        quant = "q2_k"
+    elif len(sys.argv) > 1 and sys.argv[1] not in ("nibble", "q3_k_nibble",
+                                                   "--quick"):
+        sys.exit(f"usage: {sys.argv[0]} [nibble|fp8|q2_k] [--quick]")
     run(quant, "--quick" in sys.argv)
