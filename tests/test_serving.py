@@ -45,6 +45,31 @@ def test_continuous_batching_matches_individual(engine):
         assert req.out_tokens == expect, (req.request_id, req.out_tokens, expect)
 
 
+def test_warmup_precompiles_without_corrupting_state(engine):
+    """Server-startup warmup (precompiles bucket loops + admission shapes
+    + the slot merge) must leave the scheduler producing exactly the
+    outputs of a cold scheduler: warmup's garbage decode rows and the
+    slot-0 merge are fully overwritten by real admissions."""
+    prompts = ["hello world", "abc"]
+    want = []
+    for p in prompts:
+        toks = engine.tokenizer.encode(p, bos=True)
+        out, _ = engine.generate(toks, num_steps=4, temperature=0.0)
+        want.append(out)
+
+    sched = BatchScheduler(engine, batch_size=2)
+    sched.warmup()
+    # every power-of-2 occupancy bucket loop is compiled up front
+    assert set(sched._loops) == {1, 2}
+    assert sched._merge is not None
+    for p in prompts:
+        sched.submit(Request(
+            prompt_tokens=engine.tokenizer.encode(p, bos=True),
+            max_new_tokens=4, temperature=0.0))
+    finished = sched.run()
+    assert [r.out_tokens for r in finished] == want
+
+
 def test_scheduler_streams_tokens(engine):
     got = []
     sched = BatchScheduler(engine, batch_size=1)
