@@ -220,6 +220,73 @@ class Engine:
         return params_bits_per_weight(self.params)
 
     # ------------------------------------------------------------------
+    # session persistence (beyond the reference: SURVEY §5 notes it has no
+    # KV-cache/session persistence — hydrating a long prompt is repaid on
+    # every restart). A session = the KV cache pytree + the next decode
+    # position, stored in the same safetensors wire format as checkpoints.
+    _SESSION_FPR_KEYS = ("n_layers", "kv_window", "use_mla", "n_heads",
+                         "kv_lora_rank", "qk_rope_head_dim",
+                         "qk_nope_head_dim", "v_head_dim", "kv_cache_dtype")
+
+    def _session_fingerprint(self) -> dict:
+        c = self.cfg
+        vals = dict(n_layers=c.n_layers, kv_window=c.kv_window,
+                    use_mla=int(c.use_mla), n_heads=c.n_heads,
+                    kv_lora_rank=c.kv_lora_rank,
+                    qk_rope_head_dim=c.qk_rope_head_dim,
+                    qk_nope_head_dim=c.qk_nope_head_dim,
+                    v_head_dim=c.v_head_dim,
+                    kv_cache_dtype=str(c.kv_cache_dtype))
+        return {k: str(v) for k, v in vals.items()}
+
+    def save_session(self, path: str, cache, pos: int,
+                     tokens: Optional[List[int]] = None) -> None:
+        """Persist a hydrated session: the KV cache + next decode position
+        (and optionally the token history, for display/replay). One
+        safetensors-format file; resume with load_session on an engine
+        over the same checkpoint."""
+        import dataclasses as _dc
+        from deepseek_tpu.utils.codec import save_shard
+        tensors = {}
+        for f in _dc.fields(type(cache)):
+            v = getattr(cache, f.name)
+            if v is not None:
+                tensors[f"session.cache.{f.name}"] = np.asarray(v)
+        if tokens is not None:
+            tensors["session.tokens"] = np.asarray(tokens, np.int32)
+        md = {"session.pos": str(int(pos)), **{
+            f"session.cfg.{k}": v
+            for k, v in self._session_fingerprint().items()}}
+        save_shard(path, tensors, metadata=md)
+
+    def load_session(self, path: str):
+        """Restore (cache, pos, tokens|None) saved by save_session.
+        Fails loudly when the session was hydrated under an incompatible
+        config (different depth/window/attention geometry/cache dtype)."""
+        from deepseek_tpu.models.kvcache import KVCache
+        from deepseek_tpu.utils.codec import load_shard
+        md, tensors = load_shard(path, read_metadata=True)
+        want = self._session_fingerprint()
+        got = {k.split(".", 2)[2]: v for k, v in md.items()
+               if k.startswith("session.cfg.")}
+        if got != want:
+            diff = {k: (got.get(k), want[k]) for k in want
+                    if got.get(k) != want[k]}
+            raise ValueError(
+                f"session {path} was saved under an incompatible config: "
+                f"{diff} (saved, engine)")
+        kw = {}
+        for name, tv in tensors.items():
+            if name.startswith("session.cache."):
+                kw[name.split(".", 2)[2]] = jnp.asarray(np.asarray(tv.array))
+        cache = KVCache(**{f: kw.get(f) for f in (
+            "k", "v", "ckv", "krope", "k_s", "v_s", "ckv_s", "krope_s",
+            "sink_krope", "sink_k")})
+        toks = (np.asarray(tensors["session.tokens"].array).tolist()
+                if "session.tokens" in tensors else None)
+        return cache, int(md["session.pos"]), toks
+
+    # ------------------------------------------------------------------
     def _target_logprobs(self, logits, targets, r: int) -> np.ndarray:
         """Gather log_softmax(logits)[i, targets[i]] on device; only the (r,)
         scored rows cross the (slow) host link, never the (r, V) matrix."""

@@ -25,14 +25,19 @@ from deepseek_tpu.serving import BatchScheduler, Request
 
 class _BenchEngine:
     """Engine-shaped shim over random bench-scale params (no checkpoint:
-    building one server-side costs minutes of remote transfers)."""
+    building one server-side costs minutes of remote transfers).
+    ``quant`` switches to the fused quantized synth (V3-slice serving)."""
 
-    def __init__(self, cfg):
+    def __init__(self, cfg, quant=None):
         from deepseek_tpu.models import init_cache, make_forward
         from deepseek_tpu.models.loader import params_active_bytes
 
         self.cfg = cfg
-        self.params = random_params(cfg, seed=0)
+        if quant:
+            from deepseek_tpu.models.testing import random_fused_params
+            self.params = random_fused_params(cfg, quant)
+        else:
+            self.params = random_params(cfg, seed=0)
         jax.block_until_ready(jax.tree.leaves(self.params))
         self.prefill_chunk = 256
         self._fns = {}
@@ -78,13 +83,22 @@ class _BenchEngine:
 def main():
     import jax.numpy as jnp  # noqa: F401
 
-    slots = int(sys.argv[1]) if len(sys.argv) > 1 else 8
-    n_req = int(sys.argv[2]) if len(sys.argv) > 2 else 16
-    max_tok = int(sys.argv[3]) if len(sys.argv) > 3 else 64
-    block = int(sys.argv[4]) if len(sys.argv) > 4 else 8
+    pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+    slots = int(pos[0]) if len(pos) > 0 else 8
+    n_req = int(pos[1]) if len(pos) > 1 else 16
+    max_tok = int(pos[2]) if len(pos) > 2 else 64
+    block = int(pos[3]) if len(pos) > 3 else 8
 
-    cfg = bench_config(8 if jax.default_backend() != "cpu" else 2)
-    eng = _BenchEngine(cfg)
+    if "--v3" in sys.argv:
+        # DeepSeek-V3-proportioned serving (dim 7168, 256 experts, k=8
+        # noaux_tc; Q3_K nibble — the deepest slice one chip holds)
+        sys.path.insert(0, "scripts")
+        from bench_v3 import v3_slice_config
+        cfg = v3_slice_config(2 if jax.default_backend() != "cpu" else 1)
+        eng = _BenchEngine(cfg, quant="q3_k_nibble")
+    else:
+        cfg = bench_config(8 if jax.default_backend() != "cpu" else 2)
+        eng = _BenchEngine(cfg)
     rng = np.random.default_rng(0)
 
     # --- cold-start latency under Server-style warmup --------------------

@@ -150,6 +150,50 @@ def test_fused_projections_match_unfused(ckpt_dir):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_session_save_resume_matches_uninterrupted(ckpt_dir, tmp_path):
+    """save_session after hydrate + a few decode steps, reload in a FRESH
+    engine, continue — greedy output must equal the uninterrupted run
+    (ring/sink state and positions persist exactly)."""
+    eng = Engine(ckpt_dir, seed=0, prefill_chunk=8)
+    prompt = eng.tokenizer.encode("hello world", bos=True)
+    want, _ = eng.generate(prompt, num_steps=8, temperature=0.0)
+
+    # interrupted run: hydrate, decode 3 tokens, persist
+    cache = eng.new_cache()
+    cache, logits, _, pos = eng.hydrate(cache, prompt, 0)
+    out = []
+    tok = int(np.argmax(logits))
+    out.append(tok)
+    step = eng.fwd(False, "last")
+    for _ in range(2):
+        lg, cache = step(eng.params, cache,
+                         jnp.asarray([[tok]], jnp.int32), pos)
+        pos += 1
+        tok = int(np.argmax(np.asarray(lg[0])))
+        out.append(tok)
+    sess = str(tmp_path / "session.dseek")
+    eng.save_session(sess, cache, pos, tokens=prompt + out)
+
+    # fresh engine resumes and finishes the generation
+    eng2 = Engine(ckpt_dir, seed=0, prefill_chunk=8)
+    cache2, pos2, toks2 = eng2.load_session(sess)
+    assert pos2 == pos and toks2 == prompt + out
+    step2 = eng2.fwd(False, "last")
+    tok = out[-1]
+    for _ in range(len(want) - len(out)):
+        lg, cache2 = step2(eng2.params, cache2,
+                           jnp.asarray([[tok]], jnp.int32), pos2)
+        pos2 += 1
+        tok = int(np.argmax(np.asarray(lg[0])))
+        out.append(tok)
+    assert out == want
+
+    # incompatible config fails loudly
+    eng3 = Engine(ckpt_dir, seed=0, prefill_chunk=8, context=16)
+    with pytest.raises(ValueError, match="incompatible"):
+        eng3.load_session(sess)
+
+
 def test_cli_completion_smoke(ckpt_dir, capsys):
     from deepseek_tpu.cli import main
     main([ckpt_dir, "-m", "completion", "-i", "hi", "-n", "3", "-t", "0",
