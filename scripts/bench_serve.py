@@ -146,13 +146,18 @@ def main():
     # Reported: per-step decode latency p50/p95 with admissions in flight
     # vs an idle batch (no queue) — the chunk-interleaving guarantee is
     # that the former stays within ~2x of the latter.
-    def step_times(sched, n_steps):
+    def step_times(sched, n_steps, skip: int = 2):
+        """Per-step latencies; the first ``skip`` samples are dropped —
+        the first dispatch of a program after a pause runs ~3x slow on
+        remote-attached chips (PERFORMANCE.md methodology), and a
+        12-sample window polluted by it misreported the V3-slice idle
+        p50 ~9x high."""
         ts = []
-        while sched.has_work and len(ts) < n_steps:
+        while sched.has_work and len(ts) < n_steps + skip:
             t0 = time.perf_counter()
             sched.step()
             ts.append(time.perf_counter() - t0)
-        return ts
+        return ts[skip:]
 
     sched = BatchScheduler(eng, batch_size=slots, decode_block=block)
     for _ in range(max(1, slots // 2)):
@@ -161,13 +166,13 @@ def main():
             temperature=0.0))
     while sched.pending is not None or sched.queue:
         sched.step()                       # finish initial admissions
-    idle = step_times(sched, 12)
+    idle = step_times(sched, 16)
 
     for _ in range(n_req):
         sched.submit(Request(prompt_tokens=rng.integers(
             2, cfg.vocab_size, 256).tolist(), max_new_tokens=max_tok,
             temperature=0.0))
-    busy = step_times(sched, 24)
+    busy = step_times(sched, 24, skip=1)
     sched.run()
 
     print(f"decode step latency idle: p50 {pct(idle,50)*1e3:.1f}ms "
