@@ -115,7 +115,21 @@ def _tile_d(d: int, n: int) -> int:
     the last block dim be 128-divisible (or the full array) — td=64 fails
     to lower outright (first hit at DeepSeek-V3's hidden_dim=18432, where
     the VMEM heuristic alone would shrink below the floor; the ~14 MB
-    working set at td=128 is well under the scoped-VMEM budget)."""
+    working set at td=128 is well under the scoped-VMEM budget).
+
+    The 1024 ceiling and the cdiv raggedness are both MEASURED optima,
+    not oversights (round-4 same-session A/Bs):
+    - extending the ladder to 2048/4096 for short reduction dims (w2
+      n=2048 -> td 2048, V2-Lite lm_head n=2048 -> 2048) measured
+      +0.6% on the V3 slice but -1% on the V2-Lite 8L headline;
+    - divisor-exact tiles that eliminate masked-row waste (V3 expert w2
+      7168 -> 1792x4 instead of 1024x7, V2-Lite expert w13 2816 ->
+      1408x2) were likewise flat-to-negative end-to-end;
+    - budgets past ~32 MB hit the 16 MB scoped-VMEM kernel-stack limit
+      on big-n shapes (DSEEK_TILE_VMEM_MB=48 OOM'd the V3 wo matvec).
+    The short-n shapes' 70-72%-of-roofline (vs 85-91% at n>=7168) is
+    per-pair/grid machinery, not tile height — see PERFORMANCE.md
+    round-4 decomposition."""
     for td in (1024, 512, 256):
         if td * n * 6 <= _TILE_VMEM_MB * 1024 * 1024:
             return td
