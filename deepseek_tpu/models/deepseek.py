@@ -755,23 +755,33 @@ def _ffn(lp: LayerParams, cfg: ModelConfig, xb: jnp.ndarray, layer: int,
         x2 = xb.reshape(Bt, -1)                                    # (Bt, dim)
         xk = x2[tok][None]                                         # (1, N, dim)
         lidx2 = lidx[None]                                         # (1, N)
+        # pair-major grid when the sorted pair list cannot contain expert
+        # repeats: a SINGLE token's top-k + shared slots are all distinct
+        # and there is no EP dead-pair aliasing, so the weight-DMA elision
+        # the pair-minor grid exists for has nothing to elide — the
+        # pair-major order instead loads x once per pair and streams each
+        # expert's tiles sequentially (see qmm_experts docstring)
+        pm = Bt == 1 and ctx.ep == 1
         # expert_table: a scanned layer stack merges (layer, expert) into
         # one gather axis — idx offset li*E, no weight copies
         if t_w13 is not None:
             tw13, lx13 = expert_table(t_w13, lidx2)
-            h2 = qmm_experts(tw13, lx13, xk,
-                             interpret=impl["interpret"]).astype(dtype)
+            h2 = qmm_experts(tw13, lx13, xk, interpret=impl["interpret"],
+                             pair_major=pm).astype(dtype)
             m = h2.shape[-1] // 2
             h = glu_act(h2[..., :m], h2[..., m:], cfg.act)         # (1, N, m)
         else:
             tw1, lx1 = expert_table(t_w1, lidx2)
             tw3, lx3 = expert_table(t_w3, lidx2)
             h = glu_act(
-                qmm_experts(tw1, lx1, xk, interpret=impl["interpret"]).astype(dtype),
-                qmm_experts(tw3, lx3, xk, interpret=impl["interpret"]).astype(dtype),
+                qmm_experts(tw1, lx1, xk, interpret=impl["interpret"],
+                            pair_major=pm).astype(dtype),
+                qmm_experts(tw3, lx3, xk, interpret=impl["interpret"],
+                            pair_major=pm).astype(dtype),
                 cfg.act)                                           # (1, N, m)
         tw2, lx2 = expert_table(t_w2, lidx2)
-        per = qmm_experts(tw2, lx2, h, interpret=impl["interpret"])[0]
+        per = qmm_experts(tw2, lx2, h, interpret=impl["interpret"],
+                          pair_major=pm)[0]
         out = jax.ops.segment_sum(per * wts[:, None], tok, num_segments=Bt)
         out = ctx.psum_e(out.reshape(B, T, -1)).astype(dtype)
     else:

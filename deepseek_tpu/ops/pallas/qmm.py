@@ -542,8 +542,9 @@ def _squeeze_body(body):
     return f
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def qmm_experts(qt, idx, x, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("interpret", "pair_major"))
+def qmm_experts(qt, idx, x, interpret: bool = False,
+                pair_major: bool = False):
     """Gathered-expert matmul for MoE decode (matmul_expert analogue,
     infer.cpp:423-469).
 
@@ -555,12 +556,24 @@ def qmm_experts(qt, idx, x, interpret: bool = False):
     traffic is k experts per token — not all E (which is what an XLA gather
     of stacked experts degenerates to).
 
-    The grid runs the flattened pair axis INNERMOST (fixed output tile j,
-    pairs sweep): Mosaic skips the weight-tile DMA whenever the index map
-    repeats between consecutive iterations, so callers that sort the pair
-    list by expert id (ops.matmul / parallel.spmd EP dispatch) pay HBM
-    traffic per DISTINCT expert, not per pair — batched decode and
-    expert-parallel shards read each owned expert once.
+    Grid order trades two overheads (round-4 A/B, PERFORMANCE.md):
+
+    - default (pair INNERMOST: fixed output tile j, pairs sweep): Mosaic
+      skips the weight-tile DMA whenever the index map repeats between
+      consecutive iterations, so callers that sort the pair list by
+      expert id (ops.matmul / parallel.spmd EP dispatch) pay HBM traffic
+      per DISTINCT expert, not per pair — batched decode (same expert
+      hit by many tokens) and EP shards (dead pairs aliased to one live
+      expert) read each expert once. The cost: the small x/s16/out
+      blocks re-DMA every grid step.
+    - ``pair_major`` (pair OUTERMOST): x/s16 load once per pair and the
+      weight stream walks each expert's tiles sequentially — the dense-
+      matvec pattern, ~91% of the byte roofline vs ~70-85% pair-minor.
+      Correct for SINGLE-token decode at ep == 1, where the sorted pair
+      list is all-distinct (top-k + shared) and there is nothing to
+      elide; wrong whenever expert repeats are possible (batched decode,
+      EP dead-pair aliasing, verify chunks) — repeats would re-stream
+      the whole expert per pair.
     """
     TRACE_COUNTS["qmm_experts"] += 1
     B, k, n = x.shape
@@ -618,38 +631,51 @@ def qmm_experts(qt, idx, x, interpret: bool = False):
         td = min(max(td - td % b0, b0), d)
         # scale gets a singleton penultimate dim (Mosaic block rules)
         fields = (qt.data, qt.scale[:, :, None, :])
-        extra_specs = [
-            pl.BlockSpec((1, td, n), lambda j, p, idx: (idx[p], j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, td // b0, 1, n // b1),
-                         lambda j, p, idx: (idx[p], j, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ]
 
         def body(x_ref, w_ref, s_ref, o_ref):
             _fp8_body(x_ref, w_ref, s_ref, o_ref, b0=b0, b1=b1)
     else:
         raise TypeError(type(qt))
 
-    grid = (pl.cdiv(d, td), N)
-    in_specs = [pl.BlockSpec((1, 1, n), lambda j, p, idx: (p, 0, 0),
-                             memory_space=pltpu.VMEM)]
+    if pair_major:
+        grid = (N, pl.cdiv(d, td))
+        def pair_map(p, j, idx):
+            return (p, 0, 0)
+        def wmap(p, j, idx):
+            return (idx[p], j, 0)
+        def w4map(p, j, idx):
+            return (idx[p], j, 0, 0)
+        def omap(p, j, idx):
+            return (p, 0, j)
+    else:
+        grid = (pl.cdiv(d, td), N)
+        def pair_map(j, p, idx):
+            return (p, 0, 0)
+        def wmap(j, p, idx):
+            return (idx[p], j, 0)
+        def w4map(j, p, idx):
+            return (idx[p], j, 0, 0)
+        def omap(j, p, idx):
+            return (p, 0, j)
+
+    in_specs = [pl.BlockSpec((1, 1, n), pair_map, memory_space=pltpu.VMEM)]
     args = [x]
     if s16 is not None:                        # Q2_K turbo group sums
-        in_specs.append(pl.BlockSpec((1, 1, n // 16),
-                                     lambda j, p, idx: (p, 0, 0),
+        in_specs.append(pl.BlockSpec((1, 1, n // 16), pair_map,
                                      memory_space=pltpu.VMEM))
         args.append(s16)
     if isinstance(qt, Fp8Tensor):
-        in_specs += extra_specs
+        in_specs += [
+            pl.BlockSpec((1, td, n), wmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, td // b0, 1, n // b1), w4map,
+                         memory_space=pltpu.VMEM),
+        ]
     else:
         for f, c in zip(fields, cols):
             blk_rows = td if f.shape[-2] == d else td * f.shape[-2] // d
             in_specs.append(pl.BlockSpec(
-                (1, blk_rows, c), lambda j, p, idx: (idx[p], j, 0),
-                memory_space=pltpu.VMEM))
-    out_spec = pl.BlockSpec((1, 1, td), lambda j, p, idx: (p, 0, j),
-                            memory_space=pltpu.VMEM)
+                (1, blk_rows, c), wmap, memory_space=pltpu.VMEM))
+    out_spec = pl.BlockSpec((1, 1, td), omap, memory_space=pltpu.VMEM)
     oshape = jax.ShapeDtypeStruct((N, 1, d), jnp.float32)
 
     out = pl.pallas_call(

@@ -103,6 +103,22 @@ def test_expert_gather_qmm(mk):
             np.testing.assert_allclose(got[b, s], want, rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize("mk", _ALL_KQ)
+def test_expert_gather_pair_major_matches(mk):
+    """pair_major=True (single-token decode grid order) must be
+    numerically identical to the default pair-minor grid — same kernel
+    body, only the grid iteration order changes."""
+    E, m, n = 8, 32, 512
+    qt = mk(rnd((E, m, n), seed=7))
+    idx = np.array([[5, 0, 3, 7]], np.int32)          # 1 token, distinct
+    x = rnd((1, 4, n), seed=8)
+    a = np.asarray(qmm_experts(qt, jnp.asarray(idx), jnp.asarray(x),
+                               interpret=True))
+    b = np.asarray(qmm_experts(qt, jnp.asarray(idx), jnp.asarray(x),
+                               interpret=True, pair_major=True))
+    np.testing.assert_array_equal(a, b)
+
+
 def test_expert_gather_plain_and_fp8():
     E, m, n = 4, 32, 256
     w = rnd((E, m, n), seed=9)
