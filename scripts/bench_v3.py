@@ -96,6 +96,56 @@ def measure_decode(cfg, params, n_blocks: int = 8, block: int = 32,
     return tok_s
 
 
+def run_long_context(quant: str, quick: bool, window: int = 32768):
+    """V3-proportioned LONG-CONTEXT decode: the slice at a ``window``-slot
+    ring (YaRN-class context) with the cache nearly full, bf16 vs int8 KV.
+    At dim 7168 / 128 absorbed-MLA heads a full window step reads
+    window x (512+64) latent bytes per layer — the flash-decode kernel's
+    scaling regime, which the 4096-window headline never exercises."""
+    from deepseek_tpu.models.kvcache import init_cache as _init
+    nb = 2 if quick else 6
+    results = {}
+    for kv_dtype in ("bfloat16", "int8"):
+        cfg = v3_slice_config(2, experts=256)
+        import dataclasses
+        cfg = dataclasses.replace(
+            cfg, max_seq_len=window,
+            rs_original_max_position_embeddings=window,
+            kv_cache_dtype=kv_dtype)
+        params = random_fused_params(cfg, quant)
+        jax.block_until_ready(jax.tree.leaves(params))
+        # hydrate position: start decoding near the END of the window so
+        # attention covers ~the whole ring (the long-context cost case)
+        cache = init_cache(cfg, batch=1)
+        loop = make_decode_loop(cfg, 32)
+        key = jax.random.PRNGKey(0)
+        tok = jnp.zeros((1, 1), jnp.int32)
+        pos0 = window - 32 * (nb + 3)
+        t0 = time.perf_counter()
+        for wu in range(2):
+            toks, _, cache = loop(params, cache, tok,
+                                  jnp.int32(pos0 + wu * 32), key,
+                                  jnp.float32(0.0), jnp.float32(1.0))
+            tok = toks[:, -1:]
+        _ = int(np.asarray(tok)[0, 0])
+        print(f"  [long {kv_dtype}] compile+warmup: "
+              f"{time.perf_counter()-t0:.0f}s")
+        t0 = time.perf_counter()
+        for i in range(nb):
+            toks, _, cache = loop(params, cache, tok,
+                                  jnp.int32(pos0 + 32 * (i + 2)), key,
+                                  jnp.float32(0.0), jnp.float32(1.0))
+            tok = toks[:, -1:]
+        _ = int(np.asarray(tok)[0, 0])
+        dt = time.perf_counter() - t0
+        tok_s = nb * 32 / dt
+        results[kv_dtype] = tok_s
+        print(f"  [long W={window} {kv_dtype} KV] {tok_s:.1f} tok/s "
+              f"({1e3/tok_s:.2f} ms/token)")
+        del params, cache
+    return results
+
+
 def run(quant: str, quick: bool):
     results = {}
     nb = 2 if quick else 8
@@ -145,6 +195,9 @@ if __name__ == "__main__":
     elif len(sys.argv) > 1 and sys.argv[1] in ("q2_k", "q2k"):
         quant = "q2_k"
     elif len(sys.argv) > 1 and sys.argv[1] not in ("nibble", "q3_k_nibble",
-                                                   "--quick"):
-        sys.exit(f"usage: {sys.argv[0]} [nibble|fp8|q2_k] [--quick]")
-    run(quant, "--quick" in sys.argv)
+                                                   "--quick", "--long"):
+        sys.exit(f"usage: {sys.argv[0]} [nibble|fp8|q2_k] [--quick] [--long]")
+    if "--long" in sys.argv:
+        run_long_context(quant, "--quick" in sys.argv)
+    else:
+        run(quant, "--quick" in sys.argv)
