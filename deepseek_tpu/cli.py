@@ -54,6 +54,8 @@ Completion mode options:
   -n <int>    number of steps to run for in completion mode, default 256. 0 = max_seq_len, -1 = infinite
   -t <float> temperature (default - 1.0)
   -p <float> p for top-p sampling (default - 0.95)
+  --top-k <int> keep only the k most probable tokens (default 0 = off)
+  --min-p <float> drop tokens below min_p * max probability (default 0 = off)
   Choose one:
     -i <string> input prompt
     -f <filepath> input file with prompt
@@ -110,6 +112,8 @@ class Args:
         self.num_steps: Optional[int] = None
         self.temperature = 1.0
         self.top_p = 0.95
+        self.top_k = 0
+        self.min_p = 0.0
         self.n_junk = 250
         self.passkey_pos = -1
         self.dtype: Optional[str] = None
@@ -152,6 +156,10 @@ def parse_mode_flags(args: Args, argv: List[str]) -> Args:
             args.temperature = float(val())
         elif a == "-p":
             args.top_p = float(val())
+        elif a == "--top-k":
+            args.top_k = int(val())
+        elif a == "--min-p":
+            args.min_p = float(val())
         elif a == "-n":
             v = int(val())
             if args.mode == "passkey":
@@ -259,7 +267,7 @@ def run_completion(engine: Engine, args: Args):
     else:
         out, st = engine.generate(
             encoding, steps, temperature=args.temperature, top_p=args.top_p,
-            on_token=emit)
+            top_k=args.top_k, min_p=args.min_p, on_token=emit)
     print()
     spec = (f"  speculative: {st.spec_accepted}/{st.spec_drafted} drafts "
             f"accepted over {st.spec_rounds} rounds "

@@ -389,10 +389,14 @@ class Engine:
         temperature: float = 1.0,
         top_p: float = 0.95,
         on_token: Optional[Callable[[int, bytes], None]] = None,
+        top_k: int = 0,
+        min_p: float = 0.0,
     ) -> Tuple[List[int], GenerationStats]:
         """Completion loop (run_completion, main.cpp:277-361).
 
-        num_steps: 0 = up to max_seq_len, -1 = until eos.
+        num_steps: 0 = up to max_seq_len, -1 = until eos. top_k/min_p are
+        additional sampling filters beyond the reference surface
+        (sampler.nucleus_probs composition); 0 disables them.
         """
         cfg = self.cfg
         stats = GenerationStats(prompt_tokens=len(prompt_tokens))
@@ -422,7 +426,7 @@ class Engine:
 
         t0 = time.perf_counter()
         # first token comes from the hydrate logits (host-side sample)
-        token = self.sampler.sample(logits, temperature, top_p)
+        token = self.sampler.sample(logits, temperature, top_p, top_k, min_p)
         stopped = emit(token)
 
         if self.decode_block > 1:
@@ -434,7 +438,8 @@ class Engine:
                     toks_dev, _, cache = loop(
                         self.params, cache, jnp.asarray([[token]], jnp.int32),
                         pos, sub, jnp.float32(temperature),
-                        jnp.float32(top_p))
+                        jnp.float32(top_p), top_k=jnp.float32(top_k),
+                        min_p=jnp.float32(min_p))
                     block = np.asarray(toks_dev[0]).tolist()
                 pos += len(block)
                 token = block[-1]
@@ -454,7 +459,8 @@ class Engine:
                     logits = np.asarray(logits_dev[0])
                 pos += 1
                 with profile_scope("generate.sample"):
-                    token = self.sampler.sample(logits, temperature, top_p)
+                    token = self.sampler.sample(logits, temperature, top_p,
+                                                top_k, min_p)
                 stopped = emit(token)
         stats.generate_s = time.perf_counter() - t0
         stats.generated_tokens = len(out_tokens)

@@ -1184,14 +1184,14 @@ def _gspmd_kernel_gate(cfg: ModelConfig, build, build_mesh=None):
         except Exception:
             return None
 
-    def wrapper(params, *rest):
+    def wrapper(params, *rest, **kw):
         key = _sharding_key(params)
         if key not in state:
             if _params_span_devices(params) and kernel_impl(cfg) is not None:
                 state[key] = _upgrade_or_fallback(params, rest)
             else:
                 state[key] = build(cfg)
-        return state[key](params, *rest)
+        return state[key](params, *rest, **kw)
 
     return wrapper
 
@@ -1304,8 +1304,9 @@ def make_decode_loop(cfg: ModelConfig, n_steps: int, *, jit: bool = True,
     flattening, runtime round-trips) is amortized over the whole block.
 
     Returns ``fn(params, cache, tok (B,1) int32, pos0, key, temperature,
-    top_p, active=None) -> (tokens (B, n_steps) int32, logits_last (B,V),
-    cache)`` where ``tok`` is the already-sampled token to feed first;
+    top_p, active=None, top_k=0, min_p=0.0) -> (tokens (B, n_steps) int32,
+    logits_last (B,V), cache)`` where ``tok`` is the already-sampled token
+    to feed first;
     ``tokens`` are the n_steps tokens sampled on device (tokens[:, 0] is
     the successor of tok). ``active`` (B,) bool marks live batch rows
     (continuous batching); inactive rows skip MoE expert fan-out
@@ -1323,7 +1324,7 @@ def make_decode_loop(cfg: ModelConfig, n_steps: int, *, jit: bool = True,
             ctx=ctx, active_bucket=active_bucket)
 
         def loop(params, cache, tok, pos0, key, temperature, top_p,
-                 active=None):
+                 active=None, top_k=0, min_p=0.0):
             pos0 = jnp.asarray(pos0, jnp.int32)
             if ctx is not None and ctx.dp > 1:
                 # the key arrives replicated; fold in the data-shard index
@@ -1335,7 +1336,8 @@ def make_decode_loop(cfg: ModelConfig, n_steps: int, *, jit: bool = True,
                 logits, cache = fwd(params, cache, tok, pos0 + i,
                                     active=active)
                 key, sub = jax.random.split(key)
-                nxt = sample_token(logits, sub, temperature, top_p)
+                nxt = sample_token(logits, sub, temperature, top_p,
+                                   top_k=top_k, min_p=min_p)
                 return (cache, nxt[:, None], key), (nxt, logits)
 
             (cache, _, _), (tokens, logits_all) = jax.lax.scan(
@@ -1364,11 +1366,12 @@ def make_decode_loop(cfg: ModelConfig, n_steps: int, *, jit: bool = True,
     inner = jax.shard_map(
         make_loop(cfg), mesh=mesh,
         in_specs=(pspec, cspec, P("data"), P("data"), P(), P("data"),
-                  P("data"), P("data")),
+                  P("data"), P("data"), P("data"), P("data")),
         out_specs=(P("data"), P("data"), cspec),
         check_vma=False)
 
-    def loop(params, cache, tok, pos0, key, temperature, top_p, active=None):
+    def loop(params, cache, tok, pos0, key, temperature, top_p, active=None,
+             top_k=0, min_p=0.0):
         B = tok.shape[0]
         bvec = lambda v, dt: jnp.broadcast_to(
             jnp.asarray(v, dt).reshape(-1), (B,))
@@ -1376,7 +1379,8 @@ def make_decode_loop(cfg: ModelConfig, n_steps: int, *, jit: bool = True,
             active = jnp.ones((B,), jnp.bool_)
         return inner(params, cache, tok, bvec(pos0, jnp.int32), key,
                      bvec(temperature, jnp.float32), bvec(top_p, jnp.float32),
-                     bvec(active, jnp.bool_))
+                     bvec(active, jnp.bool_), bvec(top_k, jnp.float32),
+                     bvec(min_p, jnp.float32))
 
     if jit:
         loop = jax.jit(loop, donate_argnums=(1,))

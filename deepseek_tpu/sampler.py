@@ -15,13 +15,16 @@ from typing import Optional
 import numpy as np
 
 
-def nucleus_probs(logits: np.ndarray, temperature: float, top_p: float
-                  ) -> np.ndarray:
-    """The ONE host-side nucleus distribution, tie-handling identical to the
-    on-device sampler (ops/sampling.py): the keep set is {p >= p_cut} where
-    p_cut is the smallest probability inside the minimal prefix whose mass
-    reaches top_p — boundary ties are all kept, exactly like the device's
-    binary-searched threshold. temperature <= 0 -> one-hot argmax.
+def nucleus_probs(logits: np.ndarray, temperature: float, top_p: float,
+                  top_k: int = 0, min_p: float = 0.0) -> np.ndarray:
+    """The ONE host-side sampling distribution, tie-handling identical to
+    the on-device sampler (ops/sampling.py): each keep set is
+    {p >= threshold} with boundary value-ties all kept, exactly like the
+    device's binary-searched thresholds. temperature <= 0 -> one-hot
+    argmax. Filters compose in the device's order: top-k (p >= k-th
+    largest) ∧ min-p (p >= min_p * max(p)) cut the raw distribution,
+    which renormalizes, then the nucleus (top-p) is taken over the
+    remainder. top_k < 1 / min_p <= 0 disable those filters.
 
     Used by Sampler.sample and by the speculative acceptance rule, so the
     decode_block>1 (device) and decode_block=1 (host) paths sample from the
@@ -36,8 +39,15 @@ def nucleus_probs(logits: np.ndarray, temperature: float, top_p: float
     z -= z.max()
     p = np.exp(z)
     p /= p.sum()
+    if top_k >= 1 and top_k < p.size:
+        kth = np.partition(p, -int(top_k))[-int(top_k)]
+        p = np.where(p >= kth, p, 0.0)
+    if min_p > 0.0:
+        p = np.where(p >= min_p * p.max(), p, 0.0)
+    p /= p.sum()
     if top_p < 1.0:
-        sorted_probs = np.sort(p)[::-1]
+        nz = p[p > 0]
+        sorted_probs = np.sort(nz)[::-1]
         cum = np.cumsum(sorted_probs)
         cutoff = int(np.searchsorted(cum, top_p) + 1)
         p_cut = sorted_probs[min(cutoff, len(sorted_probs)) - 1]
@@ -65,9 +75,11 @@ class Sampler:
     def sample_argmax(self, logits: np.ndarray) -> int:
         return int(np.asarray(logits).argmax())
 
-    def sample(self, logits: np.ndarray, temperature: float = 1.0, top_p: float = 0.95) -> int:
+    def sample(self, logits: np.ndarray, temperature: float = 1.0,
+               top_p: float = 0.95, top_k: int = 0,
+               min_p: float = 0.0) -> int:
         logits = np.asarray(logits, dtype=np.float32).reshape(-1)
         if temperature == 0.0:
             return self.sample_argmax(logits)
-        probs = nucleus_probs(logits, temperature, top_p)
+        probs = nucleus_probs(logits, temperature, top_p, top_k, min_p)
         return int(self.rng.choice(len(probs), p=probs))

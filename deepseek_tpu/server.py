@@ -9,6 +9,7 @@ steps, handler threads exchange work through thread-safe queues.
 Endpoints:
   GET  /health          -> {"status": "ok", model info}
   POST /v1/completions  -> {"prompt", "max_tokens", "temperature", "top_p",
+                           "top_k", "min_p", "stop" (string | [string]),
                             "stream"} ; non-stream returns the full JSON,
                             stream=true returns server-sent events, one
                             ``data: {"text": ...}`` line per token, ending
@@ -117,10 +118,12 @@ class Server:
     # ----------------------------------------------------------------- api
     def submit(self, prompt: str, max_tokens: int = 128,
                temperature: float = 1.0, top_p: float = 0.95,
-               stream: bool = False) -> _Pending:
+               stream: bool = False, top_k: int = 0, min_p: float = 0.0,
+               stop=None) -> _Pending:
         toks = self.engine.tokenizer.encode(prompt, bos=True)
         req = Request(prompt_tokens=toks, max_new_tokens=max_tokens,
-                      temperature=temperature, top_p=top_p)
+                      temperature=temperature, top_p=top_p,
+                      top_k=top_k, min_p=min_p, stop=stop)
         p = _Pending(req, stream)
         self.inbox.put(p)
         return p
@@ -162,23 +165,38 @@ class Server:
                 except (KeyError, ValueError) as e:
                     return self._json(400, {"error": f"bad request: {e}"})
                 stream = bool(body.get("stream", False))
+                stop = body.get("stop")
+                if isinstance(stop, str):
+                    stop = [stop]
+                if stop is not None and not (
+                        isinstance(stop, list)
+                        and all(isinstance(x, str) and x for x in stop)):
+                    return self._json(
+                        400, {"error": "stop must be a non-empty string "
+                                       "or a list of them"})
                 p = server.submit(
                     prompt,
                     max_tokens=int(body.get("max_tokens", 128)),
                     temperature=float(body.get("temperature", 1.0)),
                     top_p=float(body.get("top_p", 0.95)),
+                    top_k=int(body.get("top_k", 0)),
+                    min_p=float(body.get("min_p", 0.0)),
+                    stop=stop,
                     stream=stream)
                 if not stream:
                     p.done.wait()
                     if p.error:
                         return self._json(500, {"error": p.error})
-                    text = server.engine.tokenizer.decode(
-                        p.req.out_tokens).decode("utf-8", errors="replace")
+                    # out_bytes is the canonical (stop-truncated) text;
+                    # identical to decode(out_tokens) when no stop is set
+                    text = p.req.out_bytes.decode("utf-8", errors="replace")
                     return self._json(200, {
                         "text": text,
                         "tokens": p.req.out_tokens,
                         "prompt_tokens": len(p.req.prompt_tokens),
                         "completion_tokens": len(p.req.out_tokens),
+                        "finish_reason": "stop" if p.req.stop_hit
+                                         else "length",
                     })
                 self.send_response(200)
                 self.send_header("Content-Type", "text/event-stream")

@@ -45,11 +45,21 @@ class Request:
     max_new_tokens: int = 128
     temperature: float = 1.0
     top_p: float = 0.95
+    top_k: int = 0                   # 0 = off (extra filter beyond the
+    min_p: float = 0.0               # reference's temperature/top_p surface)
+    # stop sequences: generation ends when the decoded text contains any of
+    # these strings; out_bytes is truncated BEFORE the match and streamed
+    # pieces are held back while a stop prefix is pending (so a stop string
+    # split across tokens never leaks to the client)
+    stop: Optional[List[str]] = None
     request_id: int = 0
     # filled by the scheduler
     out_tokens: List[int] = dataclasses.field(default_factory=list)
+    out_bytes: bytes = b""           # stop-truncated text of out_tokens
+    stop_hit: bool = False
     done: bool = False
     on_token: Optional[Callable[[int, bytes], None]] = None
+    _held: bytes = b""               # streaming hold-back (stop prefix)
 
 
 class BatchScheduler:
@@ -137,12 +147,15 @@ class BatchScheduler:
         pos = jnp.zeros((B,), jnp.int32)
         temps = jnp.zeros((B,), jnp.float32)
         topps = jnp.ones((B,), jnp.float32)
+        topks = jnp.zeros((B,), jnp.float32)
+        minps = jnp.zeros((B,), jnp.float32)
         act = jnp.zeros((B,), jnp.bool_)
         bucket = 1
         while True:
             b = min(bucket, B)
             _, _, self.cache = self._loop_for(b)(
-                self.params, self.cache, tok, pos, key, temps, topps, act)
+                self.params, self.cache, tok, pos, key, temps, topps, act,
+                topks, minps)
             if b >= B:
                 break
             bucket *= 2
@@ -198,7 +211,8 @@ class BatchScheduler:
         if not final:
             return
         self.cache = self._merge_slot(self.cache, p.cache, p.slot)
-        token = eng.sampler.sample(logits, p.req.temperature, p.req.top_p)
+        token = eng.sampler.sample(logits, p.req.temperature, p.req.top_p,
+                                   p.req.top_k, p.req.min_p)
         self._emit(p.req, token, prev=toks[-1])
         self.slots[p.slot] = p.req
         self.pos[p.slot] = len(toks)
@@ -207,11 +221,44 @@ class BatchScheduler:
 
     def _emit(self, req: Request, token: int, prev: int) -> None:
         req.out_tokens.append(token)
-        if req.on_token is not None:
-            req.on_token(token, self.engine.tokenizer.decode_one(prev, token))
+        piece = self.engine.tokenizer.decode_one(prev, token)
+        if not req.stop:
+            req.out_bytes += piece
+            if req.on_token is not None:
+                req.on_token(token, piece)
+        else:
+            buf = req._held + piece
+            stops = [x.encode() for x in req.stop]
+            hits = [buf.find(b) for b in stops if buf.find(b) >= 0]
+            if hits:
+                flush = buf[:min(hits)]
+                req.out_bytes += flush
+                req._held = b""
+                if req.on_token is not None and flush:
+                    req.on_token(token, flush)
+                req.stop_hit = True
+                req.done = True
+                return
+            # withhold the longest buf suffix that is a proper prefix of
+            # any stop string — it may complete on a later token
+            hold = 0
+            for b in stops:
+                for L in range(min(len(b) - 1, len(buf)), hold, -1):
+                    if buf.endswith(b[:L]):
+                        hold = L
+                        break
+            flush, req._held = buf[:len(buf) - hold], buf[len(buf) - hold:]
+            req.out_bytes += flush
+            if req.on_token is not None and flush:
+                req.on_token(token, flush)
         if (self.engine.tokenizer.is_eos_or_eot(token)
                 or len(req.out_tokens) >= req.max_new_tokens):
             req.done = True
+            if req._held:                    # no stop hit: flush the tail
+                req.out_bytes += req._held
+                if req.on_token is not None:
+                    req.on_token(token, req._held)
+                req._held = b""
 
     def _free_finished(self) -> None:
         for i, req in enumerate(self.slots):
@@ -242,11 +289,15 @@ class BatchScheduler:
 
         temps = np.zeros(self.batch, np.float32)
         topps = np.ones(self.batch, np.float32)
+        topks = np.zeros(self.batch, np.float32)
+        minps = np.zeros(self.batch, np.float32)
         act = np.zeros(self.batch, np.bool_)
         for i, req in enumerate(self.slots):
             if req is not None:
                 temps[i] = req.temperature
                 topps[i] = req.top_p
+                topks[i] = req.top_k
+                minps[i] = req.min_p
                 act[i] = not req.done
         n_active = max(1, int(act.sum()))
         bucket = 1
@@ -258,7 +309,8 @@ class BatchScheduler:
             self.params, self.cache,
             jnp.asarray(self.cur.reshape(-1, 1), jnp.int32),
             jnp.asarray(self.pos, jnp.int32), sub,
-            jnp.asarray(temps), jnp.asarray(topps), jnp.asarray(act))
+            jnp.asarray(temps), jnp.asarray(topps), jnp.asarray(act),
+            jnp.asarray(topks), jnp.asarray(minps))
         toks = np.asarray(toks_dev)                     # (B, block)
 
         for i, req in enumerate(self.slots):

@@ -79,3 +79,37 @@ def test_concurrent_requests(served):
     assert len(results) == 3
     for body in results.values():
         assert body["completion_tokens"] >= 1
+
+
+def test_stop_sequence_over_http(served):
+    url, srv = served
+    # baseline greedy text
+    with _post(url, {"prompt": "ab", "max_tokens": 8,
+                     "temperature": 0.0}) as r:
+        base = json.loads(r.read())
+    assert base["finish_reason"] == "length"
+    full = base["text"]
+    assert len(full) > 3
+    stop = full[len(full) // 2:len(full) // 2 + 2]
+    with _post(url, {"prompt": "ab", "max_tokens": 8,
+                     "temperature": 0.0, "stop": stop}) as r:
+        body = json.loads(r.read())
+    assert body["finish_reason"] == "stop"
+    assert stop not in body["text"]
+    assert full.startswith(body["text"])
+
+    # invalid stop type -> 400
+    import urllib.error
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(url, {"prompt": "ab", "stop": 5}).read()
+    assert e.value.code == 400
+
+
+def test_top_k_one_is_greedy_over_http(served):
+    url, srv = served
+    with _post(url, {"prompt": "ab", "max_tokens": 4,
+                     "temperature": 1.0, "top_k": 1}) as r:
+        body = json.loads(r.read())
+    toks = srv.engine.tokenizer.encode("ab", bos=True)
+    want, _ = srv.engine.generate(toks, num_steps=4, temperature=0.0)
+    assert body["tokens"] == want

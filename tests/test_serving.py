@@ -157,3 +157,87 @@ def test_scheduler_mixed_lengths_interleave(engine):
     assert len(by_id[c].out_tokens) == 2
     # identical inputs -> identical greedy outputs regardless of slot timing
     assert by_id[b].out_tokens == by_id[c].out_tokens
+
+
+def test_stop_sequence_truncates_and_holds_back(engine):
+    """Stop sequences: generation ends when the decoded text contains the
+    stop string; out_bytes truncates BEFORE the match; streamed pieces
+    never leak any byte of the stop string even when it spans tokens."""
+    toks = engine.tokenizer.encode("hello", bos=True)
+    # reference run: what greedy produces with no stop
+    sched = BatchScheduler(engine, batch_size=1)
+    base = Request(prompt_tokens=list(toks), max_new_tokens=10,
+                   temperature=0.0)
+    sched.submit(base)
+    sched.run()
+    full = base.out_bytes.decode("utf-8", errors="replace")
+    assert base.out_bytes == engine.tokenizer.decode(base.out_tokens)
+    assert len(full) > 4
+
+    # pick a stop string strictly inside the text, crossing a token
+    # boundary when possible (starts mid-way through the output)
+    cut = len(full) // 2
+    stop = full[cut:cut + 3]
+    assert stop and stop in full[1:]
+
+    pieces = []
+    sched2 = BatchScheduler(engine, batch_size=1)
+    req = Request(prompt_tokens=list(toks), max_new_tokens=10,
+                  temperature=0.0, stop=[stop],
+                  on_token=lambda t, b: pieces.append(b))
+    sched2.submit(req)
+    sched2.run()
+    text = req.out_bytes.decode("utf-8", errors="replace")
+    assert req.stop_hit and req.done
+    assert stop not in text
+    assert full.startswith(text)
+    assert text == full[:full.index(stop)]
+    # streaming view must equal the truncated text exactly
+    assert b"".join(pieces) == req.out_bytes
+
+
+def test_stop_not_hit_flushes_heldback_tail(engine):
+    """A stop whose PREFIX ends the generation (match never completes)
+    must still deliver the held-back bytes at the end."""
+    toks = engine.tokenizer.encode("hello", bos=True)
+    sched = BatchScheduler(engine, batch_size=1)
+    base = Request(prompt_tokens=list(toks), max_new_tokens=6,
+                   temperature=0.0)
+    sched.submit(base)
+    sched.run()
+    full = base.out_bytes
+    # stop = last 2 bytes of the text + an impossible continuation: its
+    # prefix is pending when max_tokens ends the request
+    stop = (full[-2:] + b"\xff\xff\xff").decode("utf-8", errors="replace")
+
+    pieces = []
+    sched2 = BatchScheduler(engine, batch_size=1)
+    req = Request(prompt_tokens=list(toks), max_new_tokens=6,
+                  temperature=0.0, stop=[stop],
+                  on_token=lambda t, b: pieces.append(b))
+    sched2.submit(req)
+    sched2.run()
+    assert not req.stop_hit and req.done
+    assert req.out_bytes == full
+    assert b"".join(pieces) == full
+
+
+def test_per_slot_top_k_greedy_equivalence(engine):
+    """top_k=1 must reproduce greedy decoding exactly (device path), even
+    at temperature 1.0, and per-slot params must not cross-contaminate."""
+    prompts = ["hello", "abc"]
+    want = []
+    for p in prompts:
+        toks = engine.tokenizer.encode(p, bos=True)
+        out, _ = engine.generate(toks, num_steps=5, temperature=0.0)
+        want.append(out)
+
+    sched = BatchScheduler(engine, batch_size=2)
+    reqs = [Request(prompt_tokens=engine.tokenizer.encode(p, bos=True),
+                    max_new_tokens=5, temperature=1.0, top_k=1)
+            for p in prompts]
+    for r in reqs:
+        sched.submit(r)
+    sched.run()
+    for r, expect in zip(reqs, want):
+        assert r.out_tokens == expect, (r.out_tokens, expect)
