@@ -42,7 +42,7 @@ Example: python -m deepseek_tpu model_weights_dir/ -i "Q: What is the meaning of
 Options:
   -h Display this help message
   -L Locks model weights to RAM (eagerly materializes mmaps)
-  -m [completion,passkey,perplexity,interactive,serve] which mode to run in (default - completion)
+  -m [completion,passkey,perplexity,interactive,chat,serve] which mode to run in (default - completion)
   -T <int> sliding window context length (0 - max)
 
 Perplexity mode options:
@@ -372,6 +372,53 @@ Modes:
 """
 
 
+def run_chat(engine: Engine, args: Args):
+    """Multi-turn chat REPL over the checkpoint's embedded chat template
+    (deepseek_tpu.chat; the converter stores tokenizer_config.json's
+    chat_template in the .dseek metadata). Each turn re-renders the whole
+    conversation and hydrates it — chunked prefill makes the re-hydrate
+    cheap, and the template, not the CLI, decides the turn format. The
+    reference has no chat surface (its interactive mode feeds raw
+    completion prompts, main.cpp:514-592)."""
+    from deepseek_tpu.chat import ChatTemplateError
+    if engine.chat_template is None:
+        _die("this checkpoint has no chat_template metadata — re-convert "
+             "from an HF dir whose tokenizer_config.json carries one")
+    messages = []
+    print("chat mode: empty line or 'q' quits", file=sys.stderr)
+    while True:
+        try:
+            line = input("user> ").strip()
+        except EOFError:
+            break
+        if not line or line == "q":
+            break
+        messages.append({"role": "user", "content": line})
+        try:
+            prompt = engine.render_chat(messages)
+        except ChatTemplateError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return
+        toks = engine.tokenizer.encode(prompt, bos=False)
+        pieces = []
+
+        def emit(token, piece: bytes):
+            if engine.tokenizer.is_eos_or_eot(token):
+                return
+            pieces.append(piece)
+            sys.stdout.write(piece.decode("utf-8", errors="replace"))
+            sys.stdout.flush()
+
+        steps = args.num_steps if args.num_steps else -1
+        engine.generate(toks, steps, temperature=args.temperature,
+                        top_p=args.top_p, top_k=args.top_k,
+                        min_p=args.min_p, on_token=emit)
+        print()
+        messages.append({
+            "role": "assistant",
+            "content": b"".join(pieces).decode("utf-8", errors="replace")})
+
+
 def run_interactive(engine: Engine, args: Args):
     while True:
         try:
@@ -424,7 +471,7 @@ def main(argv: Optional[List[str]] = None):
             i += 1
             args.mode = argv[i]
             if args.mode not in ("completion", "perplexity", "passkey",
-                                 "interactive", "serve"):
+                                 "interactive", "chat", "serve"):
                 _die(f"unknown mode {args.mode}")
         elif a == "-T":
             i += 1
@@ -457,6 +504,8 @@ def main(argv: Optional[List[str]] = None):
 
     if args.mode == "completion":
         run_completion(engine, args)
+    elif args.mode == "chat":
+        run_chat(engine, args)
     elif args.mode == "perplexity":
         run_perplexity(engine, args)
     elif args.mode == "passkey":

@@ -128,6 +128,31 @@ def normalize_metadata(config: dict, tokenizer_config: dict, quant: str,
         b = bsize if bsize else 128
         md["quantization_block_size_0"] = str(b)
         md["quantization_block_size_1"] = str(b)
+
+    # chat template (HF tokenizer_config.json): embedded verbatim so the
+    # CLI chat mode / the server's /v1/chat/completions can format turns
+    # the way the checkpoint expects (deepseek_tpu.chat.render_chat). The
+    # reference has no chat surface; extra metadata keys are ignored by
+    # its Config::from_yalm, so .dseek files stay cross-loadable.
+    tpl = tokenizer_config.get("chat_template")
+    if isinstance(tpl, list):        # HF multi-template form
+        named = {t.get("name"): t.get("template") for t in tpl
+                 if isinstance(t, dict)}
+        tpl = named.get("default") or next(iter(named.values()), None)
+    if isinstance(tpl, str) and tpl:
+        md["chat_template"] = tpl
+
+        def tok_str(key):
+            v = tokenizer_config.get(key)
+            if isinstance(v, dict):      # AddedToken form
+                v = v.get("content")
+            return v if isinstance(v, str) else None
+
+        bos, eos = tok_str("bos_token"), tok_str("eos_token")
+        if bos:
+            md["chat_bos_token"] = bos
+        if eos:
+            md["chat_eos_token"] = eos
     return md
 
 

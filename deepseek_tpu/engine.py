@@ -220,6 +220,31 @@ class Engine:
         return params_bits_per_weight(self.params)
 
     # ------------------------------------------------------------------
+    @property
+    def chat_template(self) -> Optional[str]:
+        """The checkpoint's HF chat template (converter embeds it in the
+        .dseek metadata), or None for pre-chat checkpoints."""
+        return self.data.metadata.get("chat_template")
+
+    def render_chat(self, messages, add_generation_prompt: bool = True,
+                    template: Optional[str] = None) -> str:
+        """messages [{"role", "content"}, ...] -> prompt string via the
+        checkpoint's chat template (deepseek_tpu.chat.render_chat)."""
+        from deepseek_tpu.chat import ChatTemplateError, render_chat
+        tpl = template or self.chat_template
+        if not tpl:
+            raise ChatTemplateError(
+                "checkpoint has no chat_template metadata (re-convert from "
+                "an HF dir whose tokenizer_config.json carries one, or pass "
+                "a template explicitly)")
+        md = self.data.metadata
+        return render_chat(
+            tpl, messages,
+            bos_token=md.get("chat_bos_token", ""),
+            eos_token=md.get("chat_eos_token", ""),
+            add_generation_prompt=add_generation_prompt)
+
+    # ------------------------------------------------------------------
     # session persistence (beyond the reference: SURVEY §5 notes it has no
     # KV-cache/session persistence — hydrating a long prompt is repaid on
     # every restart). A session = the KV cache pytree + the next decode

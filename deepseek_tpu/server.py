@@ -8,6 +8,8 @@ steps, handler threads exchange work through thread-safe queues.
 
 Endpoints:
   GET  /health          -> {"status": "ok", model info}
+  POST /v1/chat/completions -> {"messages": [{"role", "content"}...], ...}
+                           (renders the checkpoint's chat template)
   POST /v1/completions  -> {"prompt", "max_tokens", "temperature", "top_p",
                            "top_k", "min_p", "stop" (string | [string]),
                             "stream"} ; non-stream returns the full JSON,
@@ -119,8 +121,11 @@ class Server:
     def submit(self, prompt: str, max_tokens: int = 128,
                temperature: float = 1.0, top_p: float = 0.95,
                stream: bool = False, top_k: int = 0, min_p: float = 0.0,
-               stop=None) -> _Pending:
-        toks = self.engine.tokenizer.encode(prompt, bos=True)
+               stop=None, bos: bool = True) -> _Pending:
+        """``bos=False`` for chat-template prompts — rendered templates
+        embed the BOS token literally (HF add_special_tokens=False
+        convention), so the tokenizer must not prepend another."""
+        toks = self.engine.tokenizer.encode(prompt, bos=bos)
         req = Request(prompt_tokens=toks, max_new_tokens=max_tokens,
                       temperature=temperature, top_p=top_p,
                       top_k=top_k, min_p=min_p, stop=stop)
@@ -156,12 +161,22 @@ class Server:
                 })
 
             def do_POST(self):
-                if self.path != "/v1/completions":
+                if self.path not in ("/v1/completions",
+                                     "/v1/chat/completions"):
                     return self._json(404, {"error": "not found"})
+                chat = self.path == "/v1/chat/completions"
                 try:
                     n = int(self.headers.get("Content-Length", 0))
                     body = json.loads(self.rfile.read(n) or b"{}")
-                    prompt = body["prompt"]
+                    if chat:
+                        from deepseek_tpu.chat import ChatTemplateError
+                        try:
+                            prompt = server.engine.render_chat(
+                                body["messages"])
+                        except ChatTemplateError as e:
+                            return self._json(400, {"error": str(e)})
+                    else:
+                        prompt = body["prompt"]
                 except (KeyError, ValueError) as e:
                     return self._json(400, {"error": f"bad request: {e}"})
                 stream = bool(body.get("stream", False))
@@ -182,7 +197,8 @@ class Server:
                     top_k=int(body.get("top_k", 0)),
                     min_p=float(body.get("min_p", 0.0)),
                     stop=stop,
-                    stream=stream)
+                    stream=stream,
+                    bos=not chat)
                 if not stream:
                     p.done.wait()
                     if p.error:
@@ -190,13 +206,22 @@ class Server:
                     # out_bytes is the canonical (stop-truncated) text;
                     # identical to decode(out_tokens) when no stop is set
                     text = p.req.out_bytes.decode("utf-8", errors="replace")
+                    fin = "stop" if p.req.stop_hit else "length"
+                    if chat:
+                        return self._json(200, {
+                            "message": {"role": "assistant",
+                                        "content": text},
+                            "tokens": p.req.out_tokens,
+                            "prompt_tokens": len(p.req.prompt_tokens),
+                            "completion_tokens": len(p.req.out_tokens),
+                            "finish_reason": fin,
+                        })
                     return self._json(200, {
                         "text": text,
                         "tokens": p.req.out_tokens,
                         "prompt_tokens": len(p.req.prompt_tokens),
                         "completion_tokens": len(p.req.out_tokens),
-                        "finish_reason": "stop" if p.req.stop_hit
-                                         else "length",
+                        "finish_reason": fin,
                     })
                 self.send_response(200)
                 self.send_header("Content-Type", "text/event-stream")

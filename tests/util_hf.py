@@ -115,15 +115,16 @@ def hf_tokenizer_json(vocab_size=300):
 
 
 def write_hf_dir(path: str, cfg: dict, wd: dict, vocab_size=None,
-                 n_files: int = 1):
+                 n_files: int = 1, tokenizer_config: dict = None):
     """``n_files > 1`` splits the weights across several .safetensors
     files (HF multi-shard layout) — exercises the converter's multi-shard
-    memmap path."""
+    memmap path. ``tokenizer_config`` adds extra tokenizer_config.json
+    keys (e.g. chat_template)."""
     os.makedirs(path, exist_ok=True)
     with open(os.path.join(path, "config.json"), "w") as f:
         json.dump(cfg, f)
     with open(os.path.join(path, "tokenizer_config.json"), "w") as f:
-        json.dump({"model_max_length": 128}, f)
+        json.dump({"model_max_length": 128, **(tokenizer_config or {})}, f)
     with open(os.path.join(path, "tokenizer.json"), "w") as f:
         json.dump(hf_tokenizer_json(vocab_size or cfg["vocab_size"]), f)
     if n_files <= 1:
