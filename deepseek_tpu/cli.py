@@ -90,6 +90,8 @@ Serve mode options:
   --host <str>                bind address (default 127.0.0.1)
   --batch <int>               continuous-batching slots (default 4)
   --no-warmup                 skip startup precompile of serving shapes
+  --prefix-cache <MB>         HBM budget for prompt-prefix KV reuse across
+                              requests (default 64; 0 disables)
 """
 
 
@@ -131,6 +133,7 @@ class Args:
         self.host = "127.0.0.1"
         self.batch = 4
         self.warmup = True
+        self.prefix_cache_mb = 64.0
 
 
 def parse_mode_flags(args: Args, argv: List[str]) -> Args:
@@ -200,6 +203,8 @@ def parse_mode_flags(args: Args, argv: List[str]) -> Args:
             args.batch = int(val())
         elif a == "--no-warmup":
             args.warmup = False
+        elif a == "--prefix-cache":
+            args.prefix_cache_mb = float(val())
         else:
             _die(f"unknown flag {a}")
         i += 1
@@ -512,8 +517,9 @@ def main(argv: Optional[List[str]] = None):
         run_passkey(engine, args)
     elif args.mode == "serve":
         from deepseek_tpu.server import Server
-        Server(engine, batch_size=args.batch,
-               warmup=args.warmup).serve_forever(args.host, args.port)
+        Server(engine, batch_size=args.batch, warmup=args.warmup,
+               prefix_cache_mb=args.prefix_cache_mb,
+               ).serve_forever(args.host, args.port)
     else:
         run_interactive(engine, args)
 

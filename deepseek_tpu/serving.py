@@ -39,6 +39,133 @@ class _Pending:
     fed: int = 0                     # prompt tokens hydrated so far
 
 
+class PrefixCache:
+    """Block-level prompt-prefix KV reuse across requests.
+
+    Beyond the reference (which re-hydrates every prompt from scratch):
+    hydrated KV rows for block-aligned prompt prefixes are kept in an LRU
+    store keyed by the cumulative token prefix, and a new admission that
+    shares a prefix with any earlier prompt restores those rows with
+    device-side copies instead of re-prefilling them — the shared-system-
+    prompt serving case skips most of its admission prefill.
+
+    Exactness: ring-cache rows [0, P) are written once at their position
+    during hydration and never mutated while pos < window (sink
+    re-rotation and ring wrap both start at pos >= window —
+    models/kvcache.py::ring_positions), so a stored block equals the
+    fresh-hydration state for the same token prefix. Prompts longer than
+    the window are never inserted. Restores are test-pinned greedy-token-
+    identical to uncached runs (tests/test_serving.py).
+
+    Storage granularity is ``block_tokens`` ring slots; block j is keyed
+    by tokens[0:(j+1)*block] so chains extend as far as two prompts
+    actually agree. Slicing and restoring are each ONE jitted shape
+    (static block size, traced ring offset) regardless of prefix length.
+    """
+
+    def __init__(self, block_tokens: int = 64, budget_mb: float = 64.0):
+        assert block_tokens >= 1
+        self.block = block_tokens
+        self.budget = int(budget_mb * 1e6)
+        self._store: Dict[bytes, list] = {}  # key -> [frag, nbytes]; insertion order = LRU
+        self._bytes = 0
+        self._slice = None
+        self._write = None
+        self.hits = 0                # admissions that reused >= 1 block
+        self.misses = 0              # admissions with no reusable prefix
+        self.tokens_reused = 0       # prompt tokens NOT re-prefilled
+
+    def _build(self, cache) -> None:
+        """Jit the block slice/restore for this cache structure. A leaf
+        participates iff its axis 2 is the ring window (k/v/ckv/krope and
+        their int8 scales); anything else (the float sink masters) is
+        window-independent state written by positions 0..KV_SINKS-1, so it
+        is stored whole and restored only with block 0."""
+        window = cache.window
+        Q = self.block
+
+        def is_ring(leaf):
+            return leaf.ndim >= 3 and leaf.shape[2] == window
+
+        def slice_block(cache, off):
+            return jax.tree.map(
+                lambda x: (jax.lax.dynamic_slice_in_dim(x, off, Q, axis=2)
+                           if is_ring(x) else x), cache)
+
+        def write_block(cache, frag, off):
+            def one(full, part):
+                if is_ring(full):
+                    return jax.lax.dynamic_update_slice_in_dim(
+                        full, part, off, axis=2)
+                # sink masters: identical in every stored block of a chain
+                # (written at positions < KV_SINKS); restore with block 0
+                return jnp.where(off == 0, part, full)
+            return jax.tree.map(one, cache, frag)
+
+        self._slice = jax.jit(slice_block)
+        self._write = jax.jit(write_block, donate_argnums=(0,))
+
+    def match(self, tokens: List[int]):
+        """Longest stored block chain that is a PROPER prefix of ``tokens``
+        (at least one token must remain to produce the first-step logits).
+        Returns (n_reusable_tokens, [block fragments])."""
+        arr = np.asarray(tokens, np.int32)
+        frags = []
+        n = 0
+        while (n + 1) * self.block <= len(tokens) - 1:
+            key = arr[:(n + 1) * self.block].tobytes()
+            e = self._store.pop(key, None)
+            if e is None:
+                break
+            self._store[key] = e     # re-insert = LRU touch
+            frags.append(e[0])
+            n += 1
+        if frags:
+            self.hits += 1
+            self.tokens_reused += n * self.block
+        else:
+            self.misses += 1
+        return n * self.block, frags
+
+    def restore(self, cache, frags):
+        """Write matched blocks into a fresh 1-row cache (donated)."""
+        if self._write is None:
+            self._build(cache)
+        for j, frag in enumerate(frags):
+            cache = self._write(cache, frag, jnp.int32(j * self.block))
+        return cache
+
+    def insert(self, tokens: List[int], cache) -> None:
+        """Store every complete block of a fully-hydrated prompt. Skipped
+        for prompts past the window (their hydration wrapped the ring and
+        re-rotated the sinks — rows are no longer prefix-pure)."""
+        if self._slice is None:
+            self._build(cache)
+        if len(tokens) > cache.window:
+            return
+        arr = np.asarray(tokens, np.int32)
+        n_blocks = (len(tokens) - 1) // self.block
+        for j in range(n_blocks):
+            key = arr[:(j + 1) * self.block].tobytes()
+            e = self._store.pop(key, None)
+            if e is not None:
+                self._store[key] = e
+                continue
+            frag = self._slice(cache, jnp.int32(j * self.block))
+            nbytes = sum(x.nbytes for x in jax.tree.leaves(frag))
+            self._store[key] = [frag, nbytes]
+            self._bytes += nbytes
+        while self._bytes > self.budget and self._store:
+            oldest = next(iter(self._store))   # insertion order = LRU order
+            self._bytes -= self._store.pop(oldest)[1]
+
+    @property
+    def stats(self) -> Dict[str, int]:
+        return {"hits": self.hits, "misses": self.misses,
+                "tokens_reused": self.tokens_reused,
+                "blocks": len(self._store), "bytes": self._bytes}
+
+
 @dataclasses.dataclass
 class Request:
     prompt_tokens: List[int]
@@ -64,14 +191,25 @@ class Request:
 
 class BatchScheduler:
     def __init__(self, engine: Engine, batch_size: int = 4,
-                 decode_block: int = 8, mesh=None):
+                 decode_block: int = 8, mesh=None,
+                 prefix_cache_mb: float = 0.0, prefix_block: int = 64):
         """``mesh``: run the fused decode block over a device mesh — the
         batch DP-shards over 'data' (with TP/EP/seq per the mesh axes) and
         per-slot sampling params shard with it. Admissions hydrate through
         the engine's replicated single-row path and merge into the sharded
-        cache (B=1 prefill cannot split over 'data')."""
+        cache (B=1 prefill cannot split over 'data').
+
+        ``prefix_cache_mb > 0`` enables block-level prompt-prefix KV reuse
+        across requests (see PrefixCache): admissions sharing a prefix with
+        an earlier prompt restore its hydrated rows instead of
+        re-prefilling them."""
         self.engine = engine
         self.batch = batch_size
+        # clamp the block so small-window models can still store prefixes
+        # (a block larger than the ring window could never be inserted)
+        prefix_block = min(prefix_block, max(1, engine.cfg.kv_window // 2))
+        self.prefix_cache = (PrefixCache(prefix_block, prefix_cache_mb)
+                             if prefix_cache_mb > 0 else None)
         # tokens decoded per dispatch for the whole batch: amortizes the
         # per-dispatch round trip (~tens of ms on remote-attached chips) at
         # the cost of up to block-1 wasted positions after a sequence stops
@@ -170,6 +308,13 @@ class BatchScheduler:
         if C + 1 <= window:
             sub, _, _, _ = eng.hydrate(sub, [0] * (C + 1), 0)
         self.cache = self._merge_slot(self.cache, sub, 0)
+        pc = self.prefix_cache
+        if pc is not None and pc.block <= window:
+            # slice + restore are each one compiled shape; warm them too
+            if pc._slice is None:
+                pc._build(sub)
+            frag = pc._slice(sub, jnp.int32(0))
+            _ = pc._write(eng.new_cache(batch=1), frag, jnp.int32(0))
         jax.block_until_ready(jax.tree.leaves(self.cache))
 
     def _merge_slot(self, cache, sub, slot):
@@ -210,6 +355,8 @@ class BatchScheduler:
         p.fed += r
         if not final:
             return
+        if self.prefix_cache is not None:
+            self.prefix_cache.insert(toks, p.cache)
         self.cache = self._merge_slot(self.cache, p.cache, p.slot)
         token = eng.sampler.sample(logits, p.req.temperature, p.req.top_p,
                                    p.req.top_k, p.req.min_p)
@@ -280,8 +427,15 @@ class BatchScheduler:
             free = next((i for i in range(self.batch)
                          if self.slots[i] is None), None)
             if free is not None:
-                self.pending = _Pending(self.queue.popleft(), free,
-                                        self.engine.new_cache(batch=1))
+                p = _Pending(self.queue.popleft(), free,
+                             self.engine.new_cache(batch=1))
+                if self.prefix_cache is not None:
+                    reused, frags = self.prefix_cache.match(
+                        p.req.prompt_tokens)
+                    if reused:
+                        p.cache = self.prefix_cache.restore(p.cache, frags)
+                        p.fed = reused
+                self.pending = p
         if self.pending is not None:
             self._advance_pending()
         if not any(s is not None for s in self.slots):

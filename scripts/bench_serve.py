@@ -57,7 +57,7 @@ class _BenchEngine:
         self.tokenizer = Tok()
 
         class Sam:
-            def sample(self, logits, t, p):
+            def sample(self, logits, t, p, top_k=0, min_p=0.0):
                 return int(np.argmax(logits))
 
         self.sampler = Sam()
@@ -179,6 +179,43 @@ def main():
           f"p95 {pct(idle,95)*1e3:.1f}ms | with admissions: "
           f"p50 {pct(busy,50)*1e3:.1f}ms p95 {pct(busy,95)*1e3:.1f}ms "
           f"(ratio p50 {pct(busy,50)/max(pct(idle,50),1e-9):.2f}x)")
+
+    # --- prompt-prefix cache: shared-system-prompt admission cost --------
+    # n_req requests share a 512-token system prefix + 64 distinct tokens;
+    # reported per config: wall time and mean time-to-first-token (the
+    # admission path is exactly what prefix reuse removes).
+    if "--prefix" in sys.argv:
+        shared = rng.integers(2, cfg.vocab_size, 512).tolist()
+        prompts = [shared + rng.integers(2, cfg.vocab_size, 64).tolist()
+                   for _ in range(n_req)]
+
+        def run_shared(prefix_mb):
+            sched = BatchScheduler(eng, batch_size=slots, decode_block=block,
+                                   prefix_cache_mb=prefix_mb,
+                                   prefix_block=128)
+            sched.warmup()
+            ttft = {}
+            t0 = time.perf_counter()
+            for i, ptoks in enumerate(prompts):
+                def first(tok, piece, i=i):
+                    ttft.setdefault(i, time.perf_counter() - t0)
+                sched.submit(Request(prompt_tokens=list(ptoks),
+                                     max_new_tokens=8, temperature=0.0,
+                                     on_token=first))
+            sched.run()
+            wall = time.perf_counter() - t0
+            stats = (sched.prefix_cache.stats if sched.prefix_cache
+                     else {})
+            return wall, float(np.mean(list(ttft.values()))), stats
+
+        w0, t0_, _ = run_shared(0.0)
+        w1, t1_, st = run_shared(512.0)
+        print(f"shared-prefix admissions ({n_req} x 512+64-token prompts, "
+              f"8 new tokens): no prefix cache wall {w0:.2f}s mean-TTFT "
+              f"{t0_*1e3:.0f}ms | with cache wall {w1:.2f}s mean-TTFT "
+              f"{t1_*1e3:.0f}ms ({w0/max(w1,1e-9):.2f}x wall, "
+              f"hits {st.get('hits')}, "
+              f"{st.get('tokens_reused')} prompt tokens not re-prefilled)")
 
 
 if __name__ == "__main__":

@@ -105,6 +105,25 @@ def test_stop_sequence_over_http(served):
     assert e.value.code == 400
 
 
+def test_prefix_cache_hits_over_http(served):
+    """Server default enables the prompt-prefix cache; repeated
+    shared-prefix prompts register hits in /health and outputs stay
+    greedy-identical across the hit."""
+    url, srv = served
+    assert srv.scheduler.prefix_cache is not None
+    prompt = "hello world abc xyz"
+    bodies = []
+    for tail in (" one", " two", " one"):
+        with _post(url, {"prompt": prompt + tail, "max_tokens": 3,
+                         "temperature": 0.0}) as r:
+            bodies.append(json.loads(r.read()))
+    assert bodies[0]["tokens"] == bodies[2]["tokens"]
+    with urllib.request.urlopen(url + "/health", timeout=60) as r:
+        health = json.loads(r.read())
+    pc = health["prefix_cache"]
+    assert pc["hits"] >= 1 and pc["tokens_reused"] >= 1
+
+
 def test_top_k_one_is_greedy_over_http(served):
     url, srv = served
     with _post(url, {"prompt": "ab", "max_tokens": 4,

@@ -222,6 +222,108 @@ def test_stop_not_hit_flushes_heldback_tail(engine):
     assert b"".join(pieces) == full
 
 
+def _greedy_many(engine, token_lists, n, **sched_kw):
+    sched = BatchScheduler(engine, batch_size=2, **sched_kw)
+    reqs = [Request(prompt_tokens=list(t), max_new_tokens=n, temperature=0.0)
+            for t in token_lists]
+    for r in reqs:
+        sched.submit(r)
+    sched.run()
+    return [r.out_tokens for r in reqs], sched
+
+
+def test_prefix_cache_exact_and_hits(engine):
+    """Requests sharing a prompt prefix through a prefix-cached scheduler
+    produce exactly the uncached greedy outputs, and later admissions
+    reuse the stored blocks instead of re-prefilling them."""
+    shared = engine.tokenizer.encode("hello world abc xyz", bos=True)
+    assert len(shared) >= 9
+    tails = [engine.tokenizer.encode(t, bos=False)
+             for t in (" one", " two three", " four")]
+    prompts = [shared + t for t in tails]
+
+    want, _ = _greedy_many(engine, prompts, 5)
+    got, sched = _greedy_many(engine, prompts, 5,
+                              prefix_cache_mb=8.0, prefix_block=4)
+    assert got == want
+    pc = sched.prefix_cache
+    # the first admission seeds the store; every later one hits
+    assert pc.stats["hits"] >= 2
+    assert pc.stats["tokens_reused"] >= 2 * (len(shared) // 4) * 4 - 8
+    assert pc.stats["blocks"] > 0
+    # a fourth request repeating prompt 0 reuses the FULL stored chain:
+    # all blocks up to the last one strictly inside the prompt
+    reused, frags = pc.match(prompts[0])
+    assert reused == (len(prompts[0]) - 1) // 4 * 4
+    assert len(frags) == reused // 4
+
+
+def test_prefix_cache_eviction_keeps_correctness(engine):
+    """A ~zero-byte budget evicts every block immediately; outputs stay
+    exact (the cache only ever changes WHERE rows come from)."""
+    shared = engine.tokenizer.encode("hello world abc", bos=True)
+    prompts = [shared + engine.tokenizer.encode(t, bos=False)
+               for t in (" one", " two")]
+    want, _ = _greedy_many(engine, prompts, 4)
+    got, sched = _greedy_many(engine, prompts, 4,
+                              prefix_cache_mb=1e-9, prefix_block=4)
+    assert got == want
+    assert sched.prefix_cache.stats["bytes"] == 0
+
+
+def test_prefix_cache_skips_past_window_prompts(engine):
+    """Prompts longer than the ring window hydrate with wrap + sink
+    re-rotation — their rows are not prefix-pure and must never be
+    stored; admission correctness is unaffected."""
+    long_prompt = engine.tokenizer.encode("word " * 40, bos=True)
+    assert len(long_prompt) > engine.cfg.kv_window
+    want, _ = _greedy_many(engine, [long_prompt], 3)
+    got, sched = _greedy_many(engine, [long_prompt], 3,
+                              prefix_cache_mb=8.0, prefix_block=4)
+    assert got == want
+    assert sched.prefix_cache.stats["blocks"] == 0
+
+
+def test_prefix_cache_int8_kv(tmp_path):
+    """Prefix reuse with the int8 KV cache: the per-row scales and the
+    float sink masters restore with the blocks (whole-leaf for masters),
+    greedy outputs match the uncached int8 scheduler exactly."""
+    cfg = tiny_config(use_mla=True, vocab_size=300, max_seq_len=128,
+                      rs_original_max_position_embeddings=32)
+    codec.save_checkpoint(
+        str(tmp_path), [tiny_checkpoint_tensors(cfg, tiny_weights(cfg, 55))],
+        tiny_metadata(cfg))
+    eng = Engine(str(tmp_path), seed=0, prefill_chunk=8, decode_block=1,
+                 kv_cache_dtype="int8")
+    shared = eng.tokenizer.encode("hello world abc xyz", bos=True)
+    prompts = [shared + eng.tokenizer.encode(t, bos=False)
+               for t in (" one", " two")]
+    want, _ = _greedy_many(eng, prompts, 4)
+    got, sched = _greedy_many(eng, prompts, 4,
+                              prefix_cache_mb=8.0, prefix_block=4)
+    assert got == want
+    assert sched.prefix_cache.stats["hits"] >= 1
+
+
+def test_warmup_covers_prefix_cache(engine):
+    """warmup() precompiles the prefix slice/restore so the first cached
+    admission compiles nothing new."""
+    sched = BatchScheduler(engine, batch_size=2, prefix_cache_mb=8.0,
+                           prefix_block=4)
+    sched.warmup()
+    assert sched.prefix_cache._slice is not None
+    assert sched.prefix_cache._write is not None
+    toks = engine.tokenizer.encode("hello world abc", bos=True)
+    want, _ = _greedy_many(engine, [toks], 3)
+    for _ in range(2):
+        r = Request(prompt_tokens=list(toks), max_new_tokens=3,
+                    temperature=0.0)
+        sched.submit(r)
+        sched.run()
+        assert r.out_tokens == want[0]
+    assert sched.prefix_cache.stats["hits"] == 1
+
+
 def test_per_slot_top_k_greedy_equivalence(engine):
     """top_k=1 must reproduce greedy decoding exactly (device path), even
     at temperature 1.0, and per-slot params must not cross-contaminate."""
