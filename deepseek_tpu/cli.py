@@ -70,6 +70,8 @@ TPU options:
                               mode; output is exactly the target model's)
   --mtp-spec                  self-speculative decoding with the checkpoint's
                               own MTP module (DeepSeek-V3 extra layer)
+  --ngram-spec                prompt-lookup speculation: draft-free n-gram
+                              match against the sequence's own history
   --spec-k <int>              draft tokens per speculation round (default 4)
   --no-scan-layers            keep the layer stack unrolled (default: deep
                               models run homogeneous layers as one lax.scan
@@ -128,6 +130,7 @@ class Args:
         self.yarn = False
         self.draft: Optional[str] = None
         self.mtp_spec = False
+        self.ngram_spec = False
         self.spec_k = 4
         self.port = 8080
         self.host = "127.0.0.1"
@@ -193,6 +196,8 @@ def parse_mode_flags(args: Args, argv: List[str]) -> Args:
             args.draft = val()
         elif a == "--mtp-spec":
             args.mtp_spec = True
+        elif a == "--ngram-spec":
+            args.ngram_spec = True
         elif a == "--spec-k":
             args.spec_k = int(val())
         elif a == "--port":
@@ -253,6 +258,10 @@ def run_completion(engine: Engine, args: Args):
     steps = 256 if args.num_steps is None else args.num_steps
     if args.mtp_spec:
         out, st = engine.generate_mtp(
+            encoding, steps, temperature=args.temperature,
+            top_p=args.top_p, spec_k=args.spec_k, on_token=emit)
+    elif args.ngram_spec:
+        out, st = engine.generate_ngram(
             encoding, steps, temperature=args.temperature,
             top_p=args.top_p, spec_k=args.spec_k, on_token=emit)
     elif args.draft:

@@ -674,6 +674,168 @@ class Engine:
         return out_tokens, stats
 
     # ------------------------------------------------------------------
+    def generate_ngram(
+        self,
+        prompt_tokens: List[int],
+        num_steps: int = 256,
+        temperature: float = 0.0,
+        top_p: float = 0.95,
+        spec_k: int = 8,
+        ngram_max: int = 3,
+        on_token: Optional[Callable[[int, bytes], None]] = None,
+    ) -> Tuple[List[int], GenerationStats]:
+        """Prompt-lookup speculative decoding: the drafter is a longest-
+        suffix n-gram match against the sequence's own history — no draft
+        model, no extra weights streamed (beyond the reference AND beyond
+        generate_speculative's requirement of a second checkpoint).
+
+        A round proposes the ``spec_k`` tokens that followed the most
+        recent earlier occurrence of the last ``ngram_max``..1 tokens and
+        verifies them with one (k+1)-token target chunk; acceptance is the
+        exact lossless rule (greedy outputs are token-identical to
+        ``generate``). Strong on context-echoing workloads (summarization,
+        RAG, code edit); when acceptances dry up (two consecutive all-miss
+        dispatches) the loop switches to plain fused decode with an
+        exponential-backoff re-probe, so novel text pays ~no verify-chunk
+        overhead while late-onset repetition is still caught.
+        """
+        cfg = self.cfg
+        stats = GenerationStats(prompt_tokens=len(prompt_tokens))
+
+        t0 = time.perf_counter()
+        cache, logits, _, pos = self.hydrate(cache := self.new_cache(),
+                                             prompt_tokens, 0)
+        stats.hydrate_s = time.perf_counter() - t0
+
+        max_new = (cfg.max_seq_len - len(prompt_tokens)) if num_steps == 0 \
+            else (1 << 62) if num_steps < 0 else num_steps
+        out_tokens: List[int] = []
+        prev = prompt_tokens[-1] if prompt_tokens else self.tokenizer.bos_id
+
+        def emit(token: int) -> bool:
+            nonlocal prev
+            out_tokens.append(token)
+            if on_token is not None:
+                on_token(token, self.tokenizer.decode_one(prev, token))
+            prev = token
+            return self.tokenizer.is_eos_or_eot(token)
+
+        t0 = time.perf_counter()
+        token = self.sampler.sample(logits, temperature, top_p)
+        stopped = emit(token)
+        window = cfg.kv_window
+
+        # device-side history buffer (prompt + emitted, including the
+        # token about to be fed); fused rounds only run inside the window
+        # so H = window always bounds it
+        H = window
+        fused = None
+        hist = hlen = None
+        R = 4
+        dry_dispatches = 0
+        backoff_blocks = 4             # plain decode blocks per dry phase
+        plain_block = self.decode_block if self.decode_block > 1 else 8
+        plain = None
+        while (not stopped and len(out_tokens) < max_new and spec_k >= 1
+               and len(prompt_tokens) + 1 < H
+               and pos + R * (spec_k + 1) < window):
+            if dry_dispatches >= 2:
+                # dry phase: plain fused decode, probing speculation again
+                # after an exponentially growing number of blocks (a probe
+                # dispatch costs ~R verify chunks; backoff bounds its
+                # amortized overhead on never-repetitive text)
+                if plain is None:
+                    plain = self.decode_loop(plain_block)
+                for _ in range(backoff_blocks):
+                    if (stopped or len(out_tokens) >= max_new
+                            or pos + R * (spec_k + 1) >= window):
+                        break
+                    self._key, sub = jax.random.split(self._key)
+                    toks_dev, _, cache = plain(
+                        self.params, cache,
+                        jnp.asarray([[token]], jnp.int32), pos, sub,
+                        jnp.float32(temperature), jnp.float32(top_p))
+                    block = np.asarray(toks_dev[0]).tolist()
+                    pos += len(block)
+                    token = block[-1]
+                    for t in block:
+                        stopped = emit(t)
+                        if stopped or len(out_tokens) >= max_new:
+                            stopped = True
+                            break
+                backoff_blocks = min(backoff_blocks * 2, 64)
+                hist = None            # stale after plain decode; rebuilt
+                dry_dispatches = 1     # one more all-miss -> dry again
+                continue
+            if fused is None:
+                from deepseek_tpu.speculative import make_ngram_spec_rounds
+                greedy = temperature <= 0
+                key = ("ngram_rounds", spec_k, R, ngram_max, greedy)
+                if key not in self._fns:
+                    self._fns[key] = make_ngram_spec_rounds(
+                        cfg, spec_k, R, hist_len=H, ngram_max=ngram_max,
+                        greedy=greedy)
+                fused = self._fns[key]
+            if hist is None:
+                seq = prompt_tokens + out_tokens   # len == pos + 1 <= H
+                hist = jnp.zeros((1, H), jnp.int32).at[0, :len(seq)].set(
+                    jnp.asarray(seq, jnp.int32))
+                hlen = jnp.int32(len(seq))
+            self._key, sub = jax.random.split(self._key)
+            drafts_r, nacc_r, next_r, match_r, cache, hist, hlen = fused(
+                self.params, cache, hist, hlen,
+                jnp.asarray([[token]], jnp.int32), pos, sub,
+                jnp.float32(temperature), jnp.float32(top_p))
+            drafts_r = np.asarray(drafts_r)
+            nacc_r = np.asarray(nacc_r)
+            next_r = np.asarray(next_r)
+            accepted_this = 0
+            for r in range(R):
+                na = int(nacc_r[r])
+                stats.spec_rounds += 1
+                stats.spec_drafted += spec_k
+                stats.spec_accepted += na
+                accepted_this += na
+                for d in drafts_r[r, :na]:
+                    stopped = emit(int(d))
+                    if stopped or len(out_tokens) >= max_new:
+                        break
+                if stopped or len(out_tokens) >= max_new:
+                    break
+                token = int(next_r[r])
+                pos += na + 1
+                stopped = emit(token)
+                if stopped or len(out_tokens) >= max_new:
+                    break
+            if accepted_this == 0:
+                dry_dispatches += 1
+            else:
+                dry_dispatches = 0
+                backoff_blocks = 4
+
+        # tail (window edge onward): plain fused block decode
+        if plain is None:
+            plain = self.decode_loop(plain_block)
+        while not stopped and len(out_tokens) < max_new:
+            self._key, sub = jax.random.split(self._key)
+            toks_dev, _, cache = plain(
+                self.params, cache, jnp.asarray([[token]], jnp.int32),
+                pos, sub, jnp.float32(temperature), jnp.float32(top_p))
+            block = np.asarray(toks_dev[0]).tolist()
+            pos += len(block)
+            token = block[-1]
+            for t in block:
+                stopped = emit(t)
+                if stopped or len(out_tokens) >= max_new:
+                    stopped = True
+                    break
+
+        stats.generate_s = time.perf_counter() - t0
+        stats.generated_tokens = len(out_tokens)
+        stats.active_bytes_per_token = self.active_bytes(pos)
+        return out_tokens, stats
+
+    # ------------------------------------------------------------------
     def generate_mtp(
         self,
         prompt_tokens: List[int],

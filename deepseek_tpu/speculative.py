@@ -123,6 +123,121 @@ def make_spec_rounds(cfg_t: ModelConfig, cfg_d: ModelConfig,
     return fn
 
 
+def make_ngram_spec_rounds(cfg: ModelConfig, spec_k: int, rounds: int,
+                           hist_len: int, ngram_max: int = 3,
+                           ngram_min: int = 1, jit: bool = True,
+                           greedy: bool = False):
+    """Prompt-lookup (n-gram) speculation: ZERO-cost drafting from the
+    sequence's own history (engine.generate_ngram's hot loop).
+
+    The drafter is a longest-suffix n-gram match: find the most recent
+    earlier occurrence of the last n tokens (n = ngram_max down to
+    ngram_min) in the prompt+generated history and propose the ``spec_k``
+    tokens that followed it. No draft model, no extra weights streamed —
+    a round costs ONE (k+1)-token target verify chunk. On workloads whose
+    output echoes its context (summarization, RAG, code edit) acceptance
+    is high and decode approaches verify-chunk speed; on novel text the
+    host falls back to plain decode (engine adaptivity).
+
+    Losslessness: the draft "distribution" is a point mass at the looked-
+    up token, so the arXiv 2211.17192 rule reduces to accept-with-prob
+    p(d); greedy outputs are token-identical to plain decode either way.
+
+    Returns ``fn(params, ct, hist (1, hist_len) int32, hlen (), tok (1,1),
+    pos0, key, temperature, top_p) -> (drafts (R, k), n_acc (R,),
+    next (R,), matched (R,), ct, hist, hlen)``. ``hist`` holds the full
+    token sequence so far (prompt + emitted) INCLUDING ``tok`` at index
+    hlen-1; accepted tokens are appended in-graph. The engine must keep
+    ``hlen + R*(k+1) <= hist_len`` per call (it already bounds rounds to
+    the prefill window, and hist_len == window).
+    """
+    fwd_t = functools.partial(_forward_impl, cfg=cfg, prefill=True,
+                              logits_mode="all")
+    H = hist_len
+
+    def lookup(hist_row, hlen):
+        """Longest-n most-recent match. hist_row (H,) int32; returns
+        (start_of_continuation, matched) — start indexes the token that
+        followed the matched n-gram."""
+        start = jnp.int32(0)
+        matched = jnp.bool_(False)
+        # largest n wins: later (smaller-n) candidates only fill in when
+        # nothing longer matched
+        for n in range(ngram_max, ngram_min - 1, -1):
+            pat = jax.lax.dynamic_slice(hist_row, (hlen - n,), (n,))
+            # windows[i] = hist_row[i:i+n] compared elementwise (static
+            # shifts; i ranges over 0..H-n)
+            eq = jnp.ones((H - n + 1,), jnp.bool_)
+            for j in range(n):
+                eq = eq & (jax.lax.dynamic_slice_in_dim(
+                    hist_row, j, H - n + 1) == pat[j])
+            idx = jnp.arange(H - n + 1, dtype=jnp.int32)
+            # need >= 1 following token, and i == hlen-n is the suffix
+            # itself; both excluded by i <= hlen-n-1
+            ok = eq & (idx <= hlen - n - 1) & (hlen >= n + 1)
+            best = jnp.max(jnp.where(ok, idx, -1))
+            hit = best >= 0
+            use = hit & ~matched
+            start = jnp.where(use, best + n, start)
+            matched = matched | hit
+        return start, matched
+
+    def fn(params, ct, hist, hlen, tok, pos0, key, temperature, top_p):
+        pos0 = jnp.asarray(pos0, jnp.int32)
+        hlen = jnp.asarray(hlen, jnp.int32)
+
+        def one_round(carry, _):
+            ct, hist, hlen, tok, pos, key = carry
+            start, matched = lookup(hist[0], hlen)
+            # no match: propose k copies of the current token (verified
+            # like any draft — usually rejected, still lossless; the host
+            # stops calling after consecutive all-miss dispatches)
+            start = jnp.where(matched, start, hlen - 1)
+            drafts = jax.lax.dynamic_slice(hist[0], (start,), (spec_k,))
+            # clamp proposals that run past the known history to the last
+            # known token (dynamic_slice already clamps start+k <= H; this
+            # masks reads past hlen)
+            off = jnp.arange(spec_k, dtype=jnp.int32)
+            drafts = jnp.where(start + off < hlen, drafts, hist[0, hlen - 1])
+
+            chunk = jnp.concatenate([tok[0], drafts])[None]   # (1, k+1)
+            lg_all, ct = fwd_t(params, ct, chunk, pos)
+
+            key, ka = jax.random.split(key)
+            if greedy:
+                tgt = jnp.argmax(lg_all[0], axis=-1).astype(jnp.int32)
+                acc = tgt[:spec_k] == drafts
+                n_acc = jnp.cumprod(acc.astype(jnp.int32)).sum()
+                nxt = tgt[n_acc]
+            else:
+                ps = nucleus_dist(lg_all[0], temperature, top_p)  # (k+1, V)
+                qs = jax.nn.one_hot(drafts, cfg.vocab_size,
+                                    dtype=jnp.float32)            # (k, V)
+                n_acc, nxt = _accept(ps, qs, drafts, spec_k, ka)
+
+            # append the emitted tokens: drafts[:n_acc] then nxt. All k+1
+            # slots are written; slots past n_acc hold draft junk that the
+            # next round's write overwrites before hlen ever covers it
+            # (matching masks on idx <= hlen-n-1 never read past hlen)
+            emitted = jnp.concatenate([drafts, drafts[-1:]])
+            emitted = emitted.at[n_acc].set(nxt)
+            hist = jax.lax.dynamic_update_slice(hist, emitted[None],
+                                                (jnp.int32(0), hlen))
+            hlen = hlen + n_acc + 1
+            pos = pos + n_acc + 1
+            return (ct, hist, hlen, nxt[None, None], pos, key), \
+                (drafts, n_acc, nxt, matched)
+
+        (ct, hist, hlen, _, _, _), (drafts_r, nacc_r, next_r, match_r) = \
+            jax.lax.scan(one_round, (ct, hist, hlen, tok, pos0, key),
+                         length=rounds)
+        return drafts_r, nacc_r, next_r, match_r, ct, hist, hlen
+
+    if jit:
+        fn = jax.jit(fn, donate_argnums=(1, 2))
+    return fn
+
+
 def make_mtp_spec_rounds(cfg: ModelConfig, spec_k: int, rounds: int,
                          jit: bool = True, greedy: bool = False):
     """Self-speculation with the checkpoint's MTP layer

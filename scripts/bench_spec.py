@@ -56,7 +56,7 @@ def synth_mtp(cfg, seed=3):
 
 def main():
     argv, pos, draft_layers, want_mtp = sys.argv[1:], [], None, False
-    quant, experts, pos_self = None, None, True
+    quant, experts, pos_self, want_ngram = None, None, True, False
     i = 0
     while i < len(argv):
         a = argv[i]
@@ -65,6 +65,8 @@ def main():
             draft_layers = int(argv[i])
         elif a == "--mtp":
             want_mtp = True
+        elif a == "--ngram":
+            want_ngram = True
         elif a == "--quant":
             i += 1
             quant = argv[i]
@@ -75,7 +77,7 @@ def main():
             pos_self = False
         elif a.startswith("--"):
             sys.exit(f"unknown flag {a} (supported: --draft-layers, --mtp, "
-                     "--quant, --experts, --no-self)")
+                     "--ngram, --quant, --experts, --no-self)")
         else:
             pos.append(a)
         i += 1
@@ -185,6 +187,45 @@ def main():
         # verify program's footprint for a row nobody deploys
         run_spec(params, params, cfg, "self-draft spec (upper bound)")
     run_spec(params, dparams, dcfg, f"{draft_layers}-layer draft spec")
+
+    if want_ngram:
+        # prompt-lookup speculation: drafting costs ZERO model FLOPs, so a
+        # round is one (k+1)-token verify chunk + the in-graph history
+        # machinery — the measured t_round is the floor any drafter can
+        # reach; acceptance is workload-dependent (context echo)
+        from deepseek_tpu.speculative import make_ngram_spec_rounds
+        H = cfg.kv_window
+        fn = make_ngram_spec_rounds(cfg, k, R, hist_len=H, greedy=True)
+        ct = init_cache(cfg, batch=1)
+        rngh = np.random.default_rng(0)
+        seed_toks = rngh.integers(2, cfg.vocab_size, 64)
+        hist = jnp.zeros((1, H), jnp.int32).at[0, :64].set(
+            jnp.asarray(seed_toks, jnp.int32))
+        hlen = jnp.int32(64)
+        tok = jnp.asarray([[int(seed_toks[-1])]], jnp.int32)
+        pos = 63
+        for _ in range(2):
+            dr, na, nx, mt, ct, hist, hlen = fn(
+                params, ct, hist, hlen, tok, jnp.int32(pos), key, t0f, t1f)
+            na_np = np.asarray(na)
+            pos += int(na_np.sum()) + R
+            tok = nx[-1][None, None]
+        n_disp = 6 if backend != "cpu" else 1
+        t0 = time.perf_counter()
+        for _ in range(n_disp):
+            dr, na, nx, mt, ct, hist, hlen = fn(
+                params, ct, hist, hlen, tok, jnp.int32(pos), key, t0f, t1f)
+            tok = nx[-1][None, None]
+            pos += R
+        _ = np.asarray(na)
+        t_round = (time.perf_counter() - t0) / (n_disp * R)
+        print(f"n-gram spec: {t_round*1e3:.2f} ms/round (k={k}, R={R}; "
+              f"zero-FLOP drafter, H={H}) — acceptance is workload echo "
+              f"rate")
+        for a in (0.3, 0.6, 0.8, 1.0):
+            eff = (a * k + 1) / t_round
+            print(f"   acceptance {a:.2f} -> {eff:.1f} tok/s "
+                  f"({eff / plain_tok_s:.2f}x plain)")
 
     if want_mtp:
         # self-speculation through the MTP module: drafter = ONE extra
