@@ -736,6 +736,25 @@ class Engine:
         backoff_blocks = 4             # plain decode blocks per dry phase
         plain_block = self.decode_block if self.decode_block > 1 else 8
         plain = None
+
+        def run_plain_block() -> None:
+            """One fused plain-decode dispatch (generate's block shape)."""
+            nonlocal cache, token, pos, stopped, plain
+            if plain is None:
+                plain = self.decode_loop(plain_block)
+            self._key, sub = jax.random.split(self._key)
+            toks_dev, _, cache = plain(
+                self.params, cache, jnp.asarray([[token]], jnp.int32),
+                pos, sub, jnp.float32(temperature), jnp.float32(top_p))
+            block = np.asarray(toks_dev[0]).tolist()
+            pos += len(block)
+            token = block[-1]
+            for t in block:
+                stopped = emit(t)
+                if stopped or len(out_tokens) >= max_new:
+                    stopped = True
+                    break
+
         while (not stopped and len(out_tokens) < max_new and spec_k >= 1
                and len(prompt_tokens) + 1 < H
                and pos + R * (spec_k + 1) < window):
@@ -744,25 +763,11 @@ class Engine:
                 # after an exponentially growing number of blocks (a probe
                 # dispatch costs ~R verify chunks; backoff bounds its
                 # amortized overhead on never-repetitive text)
-                if plain is None:
-                    plain = self.decode_loop(plain_block)
                 for _ in range(backoff_blocks):
                     if (stopped or len(out_tokens) >= max_new
                             or pos + R * (spec_k + 1) >= window):
                         break
-                    self._key, sub = jax.random.split(self._key)
-                    toks_dev, _, cache = plain(
-                        self.params, cache,
-                        jnp.asarray([[token]], jnp.int32), pos, sub,
-                        jnp.float32(temperature), jnp.float32(top_p))
-                    block = np.asarray(toks_dev[0]).tolist()
-                    pos += len(block)
-                    token = block[-1]
-                    for t in block:
-                        stopped = emit(t)
-                        if stopped or len(out_tokens) >= max_new:
-                            stopped = True
-                            break
+                    run_plain_block()
                 backoff_blocks = min(backoff_blocks * 2, 64)
                 hist = None            # stale after plain decode; rebuilt
                 dry_dispatches = 1     # one more all-miss -> dry again
@@ -814,21 +819,8 @@ class Engine:
                 backoff_blocks = 4
 
         # tail (window edge onward): plain fused block decode
-        if plain is None:
-            plain = self.decode_loop(plain_block)
         while not stopped and len(out_tokens) < max_new:
-            self._key, sub = jax.random.split(self._key)
-            toks_dev, _, cache = plain(
-                self.params, cache, jnp.asarray([[token]], jnp.int32),
-                pos, sub, jnp.float32(temperature), jnp.float32(top_p))
-            block = np.asarray(toks_dev[0]).tolist()
-            pos += len(block)
-            token = block[-1]
-            for t in block:
-                stopped = emit(t)
-                if stopped or len(out_tokens) >= max_new:
-                    stopped = True
-                    break
+            run_plain_block()
 
         stats.generate_s = time.perf_counter() - t0
         stats.generated_tokens = len(out_tokens)

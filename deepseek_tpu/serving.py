@@ -110,22 +110,26 @@ class PrefixCache:
         (at least one token must remain to produce the first-step logits).
         Returns (n_reusable_tokens, [block fragments])."""
         arr = np.asarray(tokens, np.int32)
-        frags = []
-        n = 0
-        while (n + 1) * self.block <= len(tokens) - 1:
-            key = arr[:(n + 1) * self.block].tobytes()
-            e = self._store.pop(key, None)
+        keys, frags = [], []
+        while (len(keys) + 1) * self.block <= len(tokens) - 1:
+            key = arr[:(len(keys) + 1) * self.block].tobytes()
+            e = self._store.get(key)
             if e is None:
                 break
-            self._store[key] = e     # re-insert = LRU touch
+            keys.append(key)
             frags.append(e[0])
-            n += 1
+        # LRU-touch DEEP-to-SHALLOW: a chain's root must always be its
+        # newest entry — evicting the root orphans every deeper block
+        # (shallow-first touching made block 0 the global oldest and
+        # budget pressure permanently broke every chain at its root)
+        for key in reversed(keys):
+            self._store[key] = self._store.pop(key)
         if frags:
             self.hits += 1
-            self.tokens_reused += n * self.block
+            self.tokens_reused += len(keys) * self.block
         else:
             self.misses += 1
-        return n * self.block, frags
+        return len(keys) * self.block, frags
 
     def restore(self, cache, frags):
         """Write matched blocks into a fresh 1-row cache (donated)."""
@@ -145,7 +149,10 @@ class PrefixCache:
             return
         arr = np.asarray(tokens, np.int32)
         n_blocks = (len(tokens) - 1) // self.block
-        for j in range(n_blocks):
+        # store/touch DEEP-to-SHALLOW (see match): within a chain the LRU
+        # order must age deepest-first, so budget eviction trims chains
+        # from the tail instead of beheading them at block 0
+        for j in reversed(range(n_blocks)):
             key = arr[:(j + 1) * self.block].tobytes()
             e = self._store.pop(key, None)
             if e is not None:
@@ -158,6 +165,17 @@ class PrefixCache:
         while self._bytes > self.budget and self._store:
             oldest = next(iter(self._store))   # insertion order = LRU order
             self._bytes -= self._store.pop(oldest)[1]
+
+    def warmup(self, sample_cache) -> None:
+        """Precompile the slice + restore shapes against a throwaway copy
+        of ``sample_cache`` (which is left untouched)."""
+        if self.block > sample_cache.window:
+            return
+        if self._slice is None:
+            self._build(sample_cache)
+        frag = self._slice(sample_cache, jnp.int32(0))
+        blank = jax.tree.map(jnp.zeros_like, sample_cache)
+        _ = self._write(blank, frag, jnp.int32(0))
 
     @property
     def stats(self) -> Dict[str, int]:
@@ -308,13 +326,9 @@ class BatchScheduler:
         if C + 1 <= window:
             sub, _, _, _ = eng.hydrate(sub, [0] * (C + 1), 0)
         self.cache = self._merge_slot(self.cache, sub, 0)
-        pc = self.prefix_cache
-        if pc is not None and pc.block <= window:
+        if self.prefix_cache is not None:
             # slice + restore are each one compiled shape; warm them too
-            if pc._slice is None:
-                pc._build(sub)
-            frag = pc._slice(sub, jnp.int32(0))
-            _ = pc._write(eng.new_cache(batch=1), frag, jnp.int32(0))
+            self.prefix_cache.warmup(sub)
         jax.block_until_ready(jax.tree.leaves(self.cache))
 
     def _merge_slot(self, cache, sub, slot):

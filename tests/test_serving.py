@@ -258,6 +258,33 @@ def test_prefix_cache_exact_and_hits(engine):
     assert len(frags) == reused // 4
 
 
+def test_prefix_cache_eviction_keeps_chain_roots(engine):
+    """LRU regression: under budget pressure with per-request unique tail
+    blocks, eviction must trim chains at the TAIL, never at block 0 — a
+    shallow-first touch order once made every chain's root the global
+    oldest entry, degrading the full store to a permanent 0% hit rate."""
+    shared = engine.tokenizer.encode("hello world abc xyz", bos=True)
+    assert len(shared) >= 13             # >= 3 blocks of 4
+    sched = BatchScheduler(engine, batch_size=2, prefix_cache_mb=1.0,
+                           prefix_block=4)
+    pc = sched.prefix_cache
+    # budget = exactly the bytes of one admission's blocks: every later
+    # admission with a unique tail forces eviction
+    first = shared + engine.tokenizer.encode(" t0", bos=False)
+    sched.submit(Request(prompt_tokens=list(first), max_new_tokens=2,
+                         temperature=0.0))
+    sched.run()
+    pc.budget = pc.stats["bytes"]
+    for i in range(1, 4):
+        tail = engine.tokenizer.encode(f" tail{i}", bos=False)
+        sched.submit(Request(prompt_tokens=shared + tail, max_new_tokens=2,
+                             temperature=0.0))
+        sched.run()
+    # every admission after the first must reuse the shared chain
+    assert pc.stats["hits"] == 3, pc.stats
+    assert pc.stats["tokens_reused"] >= 3 * (len(shared) // 4) * 4 - 12
+
+
 def test_prefix_cache_eviction_keeps_correctness(engine):
     """A ~zero-byte budget evicts every block immediately; outputs stay
     exact (the cache only ever changes WHERE rows come from)."""
