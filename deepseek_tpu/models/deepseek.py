@@ -1296,7 +1296,8 @@ def make_forward(cfg: ModelConfig, *, prefill: bool = False,
 
 def make_decode_loop(cfg: ModelConfig, n_steps: int, *, jit: bool = True,
                      mesh=None, params=None, cache=None,
-                     active_bucket: Optional[int] = None):
+                     active_bucket: Optional[int] = None,
+                     with_logprobs: bool = False):
     """Fused multi-token decode: one dispatch runs ``n_steps`` forward+sample
     iterations as a lax.scan with the feedback token staying on device.
 
@@ -1311,6 +1312,13 @@ def make_decode_loop(cfg: ModelConfig, n_steps: int, *, jit: bool = True,
     the successor of tok). ``active`` (B,) bool marks live batch rows
     (continuous batching); inactive rows skip MoE expert fan-out
     (see _ffn) — None means all live.
+
+    ``with_logprobs`` inserts the sampled tokens' log-softmax values as a
+    third result: ``(tokens, logits_last, logprobs (B, n_steps) f32,
+    cache)`` — (B,) per step, so the serving API's per-token logprobs
+    cost nothing next to the forward. Only the LAST step's full logits
+    leave the scan either way (the (n_steps, B, V) stack a naive scan
+    would materialize is ~130 MB at V3 vocab/B=8).
     """
     from deepseek_tpu.ops.sampling import sample_token
 
@@ -1331,18 +1339,34 @@ def make_decode_loop(cfg: ModelConfig, n_steps: int, *, jit: bool = True,
                 # so DP shards draw independent sampling noise
                 key = jax.random.fold_in(key, jax.lax.axis_index("data"))
 
+            B = tok.shape[0]
+            logits0 = jnp.zeros((B, cfg.vocab_size), jnp.float32)
+
             def body(carry, i):
-                cache, tok, key = carry
+                cache, tok, key, _ = carry
                 logits, cache = fwd(params, cache, tok, pos0 + i,
                                     active=active)
                 key, sub = jax.random.split(key)
                 nxt = sample_token(logits, sub, temperature, top_p,
                                    top_k=top_k, min_p=min_p)
-                return (cache, nxt[:, None], key), (nxt, logits)
+                if with_logprobs:
+                    lsm = jax.nn.log_softmax(logits, axis=-1)
+                    lp = jnp.take_along_axis(
+                        lsm, nxt[:, None], axis=1)[:, 0].astype(jnp.float32)
+                else:
+                    lp = jnp.zeros((), jnp.float32)
+                # the last step's logits ride the CARRY: emitting them as a
+                # scan output would materialize an (n_steps, B, V) stack
+                return (cache, nxt[:, None], key,
+                        logits.astype(jnp.float32)), (nxt, lp)
 
-            (cache, _, _), (tokens, logits_all) = jax.lax.scan(
-                body, (cache, tok, key), jnp.arange(n_steps, dtype=jnp.int32))
-            return jnp.swapaxes(tokens, 0, 1), logits_all[-1], cache
+            (cache, _, _, logits_last), (tokens, lps) = jax.lax.scan(
+                body, (cache, tok, key, logits0),
+                jnp.arange(n_steps, dtype=jnp.int32))
+            if with_logprobs:
+                return (jnp.swapaxes(tokens, 0, 1), logits_last,
+                        jnp.swapaxes(lps, 0, 1), cache)
+            return jnp.swapaxes(tokens, 0, 1), logits_last, cache
 
         return loop
 
@@ -1354,7 +1378,8 @@ def make_decode_loop(cfg: ModelConfig, n_steps: int, *, jit: bool = True,
         def build_mesh(m, ex_params, ex_cache):
             return make_decode_loop(cfg, n_steps, jit=True, mesh=m,
                                     params=ex_params, cache=ex_cache,
-                                    active_bucket=active_bucket)
+                                    active_bucket=active_bucket,
+                                    with_logprobs=with_logprobs)
         return (_gspmd_kernel_gate(cfg, build, build_mesh) if jit
                 else build(cfg))
 
@@ -1367,7 +1392,8 @@ def make_decode_loop(cfg: ModelConfig, n_steps: int, *, jit: bool = True,
         make_loop(cfg), mesh=mesh,
         in_specs=(pspec, cspec, P("data"), P("data"), P(), P("data"),
                   P("data"), P("data"), P("data"), P("data")),
-        out_specs=(P("data"), P("data"), cspec),
+        out_specs=((P("data"), P("data"), P("data"), cspec)
+                   if with_logprobs else (P("data"), P("data"), cspec)),
         check_vma=False)
 
     def loop(params, cache, tok, pos0, key, temperature, top_p, active=None,

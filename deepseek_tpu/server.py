@@ -12,6 +12,8 @@ Endpoints:
                            (renders the checkpoint's chat template)
   POST /v1/completions  -> {"prompt", "max_tokens", "temperature", "top_p",
                            "top_k", "min_p", "stop" (string | [string]),
+                            "logprobs" (bool: per-token log-softmax of the
+                            sampled tokens, aligned with "tokens"),
                             "stream"} ; non-stream returns the full JSON,
                             stream=true returns server-sent events, one
                             ``data: {"text": ...}`` line per token, ending
@@ -64,8 +66,11 @@ class Server:
         self.engine = engine
         self._warmup = warmup
         self._prefix_mb = prefix_cache_mb
+        # logprobs=True so per-request "logprobs" works without a second
+        # set of compiled decode loops — one gather per step on device
         self.scheduler = BatchScheduler(engine, batch_size=batch_size,
-                                        prefix_cache_mb=prefix_cache_mb)
+                                        prefix_cache_mb=prefix_cache_mb,
+                                        logprobs=True)
         if warmup:
             import time
             t0 = time.perf_counter()
@@ -105,7 +110,7 @@ class Server:
                     p.error = "internal error during generation"
                 self.scheduler = BatchScheduler(
                     self.engine, batch_size=self.scheduler.batch,
-                    prefix_cache_mb=self._prefix_mb)
+                    prefix_cache_mb=self._prefix_mb, logprobs=True)
                 if self._warmup:
                     try:
                         self.scheduler.warmup()
@@ -128,14 +133,16 @@ class Server:
     def submit(self, prompt: str, max_tokens: int = 128,
                temperature: float = 1.0, top_p: float = 0.95,
                stream: bool = False, top_k: int = 0, min_p: float = 0.0,
-               stop=None, bos: bool = True) -> _Pending:
+               stop=None, bos: bool = True,
+               logprobs: bool = False) -> _Pending:
         """``bos=False`` for chat-template prompts — rendered templates
         embed the BOS token literally (HF add_special_tokens=False
         convention), so the tokenizer must not prepend another."""
         toks = self.engine.tokenizer.encode(prompt, bos=bos)
         req = Request(prompt_tokens=toks, max_new_tokens=max_tokens,
                       temperature=temperature, top_p=top_p,
-                      top_k=top_k, min_p=min_p, stop=stop)
+                      top_k=top_k, min_p=min_p, stop=stop,
+                      logprobs=logprobs)
         p = _Pending(req, stream)
         self.inbox.put(p)
         return p
@@ -200,6 +207,7 @@ class Server:
                     return self._json(
                         400, {"error": "stop must be a non-empty string "
                                        "or a list of them"})
+                want_lp = bool(body.get("logprobs", False))
                 p = server.submit(
                     prompt,
                     max_tokens=int(body.get("max_tokens", 128)),
@@ -209,7 +217,8 @@ class Server:
                     min_p=float(body.get("min_p", 0.0)),
                     stop=stop,
                     stream=stream,
-                    bos=not chat)
+                    bos=not chat,
+                    logprobs=want_lp)
                 if not stream:
                     p.done.wait()
                     if p.error:
@@ -218,22 +227,20 @@ class Server:
                     # identical to decode(out_tokens) when no stop is set
                     text = p.req.out_bytes.decode("utf-8", errors="replace")
                     fin = "stop" if p.req.stop_hit else "length"
-                    if chat:
-                        return self._json(200, {
-                            "message": {"role": "assistant",
-                                        "content": text},
-                            "tokens": p.req.out_tokens,
-                            "prompt_tokens": len(p.req.prompt_tokens),
-                            "completion_tokens": len(p.req.out_tokens),
-                            "finish_reason": fin,
-                        })
-                    return self._json(200, {
-                        "text": text,
+                    resp = {
                         "tokens": p.req.out_tokens,
                         "prompt_tokens": len(p.req.prompt_tokens),
                         "completion_tokens": len(p.req.out_tokens),
                         "finish_reason": fin,
-                    })
+                    }
+                    if want_lp:
+                        resp["logprobs"] = p.req.out_logprobs
+                    if chat:
+                        resp["message"] = {"role": "assistant",
+                                           "content": text}
+                    else:
+                        resp["text"] = text
+                    return self._json(200, resp)
                 self.send_response(200)
                 self.send_header("Content-Type", "text/event-stream")
                 self.send_header("Cache-Control", "no-cache")

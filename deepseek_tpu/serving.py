@@ -197,9 +197,14 @@ class Request:
     # pieces are held back while a stop prefix is pending (so a stop string
     # split across tokens never leaks to the client)
     stop: Optional[List[str]] = None
+    # per-token log-softmax values of the sampled tokens (raw model
+    # distribution, no temperature — the OpenAI "logprobs" convention).
+    # Requires the scheduler to be built with logprobs=True.
+    logprobs: bool = False
     request_id: int = 0
     # filled by the scheduler
     out_tokens: List[int] = dataclasses.field(default_factory=list)
+    out_logprobs: List[float] = dataclasses.field(default_factory=list)
     out_bytes: bytes = b""           # stop-truncated text of out_tokens
     stop_hit: bool = False
     done: bool = False
@@ -210,7 +215,8 @@ class Request:
 class BatchScheduler:
     def __init__(self, engine: Engine, batch_size: int = 4,
                  decode_block: int = 8, mesh=None,
-                 prefix_cache_mb: float = 0.0, prefix_block: int = 64):
+                 prefix_cache_mb: float = 0.0, prefix_block: int = 64,
+                 logprobs: bool = False):
         """``mesh``: run the fused decode block over a device mesh — the
         batch DP-shards over 'data' (with TP/EP/seq per the mesh axes) and
         per-slot sampling params shard with it. Admissions hydrate through
@@ -220,7 +226,13 @@ class BatchScheduler:
         ``prefix_cache_mb > 0`` enables block-level prompt-prefix KV reuse
         across requests (see PrefixCache): admissions sharing a prefix with
         an earlier prompt restore its hydrated rows instead of
-        re-prefilling them."""
+        re-prefilling them.
+
+        ``logprobs=True`` builds the decode loops with per-token
+        log-softmax output (make_decode_loop with_logprobs) so requests
+        with ``logprobs=True`` get ``out_logprobs`` aligned with
+        ``out_tokens``. One gather per step on device; the extra host
+        transfer is (B, block) f32."""
         self.engine = engine
         self.batch = batch_size
         # clamp the block so small-window models can still store prefixes
@@ -232,6 +244,7 @@ class BatchScheduler:
         # per-dispatch round trip (~tens of ms on remote-attached chips) at
         # the cost of up to block-1 wasted positions after a sequence stops
         self.block = max(1, decode_block)
+        self.logprobs = bool(logprobs)
         self.mesh = mesh
         self.cache = engine.new_cache(batch=batch_size)
         self.params = engine.params
@@ -277,7 +290,8 @@ class BatchScheduler:
                 self.engine.cfg, self.block, mesh=self.mesh,
                 params=self.engine.params if self.mesh is not None else None,
                 cache=self.cache if self.mesh is not None else None,
-                active_bucket=bucket if bucket < self.batch else None)
+                active_bucket=bucket if bucket < self.batch else None,
+                with_logprobs=self.logprobs)
         return self._loops[bucket]
 
     def warmup(self) -> None:
@@ -309,9 +323,10 @@ class BatchScheduler:
         bucket = 1
         while True:
             b = min(bucket, B)
-            _, _, self.cache = self._loop_for(b)(
+            out = self._loop_for(b)(
                 self.params, self.cache, tok, pos, key, temps, topps, act,
                 topks, minps)
+            self.cache = out[-1]
             if b >= B:
                 break
             bucket *= 2
@@ -374,6 +389,12 @@ class BatchScheduler:
         self.cache = self._merge_slot(self.cache, p.cache, p.slot)
         token = eng.sampler.sample(logits, p.req.temperature, p.req.top_p,
                                    p.req.top_k, p.req.min_p)
+        if self.logprobs and p.req.logprobs:
+            # raw log-softmax of the sampled token (no temperature), same
+            # convention as the device loop's with_logprobs output
+            import math
+            prob = eng.sampler.sample_prob(token, logits)
+            p.req.out_logprobs.append(math.log(max(prob, 1e-45)))
         self._emit(p.req, token, prev=toks[-1])
         self.slots[p.slot] = p.req
         self.pos[p.slot] = len(toks)
@@ -473,12 +494,18 @@ class BatchScheduler:
             bucket *= 2
         bucket = min(bucket, self.batch)
         self._key, sub = jax.random.split(self._key)
-        toks_dev, _, self.cache = self._loop_for(bucket)(
+        out = self._loop_for(bucket)(
             self.params, self.cache,
             jnp.asarray(self.cur.reshape(-1, 1), jnp.int32),
             jnp.asarray(self.pos, jnp.int32), sub,
             jnp.asarray(temps), jnp.asarray(topps), jnp.asarray(act),
             jnp.asarray(topks), jnp.asarray(minps))
+        if self.logprobs:
+            toks_dev, _, lps_dev, self.cache = out
+            lps = np.asarray(lps_dev)                   # (B, block)
+        else:
+            toks_dev, _, self.cache = out
+            lps = None
         toks = np.asarray(toks_dev)                     # (B, block)
 
         for i, req in enumerate(self.slots):
@@ -490,6 +517,8 @@ class BatchScheduler:
             prev = int(self.cur[i])
             for j in range(self.block):
                 token = int(toks[i, j])
+                if req.logprobs and lps is not None:
+                    req.out_logprobs.append(float(lps[i, j]))
                 self._emit(req, token, prev=prev)
                 prev = token
                 if req.done:

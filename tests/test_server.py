@@ -132,3 +132,17 @@ def test_top_k_one_is_greedy_over_http(served):
     toks = srv.engine.tokenizer.encode("ab", bos=True)
     want, _ = srv.engine.generate(toks, num_steps=4, temperature=0.0)
     assert body["tokens"] == want
+
+
+def test_logprobs_over_http(served):
+    url, _ = served
+    with _post(url, {"prompt": "ab", "max_tokens": 4, "temperature": 0.0,
+                     "logprobs": True}) as r:
+        body = json.loads(r.read())
+    assert len(body["logprobs"]) == len(body["tokens"])
+    assert all(isinstance(x, float) and x <= 0.0 for x in body["logprobs"])
+    # not requested -> absent
+    with _post(url, {"prompt": "ab", "max_tokens": 2,
+                     "temperature": 0.0}) as r:
+        body = json.loads(r.read())
+    assert "logprobs" not in body

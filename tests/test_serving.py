@@ -370,3 +370,48 @@ def test_per_slot_top_k_greedy_equivalence(engine):
     sched.run()
     for r, expect in zip(reqs, want):
         assert r.out_tokens == expect, (r.out_tokens, expect)
+
+
+def test_logprobs_match_rescoring(engine):
+    """A greedy request with logprobs=True returns one log-softmax value
+    per sampled token (device loop for block steps + host path for the
+    admission's first token), matching an independent re-score of the
+    full sequence through Engine.hydrate's target-logprob path. Tokens
+    must equal a logprobs=False scheduler's output (no behavior change).
+    """
+    toks = engine.tokenizer.encode("hello world", bos=True)
+
+    base = BatchScheduler(engine, batch_size=2)
+    r0 = Request(prompt_tokens=list(toks), max_new_tokens=6,
+                 temperature=0.0)
+    base.submit(r0)
+    base.run()
+
+    sched = BatchScheduler(engine, batch_size=2, logprobs=True)
+    r = Request(prompt_tokens=list(toks), max_new_tokens=6,
+                temperature=0.0, logprobs=True)
+    sched.submit(r)
+    sched.run()
+
+    assert r.out_tokens == r0.out_tokens
+    assert len(r.out_logprobs) == len(r.out_tokens)
+    assert all(lp <= 0.0 for lp in r.out_logprobs)
+
+    # re-score: feeding seq[:-1] with target seq[i+1] gives
+    # log P(seq[i+1] | seq[:i+1]); generated tokens start at prompt end
+    seq = list(toks) + r.out_tokens
+    cache = engine.new_cache(batch=1)
+    _, _, lps, _ = engine.hydrate(cache, seq[:-1], 0,
+                                  target_tokens=seq[1:])
+    want = np.asarray(lps)[len(toks) - 1:]
+    np.testing.assert_allclose(r.out_logprobs, want, atol=2e-2)
+
+
+def test_logprobs_off_scheduler_leaves_requests_empty(engine):
+    """logprobs on the Request but not the scheduler: documented no-op."""
+    sched = BatchScheduler(engine, batch_size=2)
+    r = Request(prompt_tokens=engine.tokenizer.encode("abc", bos=True),
+                max_new_tokens=3, temperature=0.0, logprobs=True)
+    sched.submit(r)
+    sched.run()
+    assert len(r.out_tokens) == 3 and r.out_logprobs == []
