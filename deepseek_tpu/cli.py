@@ -94,6 +94,9 @@ Serve mode options:
   --no-warmup                 skip startup precompile of serving shapes
   --prefix-cache <MB>         HBM budget for prompt-prefix KV reuse across
                               requests (default 64; 0 disables)
+  --serve-spec                speculative continuous batching: fused prompt-
+                              lookup rounds across the whole batch (lossless;
+                              backs off to plain decode on novel text)
 """
 
 
@@ -137,6 +140,7 @@ class Args:
         self.batch = 4
         self.warmup = True
         self.prefix_cache_mb = 64.0
+        self.serve_spec = False
 
 
 def parse_mode_flags(args: Args, argv: List[str]) -> Args:
@@ -210,6 +214,8 @@ def parse_mode_flags(args: Args, argv: List[str]) -> Args:
             args.warmup = False
         elif a == "--prefix-cache":
             args.prefix_cache_mb = float(val())
+        elif a == "--serve-spec":
+            args.serve_spec = True
         else:
             _die(f"unknown flag {a}")
         i += 1
@@ -528,6 +534,8 @@ def main(argv: Optional[List[str]] = None):
         from deepseek_tpu.server import Server
         Server(engine, batch_size=args.batch, warmup=args.warmup,
                prefix_cache_mb=args.prefix_cache_mb,
+               spec="ngram" if args.serve_spec else None,
+               spec_k=args.spec_k,
                ).serve_forever(args.host, args.port)
     else:
         run_interactive(engine, args)

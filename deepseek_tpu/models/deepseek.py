@@ -56,10 +56,19 @@ def _cache_write(full, rows, layer: int, cache_start, prefill: bool,
     in-place dynamic updates on the donated carry, no slice round-trips.
     rows: (B,T,...) matching full[:, :, start:start+T]. ``mask`` (B,) bool
     guards per-sequence decode writes (seq-parallel shards only write slots
-    they own; cache_start is then the pre-clamped LOCAL slot)."""
+    they own; cache_start is then the pre-clamped LOCAL slot).
+
+    Verify mode (prefill with PER-ROW ``cache_start`` (B,) — the batched
+    speculative verify chunk): each batch row's T slots start at its own
+    offset, so the write is a per-row scatter instead of one slice."""
     if full is None:
         return None
     if prefill:
+        if jnp.ndim(cache_start) == 1:
+            B, T = rows.shape[:2]
+            bidx = jnp.arange(B)[:, None]
+            sidx = cache_start[:, None] + jnp.arange(T, dtype=jnp.int32)
+            return full.at[layer, bidx, sidx].set(rows.astype(full.dtype))
         start = (layer, 0, cache_start) + (0,) * (rows.ndim - 2)
         return jax.lax.dynamic_update_slice(
             full, rows[None].astype(full.dtype), start)
@@ -126,6 +135,15 @@ def _sink_update(buf, rows_f32, layer: int, global_start, prefill: bool):
     if prefill:
         T = rows_f32.shape[1]
         s = jnp.arange(K)
+        if jnp.ndim(global_start) == 1:
+            # verify mode: per-row chunk starts (B,)
+            gs = global_start[:, None]                       # (B, 1)
+            ridx = jnp.clip(s[None, :] - gs, 0, T - 1)       # (B, K)
+            ridx = ridx.reshape(ridx.shape + (1,) * (rows_f32.ndim - 2))
+            cand = jnp.take_along_axis(rows_f32, ridx, axis=1)
+            valid = (s[None, :] >= gs) & (s[None, :] < gs + T)
+            msk = valid.reshape(valid.shape + (1,) * (cand.ndim - 2))
+            return buf.at[layer].set(jnp.where(msk, cand, buf[layer]))
         ridx = jnp.clip(s - global_start, 0, T - 1)
         cand = jnp.take(rows_f32, ridx, axis=1)              # (B, K, ...)
         valid = (s >= global_start) & (s < global_start + T)
@@ -198,10 +216,13 @@ def _attention(lp: LayerParams, cfg: ModelConfig, xb: jnp.ndarray,
     theta = cfg.rope_theta
     yarn = cfg.yarn_params()          # None unless cfg.use_yarn
     sm_scale = cfg.attn_softmax_scale()
-    if prefill:
+    # verify mode: prefill semantics with PER-ROW chunk positions — pos_vec
+    # arrives (B, T) and cache_start (B,) (batched speculative verify)
+    verify = prefill and pos_vec.ndim == 2
+    if prefill and not verify:
         pos_bt = jnp.broadcast_to(pos_vec[None, :], (B, T))      # shared positions
     else:
-        pos_bt = pos_vec                                         # (B, 1) per-seq
+        pos_bt = pos_vec                           # (B, T) / (B, 1) per-seq
     posb = pos_bt[:, :, None]  # broadcasts over (B, T, H)
 
     def mm(qt, x):
@@ -296,7 +317,8 @@ def _attention(lp: LayerParams, cfg: ModelConfig, xb: jnp.ndarray,
             if ctx.cp:
                 q = ctx.cp_gather_rows(q)       # whole chunk's queries
             Tq = q.shape[1]                     # == T*sp under CP
-            q_pos = global_start + jnp.arange(Tq, dtype=jnp.int32)
+            q_pos = global_start + jnp.arange(Tq, dtype=jnp.int32) \
+                if not verify else pos_vec      # (B, T) per-row in verify
             merge = ctx.cp_merge_scatter if ctx.cp else ctx.seq_merge
             kv_dec = mm(lp.wkv_b, ckv_l.astype(xb.dtype)).reshape(
                 B, S, H, nope + Dv)
@@ -305,7 +327,10 @@ def _attention(lp: LayerParams, cfg: ModelConfig, xb: jnp.ndarray,
                  jnp.broadcast_to(krope_l[:, :, None, :].astype(jnp.float32),
                                   (B, S, H, P))], axis=-1)
             base = cache_pos[0]
-            if impl is not None and _use_flash_prefill(B, Tq, S, H):
+            # flash prefill takes a SCALAR chunk start; verify chunks are
+            # tiny (T = spec_k+1) so the jnp path is the right one anyway
+            if impl is not None and not verify \
+                    and _use_flash_prefill(B, Tq, S, H):
                 # flash prefill kernel: scores tiled in VMEM, never (T,S)
                 # in HBM (long-window memory bound)
                 from deepseek_tpu.ops.pallas.attention import mha_prefill_attn
@@ -334,9 +359,11 @@ def _attention(lp: LayerParams, cfg: ModelConfig, xb: jnp.ndarray,
             base = (sidx * s_local) if ctx.sp > 1 else 0
             S_loc = cache.ckv.shape[2]
             Tq = q_c.shape[1]                   # == T*sp under CP (gathered)
-            q_pos = global_start + jnp.arange(Tq, dtype=jnp.int32)
+            q_pos = global_start + jnp.arange(Tq, dtype=jnp.int32) \
+                if not verify else pos_vec
             merge = ctx.cp_merge_scatter if ctx.cp else ctx.seq_merge
-            if impl is not None and _use_flash_prefill(B, Tq, S_loc, H):
+            if impl is not None and not verify \
+                    and _use_flash_prefill(B, Tq, S_loc, H):
                 # flash prefill over the (possibly int8) latent cache:
                 # scores tiled in VMEM, scales folded in-kernel — no
                 # dequantized cache or (T,S) scores in HBM
@@ -508,9 +535,10 @@ def _attention(lp: LayerParams, cfg: ModelConfig, xb: jnp.ndarray,
     if prefill:
         base = (sidx * s_local) if ctx.sp > 1 else 0
         Tq = q.shape[1]                         # == T*sp under CP (gathered)
-        q_pos = global_start + jnp.arange(Tq, dtype=jnp.int32)
+        q_pos = global_start + jnp.arange(Tq, dtype=jnp.int32) \
+            if not verify else pos_vec
         merge = ctx.cp_merge_scatter if ctx.cp else ctx.seq_merge
-        if impl is not None and _use_flash_prefill(
+        if impl is not None and not verify and _use_flash_prefill(
                 B, Tq, cache.k.shape[2], H):
             from deepseek_tpu.ops.pallas.attention import mha_prefill_attn
             hs = (lambda a: jnp.swapaxes(a, 1, 2) if a is not None else None)
@@ -956,7 +984,18 @@ def _forward_impl(params: ModelParams, cache: KVCache, tokens: jnp.ndarray,
     impl = kernel_impl(cfg, prefill=prefill)
 
     pos0 = jnp.asarray(pos0, jnp.int32)
-    if prefill:
+    if prefill and pos0.ndim == 1:
+        # VERIFY MODE: prefill semantics with per-sequence chunk positions —
+        # each batch row writes+attends its own T slots starting at pos0[b]
+        # (the batched speculative-verify primitive; see
+        # speculative.make_batched_ngram_spec_rounds). Strictly inside the
+        # ring window (no sink rotation, slot index == position) — the
+        # caller guards pos0 + T <= kv_window per row.
+        assert not ctx.cp and ctx.sp == 1, \
+            "verify mode does not compose with seq/context parallelism"
+        pos_vec = pos0[:, None] + jnp.arange(T, dtype=jnp.int32)   # (B, T)
+        cache_start, kv_len, kv_sink = pos0, None, None
+    elif prefill:
         assert pos0.ndim == 0, "prefill requires a shared scalar position"
         # context-parallel prefill: when the chunk divides the seq axis,
         # shard its ROWS over 'seq' — the embedding gather, projections,

@@ -135,19 +135,23 @@ def prefill_attn_mha(
     q: jnp.ndarray,        # (B, T, H, head_dim) — query chunk
     k_cache: jnp.ndarray,  # (B, S, H, head_dim)
     v_cache: jnp.ndarray,  # (B, S, H, v_head_dim)
-    q_pos: jnp.ndarray,    # (T,) absolute positions of the queries
+    q_pos: jnp.ndarray,    # (T,) query positions — or (B, T) per-row (verify mode)
     cache_pos: jnp.ndarray,  # (S,) absolute position stored in each cache slot (-1 = empty)
     softmax_scale=None,
 ) -> jnp.ndarray:          # (B, T, H, v_head_dim)
     """Chunked causal attention: query t attends to cache slots whose stored
-    position <= q_pos[t]. Slot positions handle the ring buffer generically."""
+    position <= q_pos[t]. Slot positions handle the ring buffer generically;
+    (B, T) q_pos gives each batch row its own chunk positions (the batched
+    speculative-verify mode)."""
     head_dim = q.shape[-1]
     scale = jnp.float32(softmax_scale) if softmax_scale is not None \
         else 1.0 / jnp.sqrt(jnp.float32(head_dim))
     scores = jnp.einsum(
         "bthd,bshd->bhts", q.astype(jnp.float32), k_cache.astype(jnp.float32)) * scale
-    mask = (cache_pos[None, :] <= q_pos[:, None]) & (cache_pos[None, :] >= 0)
-    w = _masked_softmax(scores, mask[None, None])
+    mask = (cache_pos[None, :] <= q_pos[..., :, None]) & (cache_pos >= 0)
+    # (T, S) broadcasts over (B, H); (B, T, S) inserts the head axis
+    mask = mask[None, None] if q_pos.ndim == 1 else mask[:, None]
+    w = _masked_softmax(scores, mask)
     return jnp.einsum("bhts,bshv->bthv", w, v_cache.astype(jnp.float32))
 
 
@@ -211,7 +215,7 @@ def prefill_attn_mla(
     q_rope: jnp.ndarray,    # (B, T, H, qk_rope_head_dim)
     ckv_cache: jnp.ndarray,  # (B, S, kv_lora_rank)
     krope_cache: jnp.ndarray,  # (B, S, qk_rope_head_dim)
-    q_pos: jnp.ndarray,     # (T,)
+    q_pos: jnp.ndarray,     # (T,) — or (B, T) per-row (verify mode)
     cache_pos: jnp.ndarray,  # (S,)
     head_dim: int,
     softmax_scale=None,
@@ -222,6 +226,7 @@ def prefill_attn_mla(
         jnp.einsum("bthr,bsr->bhts", q_c.astype(jnp.float32), ckv_cache.astype(jnp.float32))
         + jnp.einsum("bthp,bsp->bhts", q_rope.astype(jnp.float32), krope_cache.astype(jnp.float32))
     ) * scale
-    mask = (cache_pos[None, :] <= q_pos[:, None]) & (cache_pos[None, :] >= 0)
-    w = _masked_softmax(scores, mask[None, None])
+    mask = (cache_pos[None, :] <= q_pos[..., :, None]) & (cache_pos >= 0)
+    mask = mask[None, None] if q_pos.ndim == 1 else mask[:, None]
+    w = _masked_softmax(scores, mask)
     return jnp.einsum("bhts,bsr->bthr", w, ckv_cache.astype(jnp.float32))

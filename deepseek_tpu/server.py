@@ -52,7 +52,9 @@ class _Pending:
 
 class Server:
     def __init__(self, engine: Engine, batch_size: int = 4,
-                 warmup: bool = True, prefix_cache_mb: float = 64.0):
+                 warmup: bool = True, prefix_cache_mb: float = 64.0,
+                 spec: Optional[str] = None, spec_k: int = 4,
+                 spec_rounds: int = 3):
         """``warmup`` precompiles every serving shape (occupancy-bucket
         decode loops, admission chunk modes, slot merge) before the first
         request — without it the first use of each shape compiles inline
@@ -62,15 +64,26 @@ class Server:
 
         ``prefix_cache_mb``: HBM budget for block-level prompt-prefix KV
         reuse across requests (shared system prompts skip re-prefill);
-        0 disables (``-m serve --prefix-cache 0``)."""
+        0 disables (``-m serve --prefix-cache 0``).
+
+        ``spec="ngram"`` (``-m serve --serve-spec``): speculative
+        continuous batching — fused prompt-lookup rounds across the whole
+        batch while every slot is in-window, plain decode otherwise
+        (BatchScheduler docstring). Lossless; disables the per-request
+        "logprobs" field (mutually exclusive at the scheduler)."""
         self.engine = engine
         self._warmup = warmup
         self._prefix_mb = prefix_cache_mb
+        self._spec_kw = dict(spec=spec, spec_k=spec_k,
+                             spec_rounds=spec_rounds)
         # logprobs=True so per-request "logprobs" works without a second
         # set of compiled decode loops — one gather per step on device
+        # (spec serving emits tokens in fused rounds instead; the two are
+        # mutually exclusive at the scheduler)
         self.scheduler = BatchScheduler(engine, batch_size=batch_size,
                                         prefix_cache_mb=prefix_cache_mb,
-                                        logprobs=True)
+                                        logprobs=spec is None,
+                                        **self._spec_kw)
         if warmup:
             import time
             t0 = time.perf_counter()
@@ -110,7 +123,9 @@ class Server:
                     p.error = "internal error during generation"
                 self.scheduler = BatchScheduler(
                     self.engine, batch_size=self.scheduler.batch,
-                    prefix_cache_mb=self._prefix_mb, logprobs=True)
+                    prefix_cache_mb=self._prefix_mb,
+                    logprobs=self._spec_kw["spec"] is None,
+                    **self._spec_kw)
                 if self._warmup:
                     try:
                         self.scheduler.warmup()
@@ -176,6 +191,8 @@ class Server:
                 pc = server.scheduler.prefix_cache
                 if pc is not None:
                     info["prefix_cache"] = pc.stats
+                if server.scheduler.spec is not None:
+                    info["spec"] = dict(server.scheduler.spec_stats)
                 self._json(200, info)
 
             def do_POST(self):

@@ -216,7 +216,9 @@ class BatchScheduler:
     def __init__(self, engine: Engine, batch_size: int = 4,
                  decode_block: int = 8, mesh=None,
                  prefix_cache_mb: float = 0.0, prefix_block: int = 64,
-                 logprobs: bool = False):
+                 logprobs: bool = False, spec: Optional[str] = None,
+                 spec_k: int = 4, spec_rounds: int = 3,
+                 ngram_max: int = 3):
         """``mesh``: run the fused decode block over a device mesh — the
         batch DP-shards over 'data' (with TP/EP/seq per the mesh axes) and
         per-slot sampling params shard with it. Admissions hydrate through
@@ -232,7 +234,19 @@ class BatchScheduler:
         log-softmax output (make_decode_loop with_logprobs) so requests
         with ``logprobs=True`` get ``out_logprobs`` aligned with
         ``out_tokens``. One gather per step on device; the extra host
-        transfer is (B, block) f32."""
+        transfer is (B, block) f32.
+
+        ``spec="ngram"`` enables SPECULATIVE CONTINUOUS BATCHING: while
+        every live slot sits inside the ring window, decode dispatches are
+        replaced by fused prompt-lookup speculation rounds — each slot
+        drafts ``spec_k`` tokens from its own history and all slots verify
+        together in per-row-position chunks
+        (speculative.make_batched_ngram_spec_rounds). Lossless per slot
+        (greedy slots are token-identical to plain decode; sampled slots
+        follow their exact nucleus distribution). When acceptances dry up
+        the scheduler backs off to plain decode blocks with exponential
+        re-probing, so novel text pays ~no verify overhead. Single-chip
+        only (mesh=None) and mutually exclusive with logprobs."""
         self.engine = engine
         self.batch = batch_size
         # clamp the block so small-window models can still store prefixes
@@ -245,6 +259,27 @@ class BatchScheduler:
         # the cost of up to block-1 wasted positions after a sequence stops
         self.block = max(1, decode_block)
         self.logprobs = bool(logprobs)
+        if spec is not None:
+            if spec != "ngram":
+                raise ValueError(f"unknown spec mode {spec!r}")
+            if mesh is not None:
+                raise ValueError("spec serving is single-chip (mesh=None)")
+            if self.logprobs:
+                raise ValueError("spec and logprobs are mutually exclusive "
+                                 "(the fused rounds emit tokens, not "
+                                 "per-token log-softmax values)")
+        self.spec = spec
+        self.spec_k = spec_k
+        self.spec_rounds = spec_rounds
+        self.ngram_max = ngram_max
+        self._spec_fn = None
+        self._hist = None               # device (B, window) token history
+        self._hist_stale = True
+        self._spec_dry = 0              # consecutive zero-accept dispatches
+        self._spec_backoff = 4          # plain dispatches per dry phase
+        self._spec_plain_left = 0
+        self.spec_stats = {"rounds": 0, "drafted": 0, "accepted": 0,
+                           "dispatches": 0, "plain_fallbacks": 0}
         self.mesh = mesh
         self.cache = engine.new_cache(batch=batch_size)
         self.params = engine.params
@@ -330,6 +365,21 @@ class BatchScheduler:
             if b >= B:
                 break
             bucket *= 2
+        if (self.spec is not None and self.spec_rounds
+                * (self.spec_k + 1) + 1 <= eng.cfg.kv_window):
+            # fused speculation dispatch (junk rows land in idle slots,
+            # fully overwritten at admission like the decode warmup above)
+            from deepseek_tpu.speculative import \
+                make_batched_ngram_spec_rounds
+            if self._spec_fn is None:
+                self._spec_fn = make_batched_ngram_spec_rounds(
+                    eng.cfg, self.spec_k, self.spec_rounds,
+                    hist_len=eng.cfg.kv_window, ngram_max=self.ngram_max)
+            *_, self.cache, self._hist = self._spec_fn(
+                self.params, self.cache,
+                jnp.zeros((B, eng.cfg.kv_window), jnp.int32), tok, pos,
+                key, temps, topps, act, topks, minps)
+            self._hist_stale = True
         # admission shapes: throwaway 1-row hydrates covering the padded
         # chunk modes ("none" then final "last"; a short tail compiles
         # "all"), then the slot merge
@@ -386,6 +436,7 @@ class BatchScheduler:
             return
         if self.prefix_cache is not None:
             self.prefix_cache.insert(toks, p.cache)
+        self._hist_stale = True          # new slot history (spec serving)
         self.cache = self._merge_slot(self.cache, p.cache, p.slot)
         token = eng.sampler.sample(logits, p.req.temperature, p.req.top_p,
                                    p.req.top_k, p.req.min_p)
@@ -450,6 +501,96 @@ class BatchScheduler:
                 self.cur[i] = 0
 
     # ------------------------------------------------------------------
+    def _spec_ready(self) -> bool:
+        """Speculate this step? Requires spec serving on, every live slot
+        strictly inside the ring window for the whole fused span (the
+        verify mode's precondition), and not in a dry-spell backoff."""
+        if self.spec is None:
+            return False
+        span = self.spec_rounds * (self.spec_k + 1)
+        window = self.engine.cfg.kv_window
+        for i, req in enumerate(self.slots):
+            if req is not None and self.pos[i] + span + 1 > window:
+                return False
+        if self._spec_plain_left > 0:
+            self._spec_plain_left -= 1
+            self.spec_stats["plain_fallbacks"] += 1
+            return False
+        return True
+
+    def _spec_step(self, temps, topps, topks, minps, act) -> None:
+        """One fused batched prompt-lookup speculation dispatch in place
+        of a decode block: every live slot drafts from its own history,
+        all slots verify together, and each slot advances by its own
+        accepted count (pos/cur mirror the device's in-graph bookkeeping
+        exactly, including rounds after a slot finished mid-dispatch)."""
+        from deepseek_tpu.speculative import make_batched_ngram_spec_rounds
+        eng = self.engine
+        H = eng.cfg.kv_window
+        R, K = self.spec_rounds, self.spec_k
+        if self._spec_fn is None:
+            self._spec_fn = make_batched_ngram_spec_rounds(
+                eng.cfg, K, R, hist_len=H, ngram_max=self.ngram_max)
+        if self._hist_stale or self._hist is None:
+            # rebuild from host truth (cheap: B*window int32). Live slots
+            # satisfy len(prompt + emitted) == pos+1 <= window (guarded)
+            hist = np.zeros((self.batch, H), np.int32)
+            for i, req in enumerate(self.slots):
+                if req is not None:
+                    seq = req.prompt_tokens + req.out_tokens
+                    hist[i, :len(seq)] = seq
+            self._hist = jnp.asarray(hist)
+            self._hist_stale = False
+        self._key, sub = jax.random.split(self._key)
+        drafts_r, nacc_r, next_r, _, self.cache, self._hist = self._spec_fn(
+            self.params, self.cache, self._hist,
+            jnp.asarray(self.cur.reshape(-1, 1), jnp.int32),
+            jnp.asarray(self.pos, jnp.int32), sub,
+            jnp.asarray(temps), jnp.asarray(topps), jnp.asarray(act),
+            jnp.asarray(topks), jnp.asarray(minps))
+        drafts = np.asarray(drafts_r)                     # (R, B, k)
+        nacc = np.asarray(nacc_r)                         # (R, B)
+        nxt = np.asarray(next_r)                          # (R, B)
+        self.spec_stats["dispatches"] += 1
+        accepted_this = 0
+        for i, req in enumerate(self.slots):
+            if req is None or req.done:
+                continue
+            prev = int(self.cur[i])
+            adv = 0
+            for r in range(R):
+                na = int(nacc[r, i])
+                adv += na + 1
+                self.spec_stats["rounds"] += 1
+                self.spec_stats["drafted"] += K
+                self.spec_stats["accepted"] += na
+                accepted_this += na
+                if req.done:
+                    continue             # device kept going; mirror pos only
+                for d in drafts[r, i, :na]:
+                    self._emit(req, int(d), prev=prev)
+                    prev = int(d)
+                    if req.done:
+                        break
+                if not req.done:
+                    t = int(nxt[r, i])
+                    self._emit(req, t, prev=prev)
+                    prev = t
+            self.pos[i] += adv
+            self.cur[i] = int(nxt[R - 1, i])
+        if accepted_this == 0:
+            self._spec_dry += 1
+            if self._spec_dry >= 2:
+                # dry spell: plain blocks with exponential re-probing (one
+                # more all-miss dispatch re-enters the dry phase)
+                self._spec_plain_left = self._spec_backoff
+                self._spec_backoff = min(self._spec_backoff * 2, 64)
+                self._spec_dry = 1
+        else:
+            self._spec_dry = 0
+            self._spec_backoff = 4
+
+    # ------------------------------------------------------------------
     def step(self) -> None:
         """One bounded admission chunk (if an admission is in flight or can
         start), then one fused decode dispatch of ``block`` tokens for the
@@ -488,6 +629,12 @@ class BatchScheduler:
                 topks[i] = req.top_k
                 minps[i] = req.min_p
                 act[i] = not req.done
+        if self._spec_ready():
+            return self._spec_step(temps, topps, topks, minps, act)
+        if self.spec is not None:
+            # plain blocks append tokens outside the fused graph
+            self._hist_stale = True
+
         n_active = max(1, int(act.sum()))
         bucket = 1
         while bucket < n_active:

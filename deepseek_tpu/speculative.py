@@ -123,6 +123,155 @@ def make_spec_rounds(cfg_t: ModelConfig, cfg_d: ModelConfig,
     return fn
 
 
+def _ngram_lookup(hist_row, hlen, H: int, ngram_max: int, ngram_min: int):
+    """Longest-n most-recent match. hist_row (H,) int32; returns
+    (start_of_continuation, matched) — start indexes the token that
+    followed the matched n-gram."""
+    start = jnp.int32(0)
+    matched = jnp.bool_(False)
+    # largest n wins: later (smaller-n) candidates only fill in when
+    # nothing longer matched
+    for n in range(ngram_max, ngram_min - 1, -1):
+        pat = jax.lax.dynamic_slice(hist_row, (hlen - n,), (n,))
+        # windows[i] = hist_row[i:i+n] compared elementwise (static
+        # shifts; i ranges over 0..H-n)
+        eq = jnp.ones((H - n + 1,), jnp.bool_)
+        for j in range(n):
+            eq = eq & (jax.lax.dynamic_slice_in_dim(
+                hist_row, j, H - n + 1) == pat[j])
+        idx = jnp.arange(H - n + 1, dtype=jnp.int32)
+        # need >= 1 following token, and i == hlen-n is the suffix
+        # itself; both excluded by i <= hlen-n-1
+        ok = eq & (idx <= hlen - n - 1) & (hlen >= n + 1)
+        best = jnp.max(jnp.where(ok, idx, -1))
+        hit = best >= 0
+        use = hit & ~matched
+        start = jnp.where(use, best + n, start)
+        matched = matched | hit
+    return start, matched
+
+
+def _accept_pointmass(ps, drafts, spec_k: int, key):
+    """Batched acceptance for POINT-MASS drafts (prompt-lookup): the
+    arXiv 2211.17192 rule with q = one-hot(draft) reduces to accept with
+    probability p(draft); the residual is p with the draft token zeroed.
+    ps (B, k+1, V) target nucleus dists, drafts (B, k).
+    Returns (n_acc (B,), next_token (B,)).
+
+    temperature == 0 rows need no special case: nucleus_dist gives a
+    one-hot p, so acceptance degenerates to argmax equality and both
+    residual and bonus draws are the argmax — greedy outputs are
+    token-identical to plain decode."""
+    B, _, V = ps.shape
+    pd = jnp.take_along_axis(ps[:, :spec_k], drafts[:, :, None],
+                             axis=2)[:, :, 0]                      # (B, k)
+    ku, kr, kb = jax.random.split(key, 3)
+    u = jax.random.uniform(ku, (B, spec_k))
+    acc = u < jnp.minimum(1.0, pd)
+    n_acc = jnp.cumprod(acc.astype(jnp.int32), axis=1).sum(axis=1)  # (B,)
+    # residual distribution at the first rejected position
+    i = jnp.minimum(n_acc, spec_k - 1)
+    p_i = jnp.take_along_axis(ps, i[:, None, None], axis=1)[:, 0]   # (B, V)
+    d_i = jnp.take_along_axis(drafts, i[:, None], axis=1)           # (B, 1)
+    res = jnp.where(jnp.arange(V, dtype=jnp.int32)[None, :] == d_i,
+                    0.0, p_i)
+    rs = res.sum(axis=-1, keepdims=True)
+    res = jnp.where(rs > 0, res / jnp.maximum(rs, 1e-30), p_i)
+    repl = jax.random.categorical(kr, jnp.log(jnp.maximum(res, 1e-30)),
+                                  axis=-1)
+    bonus = jax.random.categorical(
+        kb, jnp.log(jnp.maximum(ps[:, spec_k], 1e-30)), axis=-1)
+    nxt = jnp.where(n_acc == spec_k, bonus, repl).astype(jnp.int32)
+    return n_acc, nxt
+
+
+def make_batched_ngram_spec_rounds(cfg: ModelConfig, spec_k: int,
+                                   rounds: int, hist_len: int,
+                                   ngram_max: int = 3, ngram_min: int = 1,
+                                   jit: bool = True):
+    """Prompt-lookup speculation for the CONTINUOUS-BATCHING scheduler:
+    every live slot drafts from its own history and all slots verify in
+    ONE fused dispatch per round via the per-row-position verify mode
+    (`_forward_impl` with pos0 (B,) — each row's chunk writes+attends at
+    its own offset).
+
+    Per-slot sampling params ride along exactly like the plain decode
+    loop's; acceptance is the lossless point-mass rule (_accept_pointmass)
+    per row, so a greedy slot and a sampled slot coexist in one dispatch.
+
+    Invariant: ``hist[b, :pos0[b]+1]`` is slot b's full token sequence
+    (prompt + emitted) INCLUDING ``tok[b]`` at index pos0[b] — hlen is
+    derived as pos+1 rather than carried. ``active`` freezes a row: its
+    pos/tok/history stay put and its outputs are junk (the caller frees
+    the slot); its cache writes land in dead rows, like warmup decode.
+
+    The caller guards, over ACTIVE rows only:
+      max(pos0) + rounds*(spec_k+1) <= kv_window   (strictly in-window)
+    and hist_len >= that bound (the scheduler uses hist_len == window).
+
+    Returns ``fn(params, ct, hist (B,H) i32, tok (B,1), pos0 (B,), key,
+    temperature (B,), top_p (B,), active (B,), top_k (B,), min_p (B,))
+    -> (drafts (R,B,k), n_acc (R,B), next (R,B), matched (R,B), ct,
+    hist)`` with the target cache and hist donated. Per round r the host
+    emits drafts[r,b,:n_acc[r,b]] then next[r,b] and advances pos[b] by
+    n_acc[r,b]+1 (active rows).
+    """
+    fwd_t = functools.partial(_forward_impl, cfg=cfg, prefill=True,
+                              logits_mode="all")
+    H = hist_len
+    lookup = jax.vmap(
+        lambda h, n: _ngram_lookup(h, n, H, ngram_max, ngram_min))
+
+    def fn(params, ct, hist, tok, pos0, key, temperature, top_p,
+           active, top_k, min_p):
+        pos0 = jnp.asarray(pos0, jnp.int32)
+        B = tok.shape[0]
+        off = jnp.arange(spec_k, dtype=jnp.int32)[None, :]
+
+        def one_round(carry, _):
+            ct, hist, tok, pos, key = carry
+            hlen = pos + 1
+            start, matched = lookup(hist, hlen)
+            start = jnp.where(matched, start, hlen - 1)
+            drafts = jax.vmap(
+                lambda h, s: jax.lax.dynamic_slice(h, (s,), (spec_k,))
+            )(hist, start)                                       # (B, k)
+            last = jnp.take_along_axis(hist, (hlen - 1)[:, None], axis=1)
+            drafts = jnp.where(start[:, None] + off < hlen[:, None],
+                               drafts, last)
+
+            chunk = jnp.concatenate([tok, drafts], axis=1)       # (B, k+1)
+            lg_all, ct = fwd_t(params, ct, chunk, pos)           # verify mode
+
+            key, ka = jax.random.split(key)
+            ps = nucleus_dist(lg_all, temperature[:, None], top_p[:, None],
+                              top_k[:, None], min_p[:, None])    # (B,k+1,V)
+            n_acc, nxt = _accept_pointmass(ps, drafts, spec_k, ka)
+
+            # append drafts[:n_acc] then nxt to each row's history; slots
+            # past n_acc hold draft junk rewritten before hlen covers it
+            emitted = jnp.concatenate([drafts, drafts[:, -1:]], axis=1)
+            emitted = jnp.where(
+                jnp.arange(spec_k + 1, dtype=jnp.int32)[None, :]
+                == n_acc[:, None], nxt[:, None], emitted)
+            hist = jax.vmap(
+                lambda h, e, o: jax.lax.dynamic_update_slice(h, e, (o,))
+            )(hist, emitted, hlen)
+            adv = jnp.where(active, n_acc + 1, 0)
+            tok = jnp.where(active[:, None], nxt[:, None], tok)
+            return (ct, hist, tok, pos + adv, key), \
+                (drafts, n_acc, nxt, matched)
+
+        (ct, hist, _, _, _), (drafts_r, nacc_r, next_r, match_r) = \
+            jax.lax.scan(one_round, (ct, hist, tok, pos0, key),
+                         length=rounds)
+        return drafts_r, nacc_r, next_r, match_r, ct, hist
+
+    if jit:
+        fn = jax.jit(fn, donate_argnums=(1, 2))
+    return fn
+
+
 def make_ngram_spec_rounds(cfg: ModelConfig, spec_k: int, rounds: int,
                            hist_len: int, ngram_max: int = 3,
                            ngram_min: int = 1, jit: bool = True,
@@ -156,31 +305,7 @@ def make_ngram_spec_rounds(cfg: ModelConfig, spec_k: int, rounds: int,
     H = hist_len
 
     def lookup(hist_row, hlen):
-        """Longest-n most-recent match. hist_row (H,) int32; returns
-        (start_of_continuation, matched) — start indexes the token that
-        followed the matched n-gram."""
-        start = jnp.int32(0)
-        matched = jnp.bool_(False)
-        # largest n wins: later (smaller-n) candidates only fill in when
-        # nothing longer matched
-        for n in range(ngram_max, ngram_min - 1, -1):
-            pat = jax.lax.dynamic_slice(hist_row, (hlen - n,), (n,))
-            # windows[i] = hist_row[i:i+n] compared elementwise (static
-            # shifts; i ranges over 0..H-n)
-            eq = jnp.ones((H - n + 1,), jnp.bool_)
-            for j in range(n):
-                eq = eq & (jax.lax.dynamic_slice_in_dim(
-                    hist_row, j, H - n + 1) == pat[j])
-            idx = jnp.arange(H - n + 1, dtype=jnp.int32)
-            # need >= 1 following token, and i == hlen-n is the suffix
-            # itself; both excluded by i <= hlen-n-1
-            ok = eq & (idx <= hlen - n - 1) & (hlen >= n + 1)
-            best = jnp.max(jnp.where(ok, idx, -1))
-            hit = best >= 0
-            use = hit & ~matched
-            start = jnp.where(use, best + n, start)
-            matched = matched | hit
-        return start, matched
+        return _ngram_lookup(hist_row, hlen, H, ngram_max, ngram_min)
 
     def fn(params, ct, hist, hlen, tok, pos0, key, temperature, top_p):
         pos0 = jnp.asarray(pos0, jnp.int32)

@@ -146,3 +146,28 @@ def test_logprobs_over_http(served):
                      "temperature": 0.0}) as r:
         body = json.loads(r.read())
     assert "logprobs" not in body
+
+
+def test_spec_serving_over_http(engine):
+    """-m serve --serve-spec equivalent: greedy completions match the
+    plain server token-for-token and /health reports spec stats."""
+    srv = Server(engine, batch_size=2, warmup=False, spec="ngram",
+                 spec_k=3, spec_rounds=2)
+    httpd = srv.make_http_server("127.0.0.1", 0)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        url = f"http://127.0.0.1:{port}"
+        with _post(url, {"prompt": "ab", "max_tokens": 4,
+                         "temperature": 0.0}) as r:
+            body = json.loads(r.read())
+        toks = srv.engine.tokenizer.encode("ab", bos=True)
+        want, _ = srv.engine.generate(toks, num_steps=4, temperature=0.0)
+        assert body["tokens"] == want
+        with urllib.request.urlopen(url + "/health", timeout=60) as r:
+            health = json.loads(r.read())
+        assert "spec" in health
+    finally:
+        httpd.shutdown()
+        srv.shutdown()

@@ -415,3 +415,112 @@ def test_logprobs_off_scheduler_leaves_requests_empty(engine):
     sched.submit(r)
     sched.run()
     assert len(r.out_tokens) == 3 and r.out_logprobs == []
+
+
+# ---------------------------------------------------------------- spec serving
+
+@pytest.fixture(scope="module")
+def engine_spec(tmp_path_factory):
+    """Wider ring window so fused speculation rounds have room to run
+    (the module engine's 32-slot window fits barely one spec span)."""
+    d = tmp_path_factory.mktemp("srvspec")
+    cfg = tiny_config(use_mla=True, vocab_size=300, max_seq_len=256,
+                      rs_original_max_position_embeddings=128)
+    codec.save_checkpoint(
+        str(d), [tiny_checkpoint_tensors(cfg, tiny_weights(cfg, 55))],
+        tiny_metadata(cfg))
+    return Engine(str(d), seed=0, prefill_chunk=8, decode_block=1)
+
+
+def test_spec_serving_greedy_matches_plain(engine_spec):
+    """Speculative continuous batching is lossless: greedy outputs through
+    a spec='ngram' scheduler are token-identical to the plain scheduler,
+    across slot reuse and mixed prompt lengths. Prompts embed the model's
+    own greedy continuation so the drafter actually accepts (the
+    test_ngram_accepts_on_context_echo trick, batched)."""
+    engine = engine_spec
+    seed = engine.tokenizer.encode("ab ab ab", bos=True)
+    cont, _ = engine.generate(seed, num_steps=48, temperature=0.0)
+    prompts = [seed + cont[:32], seed + cont[:24],
+               engine.tokenizer.encode("xyz", bos=True)]
+    n = 12
+
+    want = []
+    for p in prompts:
+        out, _ = engine.generate(p, num_steps=n, temperature=0.0)
+        want.append(out)
+
+    sched = BatchScheduler(engine, batch_size=2, spec="ngram",
+                           spec_k=4, spec_rounds=2)
+    reqs = [Request(prompt_tokens=list(p), max_new_tokens=n,
+                    temperature=0.0) for p in prompts]
+    for r in reqs:
+        sched.submit(r)
+    sched.run()
+    for r, expect in zip(reqs, want):
+        assert r.out_tokens == expect, (r.out_tokens, expect)
+    assert sched.spec_stats["dispatches"] >= 1
+    assert sched.spec_stats["accepted"] >= 1  # echo prompts drafted well
+
+
+def test_spec_serving_window_fallback(engine):
+    """Slots near the ring-window edge force plain-decode fallback; greedy
+    outputs stay identical through the transition (window = 32 here, so a
+    long generation crosses it)."""
+    p = engine.tokenizer.encode("ab ab ab", bos=True)
+    n = 30                                # crosses window 32 with prompt
+    want, _ = engine.generate(p, num_steps=n, temperature=0.0)
+    sched = BatchScheduler(engine, batch_size=2, spec="ngram",
+                           spec_k=3, spec_rounds=2)
+    r = Request(prompt_tokens=list(p), max_new_tokens=n, temperature=0.0)
+    sched.submit(r)
+    sched.run()
+    assert r.out_tokens == want
+
+
+def test_spec_serving_sampled_runs(engine):
+    """Sampled slots coexist with greedy slots in one spec dispatch."""
+    sched = BatchScheduler(engine, batch_size=2, spec="ngram",
+                           spec_k=3, spec_rounds=2)
+    reqs = [Request(prompt_tokens=engine.tokenizer.encode("ab ab", bos=True),
+                    max_new_tokens=8, temperature=0.9, top_p=0.9),
+            Request(prompt_tokens=engine.tokenizer.encode("ba", bos=True),
+                    max_new_tokens=8, temperature=0.0)]
+    for r in reqs:
+        sched.submit(r)
+    sched.run()
+    for r in reqs:
+        assert 1 <= len(r.out_tokens) <= 8
+        assert all(0 <= t < engine.cfg.vocab_size for t in r.out_tokens)
+    # the greedy slot must still match plain decode exactly
+    want, _ = engine.generate(reqs[1].prompt_tokens, num_steps=8,
+                              temperature=0.0)
+    assert reqs[1].out_tokens == want
+
+
+def test_spec_serving_warmup_and_admission_interleave(engine):
+    """warmup() + more requests than slots: slot reuse, admissions
+    interleaving with spec dispatches, all greedy-exact."""
+    prompts = ["ab ab ab", "ba", "ab", "q"]
+    want = []
+    for p in prompts:
+        toks = engine.tokenizer.encode(p, bos=True)
+        out, _ = engine.generate(toks, num_steps=5, temperature=0.0)
+        want.append(out)
+    sched = BatchScheduler(engine, batch_size=2, spec="ngram",
+                           spec_k=3, spec_rounds=2)
+    sched.warmup()
+    reqs = [Request(prompt_tokens=engine.tokenizer.encode(p, bos=True),
+                    max_new_tokens=5, temperature=0.0) for p in prompts]
+    for r in reqs:
+        sched.submit(r)
+    sched.run()
+    for r, expect in zip(reqs, want):
+        assert r.out_tokens == expect, (r.out_tokens, expect)
+
+
+def test_spec_rejects_bad_combos(engine):
+    with pytest.raises(ValueError):
+        BatchScheduler(engine, batch_size=2, spec="ngram", logprobs=True)
+    with pytest.raises(ValueError):
+        BatchScheduler(engine, batch_size=2, spec="medusa")
