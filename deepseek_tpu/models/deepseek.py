@@ -246,10 +246,22 @@ def _attention(lp: LayerParams, cfg: ModelConfig, xb: jnp.ndarray,
                       lp.q_a_norm, cfg.norm_eps)
         # hybrid MLA: prefill attends in decompressed head space when the
         # checkpoint kept wq_b/wkv_b — identical math (the absorption is a
-        # linear factorization), ~2-3x fewer score/mix FLOPs than the
-        # latent-space formulation at large chunk x window. Decode always
-        # uses the absorbed path (minimal cache reads per step).
-        decompress = prefill and lp.wkv_b is not None and lp.wq_b is not None
+        # linear factorization), fewer score/mix FLOPs at large chunk x
+        # window. Decode always uses the absorbed path (minimal cache
+        # reads per step). The per-slot MAC trade for a T-row chunk:
+        # absorbed H*(2R+P) vs decompressed H*(nope+P+Dv) + the one-off
+        # H*(nope+Dv)*R decompression — decompression wins iff
+        # T*(2R - nope - Dv) > (nope+Dv)*R (~T>170 at V3 shapes; S
+        # cancels). Small chunks — speculative verify chunks (T=spec_k+1)
+        # and hydration tails — stay ABSORBED: the whole-window
+        # decompression dwarfs their row work, and sharing the decode
+        # path's weights/numerics keeps speculative greedy output
+        # identical to plain decode on-chip (bf16 argmax ties broke
+        # differently across the two formulations — measured on TPU).
+        t_chunk = T * (ctx.sp if ctx.cp else 1)   # CP: whole-chunk queries
+        decompress = (prefill and not verify
+                      and lp.wkv_b is not None and lp.wq_b is not None
+                      and t_chunk * (2 * R - nope - Dv) > (nope + Dv) * R)
         if not decompress:
             if lp.wcr is not None:
                 # fused [wq_rope_b; wc]: one sweep over both projections

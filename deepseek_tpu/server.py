@@ -225,6 +225,11 @@ class Server:
                         400, {"error": "stop must be a non-empty string "
                                        "or a list of them"})
                 want_lp = bool(body.get("logprobs", False))
+                if want_lp and server.scheduler.spec is not None:
+                    return self._json(
+                        400, {"error": "logprobs is unavailable when the "
+                                       "server runs speculative serving "
+                                       "(--serve-spec)"})
                 p = server.submit(
                     prompt,
                     max_tokens=int(body.get("max_tokens", 128)),

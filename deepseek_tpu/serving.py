@@ -241,9 +241,14 @@ class BatchScheduler:
         replaced by fused prompt-lookup speculation rounds — each slot
         drafts ``spec_k`` tokens from its own history and all slots verify
         together in per-row-position chunks
-        (speculative.make_batched_ngram_spec_rounds). Lossless per slot
-        (greedy slots are token-identical to plain decode; sampled slots
-        follow their exact nucleus distribution). When acceptances dry up
+        (speculative.make_batched_ngram_spec_rounds). Lossless per slot:
+        every emitted token follows the target model's exact nucleus
+        distribution (greedy slots are token-identical to plain decode —
+        pinned in f32 tests; on-chip bf16 the verify and decode forwards
+        are different compilations, so rare near-tie argmax flips can
+        split the two individually-deterministic greedy sequences, the
+        same divergence class as batched-vs-unbatched decode). When
+        acceptances dry up
         the scheduler backs off to plain decode blocks with exponential
         re-probing, so novel text pays ~no verify overhead. Single-chip
         only (mesh=None) and mutually exclusive with logprobs."""

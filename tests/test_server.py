@@ -171,3 +171,20 @@ def test_spec_serving_over_http(engine):
     finally:
         httpd.shutdown()
         srv.shutdown()
+
+
+def test_spec_server_rejects_logprobs(engine):
+    srv = Server(engine, batch_size=2, warmup=False, spec="ngram")
+    httpd = srv.make_http_server("127.0.0.1", 0)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        import urllib.error
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(f"http://127.0.0.1:{port}",
+                  {"prompt": "ab", "max_tokens": 2, "logprobs": True}).read()
+        assert e.value.code == 400
+    finally:
+        httpd.shutdown()
+        srv.shutdown()

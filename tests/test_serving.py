@@ -524,3 +524,23 @@ def test_spec_rejects_bad_combos(engine):
         BatchScheduler(engine, batch_size=2, spec="ngram", logprobs=True)
     with pytest.raises(ValueError):
         BatchScheduler(engine, batch_size=2, spec="medusa")
+
+
+def test_spec_serving_composes_with_prefix_cache(engine_spec):
+    """Prefix-cache admissions + spec decode in one scheduler: greedy
+    outputs stay exact and the cache registers its hit."""
+    engine = engine_spec
+    seed = engine.tokenizer.encode("ab ab ab", bos=True)
+    cont, _ = engine.generate(seed, num_steps=24, temperature=0.0)
+    p = seed + cont[:16]
+    want, _ = engine.generate(p, num_steps=6, temperature=0.0)
+    sched = BatchScheduler(engine, batch_size=2, spec="ngram",
+                           spec_k=3, spec_rounds=2,
+                           prefix_cache_mb=8.0, prefix_block=4)
+    for _ in range(2):
+        r = Request(prompt_tokens=list(p), max_new_tokens=6,
+                    temperature=0.0)
+        sched.submit(r)
+        sched.run()
+        assert r.out_tokens == want
+    assert sched.prefix_cache.stats["hits"] == 1

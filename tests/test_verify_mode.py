@@ -3,8 +3,9 @@
 The batched speculative-verify primitive (`_forward_impl` verify mode,
 models/deepseek.py): each batch row writes+attends its own T-token chunk
 at its own offset. Logits must match running each row's chunk through a
-single-sequence scalar-position prefill at that row's offset, bit-for-bit
-per path (same kernels, same math, only the mask/scatter generalize).
+single-sequence scalar-position prefill at that row's offset — same
+kernels, same math; only the mask/scatter generalize. Tolerances are
+f32 reduction-order noise only (batched vs B=1 einsums), ~1e-7.
 """
 
 import jax
@@ -24,8 +25,20 @@ def _merge(full, part, b):
         full, part, is_leaf=lambda x: x is None)
 
 
-def _run_parity(cfg, atol=0.0):
+def _strip_decompress(params):
+    """Drop wq_b/wkv_b so BOTH scalar prefill and verify take the absorbed
+    MLA path (verify always does — hybrid decompression is gated off for
+    tiny chunks; see _attention) — making the comparison bit-exact."""
+    import dataclasses
+    layers = [dataclasses.replace(lp, wq_b=None, wkv_b=None)
+              for lp in params.layers]
+    return dataclasses.replace(params, layers=layers)
+
+
+def _run_parity(cfg, atol=1e-5, strip=False):
     params = random_params(cfg, 0)
+    if strip:
+        params = _strip_decompress(params)
     B, T = 3, 4
     fwd = dsk.make_forward(cfg, prefill=True, logits_mode="all", jit=False)
 
@@ -56,9 +69,19 @@ def _run_parity(cfg, atol=0.0):
 
 
 def test_verify_matches_per_row_prefill_mla():
+    # absorbed-only checkpoint: scalar prefill and verify share the
+    # absorbed path (tolerance = batched-einsum reduction-order noise)
     cfg = tiny_config(use_mla=True, vocab_size=300, max_seq_len=64,
                       rs_original_max_position_embeddings=32)
-    _run_parity(cfg)
+    _run_parity(cfg, strip=True)
+
+
+def test_verify_matches_per_row_prefill_mla_hybrid():
+    # hybrid checkpoint: scalar prefill decompresses, verify stays
+    # absorbed — identical math, f32 rounding only
+    cfg = tiny_config(use_mla=True, vocab_size=300, max_seq_len=64,
+                      rs_original_max_position_embeddings=32)
+    _run_parity(cfg, atol=1e-4)
 
 
 def test_verify_matches_per_row_prefill_mha():
@@ -71,7 +94,7 @@ def test_verify_matches_per_row_prefill_int8_kv():
     cfg = tiny_config(use_mla=True, vocab_size=300, max_seq_len=64,
                       rs_original_max_position_embeddings=32,
                       kv_cache_dtype="int8")
-    _run_parity(cfg)
+    _run_parity(cfg, strip=True)
 
 
 def test_verify_then_decode_continues_exactly():
@@ -129,3 +152,34 @@ def test_verify_rejects_seq_parallel():
                           jnp.zeros((2, 3), jnp.int32),
                           jnp.asarray([1, 2], jnp.int32), cfg=cfg,
                           prefill=True, logits_mode="all", ctx=ctx)
+
+
+def test_verify_mode_under_scanned_stack():
+    """Verify mode with lax.scan-stacked layer groups (the deep-model
+    runtime layout): logits match the unrolled verify forward."""
+    from deepseek_tpu.models.loader import stack_layer_groups
+    cfg = tiny_config(use_mla=True, vocab_size=300, max_seq_len=64,
+                      rs_original_max_position_embeddings=32,
+                      n_layers=4)
+    params = random_params(cfg, 0)
+    stacked = stack_layer_groups(params, cfg, min_group=2)
+    from deepseek_tpu.models.params import StackedLayers
+    assert any(isinstance(e, StackedLayers) for e in stacked.layers)
+
+    fwd = dsk.make_forward(cfg, prefill=True, logits_mode="all", jit=False)
+    B, T = 2, 3
+    rng = np.random.default_rng(3)
+    lens = [5, 8]
+    hist = [rng.integers(1, 300, size=n).astype(np.int32) for n in lens]
+    chunks = rng.integers(1, 300, size=(B, T)).astype(np.int32)
+
+    def run(p):
+        cB = init_cache(cfg, batch=B)
+        for b in range(B):
+            c1 = init_cache(cfg, batch=1)
+            _, c1 = fwd(p, c1, hist[b][None], 0)
+            cB = _merge(cB, c1, b)
+        lg, _ = fwd(p, cB, jnp.asarray(chunks), jnp.asarray(lens, jnp.int32))
+        return np.asarray(lg)
+
+    np.testing.assert_allclose(run(stacked), run(params), atol=1e-5, rtol=0)
