@@ -1,8 +1,13 @@
 """Decode-throughput benchmark (driver-run on real TPU hardware).
 
-Measures steady-state single-batch decode tokens/s on a DeepSeek-V2-Lite-
-proportioned model (absorbed MLA + 64-expert MoE) sized to fit one chip's
-HBM, in the two shipped weight formats that bracket the envelope:
+HEADLINE: steady-state single-batch decode tokens/s on a DeepSeek-V3-
+proportioned slice (dim 7168, 128 heads, 256 routed experts, k=8,
+noaux_tc — the deepest slice of the reference's published-benchmark model
+that fits one v5e) in the Q3_K nibble runtime layout.
+
+Extras measure a DeepSeek-V2-Lite-proportioned model (absorbed MLA +
+64-expert MoE) sized to fit one chip's HBM, in the weight formats that
+bracket the envelope:
 
 - bf16 (round-1 comparable number),
 - blockwise fp8 (128x128 scale tiles, the fused-dequant Pallas path), and
@@ -232,15 +237,22 @@ def main():
         print(f"v3 slice bench failed: {e!r}", file=sys.stderr)
         v3_tok_s, v3_gb_s = 0.0, 0.0
 
-    if nib_tok_s > fp8_tok_s:
-        head, tok_s, gb_s = "q3knibble", nib_tok_s, nib_gb_s
+    # Headline = the DeepSeek-V3-proportioned slice (VERDICT r4 #3): the
+    # reference's one published number IS DeepSeek-V3, so rounds are
+    # compared on that workload's proportions. Fall back to the V2-Lite-8L
+    # sweep only if the V3 slice fails outright.
+    if v3_tok_s > 0:
+        head, tok_s, gb_s = "v3slice_q3knibble", v3_tok_s, v3_gb_s
+        shape = f"v3slice{v3cfg.n_layers}L"
+    elif nib_tok_s > fp8_tok_s:
+        head, tok_s, gb_s, shape = "q3knibble", nib_tok_s, nib_gb_s, "v2lite8L"
     elif fp8_tok_s > 0:
-        head, tok_s, gb_s = "fp8", fp8_tok_s, fp8_gb_s
+        head, tok_s, gb_s, shape = "fp8", fp8_tok_s, fp8_gb_s, "v2lite8L"
     else:
-        head, tok_s, gb_s = "bf16", bf16_tok_s, bf16_gb_s
+        head, tok_s, gb_s, shape = "bf16", bf16_tok_s, bf16_gb_s, "v2lite8L"
 
     print(json.dumps({
-        "metric": f"decode_tok_per_s_1chip_{backend}_v2lite8L_{head}",
+        "metric": f"decode_tok_per_s_1chip_{backend}_{shape}_{head}",
         "value": round(tok_s, 3),
         "unit": "tok/s",
         "vs_baseline": round(tok_s / BASELINE_TOK_S, 3),
@@ -249,9 +261,12 @@ def main():
             "active_GB_per_s": round(gb_s, 2),
             # fraction of this chip's measured HBM roofline — the
             # apples-to-apples headline (vs_baseline crosses hardware AND
-            # model scale: 8-layer V2-Lite-oid on TPU vs 671B Q2_K on a
+            # model scale: a 1-chip slice on TPU vs 671B Q2_K on a
             # 48-core CPU; it is the only number the reference publishes)
             "hbm_roofline_frac": round(gb_s / HBM_GB_S, 3),
+            # per-config roofline fractions (VERDICT r4 #3)
+            "v2lite8L_nibble_roofline_frac": round(nib_gb_s / HBM_GB_S, 3),
+            "v3slice_roofline_frac": round(v3_gb_s / HBM_GB_S, 3),
             "bf16_tok_per_s": round(bf16_tok_s, 1),
             "bf16_active_GB_per_s": round(bf16_gb_s, 2),
             "fp8_tok_per_s": round(fp8_tok_s, 1),

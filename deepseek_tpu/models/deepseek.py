@@ -245,23 +245,24 @@ def _attention(lp: LayerParams, cfg: ModelConfig, xb: jnp.ndarray,
         q_a = rmsnorm(q_a_raw if q_a_raw is not None else mm(lp.wq_a, xb),
                       lp.q_a_norm, cfg.norm_eps)
         # hybrid MLA: prefill attends in decompressed head space when the
-        # checkpoint kept wq_b/wkv_b — identical math (the absorption is a
-        # linear factorization), fewer score/mix FLOPs at large chunk x
-        # window. Decode always uses the absorbed path (minimal cache
-        # reads per step). The per-slot MAC trade for a T-row chunk:
-        # absorbed H*(2R+P) vs decompressed H*(nope+P+Dv) + the one-off
-        # H*(nope+Dv)*R decompression — decompression wins iff
-        # T*(2R - nope - Dv) > (nope+Dv)*R (~T>170 at V3 shapes; S
-        # cancels). Small chunks — speculative verify chunks (T=spec_k+1)
-        # and hydration tails — stay ABSORBED: the whole-window
-        # decompression dwarfs their row work, and sharing the decode
-        # path's weights/numerics keeps speculative greedy output
-        # identical to plain decode on-chip (bf16 argmax ties broke
-        # differently across the two formulations — measured on TPU).
-        t_chunk = T * (ctx.sp if ctx.cp else 1)   # CP: whole-chunk queries
+        # checkpoint kept wq_b/wkv_b — identical math in exact arithmetic
+        # (the absorption is a linear factorization), fewer score/mix
+        # FLOPs at large chunk x window. Decode always uses the absorbed
+        # path (minimal cache reads per step). Policy (deliberate, round
+        # 5): ALL non-verify prefill decompresses whenever the factor
+        # weights exist — hydration numerics must not depend on chunk
+        # length. Under quantization the two formulations differ
+        # (quantizing the absorbed product wc = wk_nope_b^T @ wq_nope_b
+        # carries different error than quantizing the factors), so a
+        # chunk-size-dependent MAC-count gate here made short-chunk
+        # hydration drift vs long-chunk hydration (caught by
+        # test_nibble_runtime_matches_packed_engine's ppl bar). Verify
+        # chunks (T = spec_k+1) are the one exemption: they share the
+        # decode path's absorbed weights/numerics so speculative greedy
+        # output is identical to plain decode on-chip (bf16 argmax ties
+        # broke differently across the two formulations — measured).
         decompress = (prefill and not verify
-                      and lp.wkv_b is not None and lp.wq_b is not None
-                      and t_chunk * (2 * R - nope - Dv) > (nope + Dv) * R)
+                      and lp.wkv_b is not None and lp.wq_b is not None)
         if not decompress:
             if lp.wcr is not None:
                 # fused [wq_rope_b; wc]: one sweep over both projections

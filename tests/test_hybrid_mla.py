@@ -70,3 +70,30 @@ def test_hybrid_prefill_equals_absorbed(tmp_path):
     # cache contents identical too (writes are the same latent rows)
     np.testing.assert_allclose(np.asarray(c1.ckv), np.asarray(c2.ckv),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_hydration_numerics_chunk_length_independent(tmp_path):
+    """Round-5 policy pin: on a QUANTIZED hybrid-MLA checkpoint, hydrating
+    the same document with different prefill chunk sizes must produce
+    near-identical perplexity. A chunk-size-dependent projection policy
+    (round 4's MAC-count decompress gate) silently switched short chunks
+    to the absorbed quantized projections, whose quantization error
+    differs from the factors' — ppl then depended on chunk length."""
+    cfg = hf_config(dim=256, hidden=256, q_lora=256, kv_lora=256, nope=128,
+                    rope=64, v_dim=128, moe_inter=256, layers=2, vocab=300,
+                    n_experts=4, n_active=2)
+    hf_dir = os.path.join(str(tmp_path), "hf")
+    write_hf_dir(hf_dir, cfg, hf_weights(cfg, seed=29, scale=0.1))
+    out = os.path.join(str(tmp_path), "q2k")
+    cv.convert(hf_dir, out, quant="q2_k", use_mla=True)
+
+    e_small = Engine(out, seed=0, prefill_chunk=4, decode_block=1)
+    doc = e_small.tokenizer.encode(
+        "the quick brown fox jumps over the lazy dog again and again",
+        bos=True)
+    p_small = e_small.perplexity(doc)[0]
+    e_big = Engine(out, seed=0, prefill_chunk=64, decode_block=1)
+    p_big = e_big.perplexity(doc)[0]
+    # same projection policy regime for every chunk size -> only masking /
+    # accumulation-order noise remains
+    np.testing.assert_allclose(p_small, p_big, rtol=2e-3)
