@@ -124,6 +124,11 @@ class Engine:
             # (~4 fewer dispatches per layer per token); sharded paths
             # unfuse automatically (parallel.sharding.shard_params).
             # consume=True keeps peak HBM ~one layer above the fused size.
+            # fuse_projections also stride-16 row-permutes fused expert
+            # [w1;w3] nibble tables (loader._rowperm_layer): h then leaves
+            # the w13 matmul already in the activation order the w2 kernel
+            # wants, enabling the single-dispatch fused expert FFN kernel
+            # (qmm_expert_ffn). Sharded paths unfuse (and un-permute).
             from deepseek_tpu.models.loader import fuse_projections
             p, self.params = self.params, None
             self.params = fuse_projections(p, self.cfg, consume=True)

@@ -806,12 +806,34 @@ def _ffn(lp: LayerParams, cfg: ModelConfig, xb: jnp.ndarray, layer: int,
         # expert_table: a scanned layer stack merges (layer, expert) into
         # one gather axis — idx offset li*E, no weight copies
         if t_w13 is not None:
+            from deepseek_tpu.ops.pallas.qmm import (
+                expert_ffn_fusable, qmm_expert_ffn,
+            )
             tw13, lx13 = expert_table(t_w13, lidx2)
-            h2 = qmm_experts(tw13, lx13, xk, interpret=impl["interpret"],
-                             pair_major=pm).astype(dtype)
-            m = h2.shape[-1] // 2
-            h = glu_act(h2[..., :m], h2[..., m:], cfg.act)         # (1, N, m)
+            tw2, lx2 = expert_table(t_w2, lidx2)
+            fused = pm and expert_ffn_fusable(tw13, tw2)
+            if fused:
+                # single-token decode: ONE fused kernel runs the whole
+                # expert chain (w13 -> GLU -> w2 -> weighted combine) with
+                # h resident in VMEM — no h round trip, no segment-sum,
+                # one launch instead of three (infer.cpp:853-878 runs the
+                # whole expert in one loop pass)
+                y = qmm_expert_ffn(tw13, tw2, lx13[0], x2, wts, cfg.act,
+                                   interpret=impl["interpret"])
+                out = ctx.psum_e(y.reshape(B, T, -1)).astype(dtype)
+            # rowperm w13 (nibble): h leaves the kernel already in
+            # `_perm_x` order per half — tell the w2 kernel to skip its
+            # activation permute
+            rp = bool(getattr(tw13, "rowperm", 0))
+            if not fused:
+                h2 = qmm_experts(tw13, lx13, xk,
+                                 interpret=impl["interpret"],
+                                 pair_major=pm).astype(dtype)
+                m = h2.shape[-1] // 2
+                h = glu_act(h2[..., :m], h2[..., m:], cfg.act)     # (1, N, m)
         else:
+            fused = False
+            rp = False
             tw1, lx1 = expert_table(t_w1, lidx2)
             tw3, lx3 = expert_table(t_w3, lidx2)
             h = glu_act(
@@ -820,11 +842,13 @@ def _ffn(lp: LayerParams, cfg: ModelConfig, xb: jnp.ndarray, layer: int,
                 qmm_experts(tw3, lx3, xk, interpret=impl["interpret"],
                             pair_major=pm).astype(dtype),
                 cfg.act)                                           # (1, N, m)
-        tw2, lx2 = expert_table(t_w2, lidx2)
-        per = qmm_experts(tw2, lx2, h, interpret=impl["interpret"],
-                          pair_major=pm)[0]
-        out = jax.ops.segment_sum(per * wts[:, None], tok, num_segments=Bt)
-        out = ctx.psum_e(out.reshape(B, T, -1)).astype(dtype)
+            tw2, lx2 = expert_table(t_w2, lidx2)
+        if not fused:
+            per = qmm_experts(tw2, lx2, h, interpret=impl["interpret"],
+                              pair_major=pm, x_prepermuted=rp)[0]
+            out = jax.ops.segment_sum(per * wts[:, None], tok,
+                                      num_segments=Bt)
+            out = ctx.psum_e(out.reshape(B, T, -1)).astype(dtype)
     else:
         # decode: gather only the k active experts' quantized weights
         idx, weights = ctx.expert_slots(idx, weights, n_exp)

@@ -360,17 +360,87 @@ def fuse_projections(params: ModelParams, cfg: ModelConfig,
         lp = src[i]
         if consume:
             src[i] = None      # free the donor layer once fused
-        layers.append(fuse_layer(lp))
+        layers.append(_rowperm_layer(fuse_layer(lp)))
         del lp
     mtp = params.mtp
     if mtp is not None:
-        mtp = dataclasses.replace(mtp, block=fuse_layer(mtp.block))
+        mtp = dataclasses.replace(mtp,
+                                  block=_rowperm_layer(fuse_layer(mtp.block)))
     return dataclasses.replace(params, layers=layers, mtp=mtp)
+
+
+def _rowperm_qt(qt, halves: int, undo: bool):
+    """Permute a KNibbleTensor's OUT rows stride-16 per contiguous half
+    (free reshape/transpose, no gather): permuted position o*(mh/16)+g of
+    a half holds natural row g*16+o. Matmul outputs of the permuted
+    tensor land in `_perm_x` order per half — the activation layout the
+    downstream K-quant kernels consume — so the fused expert-chain kernel
+    never permutes h. All fields (p/a/c) share the row axis (-2)."""
+    import dataclasses
+
+    from deepseek_tpu.quant.qtensor import KNibbleTensor
+    assert isinstance(qt, KNibbleTensor)
+    rows = qt.p.shape[-2]
+    mh = rows // halves
+    assert rows % halves == 0 and mh % 16 == 0
+
+    def perm(a):
+        if a is None:
+            return None
+        lead = a.shape[:-2]
+        if undo:
+            a = a.reshape(*lead, halves, 16, mh // 16, a.shape[-1])
+        else:
+            a = a.reshape(*lead, halves, mh // 16, 16, a.shape[-1])
+        return a.swapaxes(-3, -2).reshape(*lead, rows, a.shape[-1])
+
+    return dataclasses.replace(
+        qt, p=perm(qt.p), a=perm(qt.a), c=perm(qt.c),
+        rowperm=0 if undo else halves)
+
+
+def rowperm_expert_w13(params: ModelParams, cfg: ModelConfig,
+                       undo: bool = False) -> ModelParams:
+    """Apply (or undo) the stride-16 row permutation on fused expert
+    [w1;w3] nibble tables (w13s / w13). Enables the single-dispatch fused
+    expert FFN kernel (ops.pallas.qmm.qmm_expert_ffn) and lets the w2
+    kernels take h without an activation permute. Single-chip layout:
+    sharded runs unfuse first (unfuse_projections undoes this)."""
+    import dataclasses
+
+    from deepseek_tpu.quant.qtensor import KNibbleTensor
+
+    return dataclasses.replace(
+        params, layers=[_rowperm_layer(lp, undo)
+                        if isinstance(lp, LayerParams) else lp
+                        for lp in params.layers])
+
+
+def _rowperm_layer(lp: LayerParams, undo: bool = False) -> LayerParams:
+    import dataclasses
+    import os
+
+    from deepseek_tpu.quant.qtensor import KNibbleTensor
+    if os.environ.get("DSEEK_NO_ROWPERM") and not undo:  # A/B kill switch
+        return lp
+    rep = {}
+    for f in ("w13s", "w13"):
+        qt = getattr(lp, f)
+        if (isinstance(qt, KNibbleTensor)
+                and qt.p.ndim == 3          # expert tables only
+                and (bool(qt.rowperm) == undo)
+                and qt.p.shape[-2] % 32 == 0):
+            rep[f] = _rowperm_qt(qt, 2, undo)
+    return dataclasses.replace(lp, **rep) if rep else lp
 
 
 def unfuse_projections(params: ModelParams, cfg: ModelConfig) -> ModelParams:
     """Exact inverse of fuse_projections (row slices)."""
     import dataclasses
+
+    # restore natural expert-FFN row order first: TP slices rows of w13
+    # and columns of w2 consistently in NATURAL order
+    params = rowperm_expert_w13(params, cfg, undo=True)
 
     H, P, R = cfg.n_heads, cfg.qk_rope_head_dim, cfg.kv_lora_rank
 

@@ -263,6 +263,19 @@ def _direct_qtensor(key_gen, shape, quant: str):
         data=jax.random.normal(key_gen(), shape, jnp.bfloat16) * 0.02)
 
 
+def _mark_rowperm(qt):
+    """Declare a synthesized expert [w1;w3] table row-permuted (the fused
+    decode layout, loader._rowperm_layer). The planes are random, so no
+    actual permutation is needed — the flag selects the fused expert-chain
+    kernel path and the permuted-h handling downstream."""
+    import dataclasses
+
+    from deepseek_tpu.quant.qtensor import KNibbleTensor
+    if isinstance(qt, KNibbleTensor) and qt.p.shape[-2] % 32 == 0:
+        return dataclasses.replace(qt, rowperm=2)
+    return qt
+
+
 def random_fused_params(cfg: ModelConfig, quant: str,
                         seed: int = 7) -> ModelParams:
     """Random model directly in the FUSED single-chip decode layout
@@ -314,7 +327,7 @@ def random_fused_params(cfg: ModelConfig, quant: str,
             w13=None if moe else qt(2 * c.hidden_dim, c.dim),
             wcr=qt(H * P + H * R, c.q_lora_rank),
             wkvq=qt(R + P + c.q_lora_rank, c.dim),
-            w13s=qt(E + ns, 2 * m, c.dim) if moe else None,
+            w13s=_mark_rowperm(qt(E + ns, 2 * m, c.dim)) if moe else None,
             w2s=qt(E + ns, c.dim, m) if moe else None,
         ))
         jax.block_until_ready(jax.tree.leaves(layers[-1]))  # bound transients

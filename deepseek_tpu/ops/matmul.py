@@ -215,7 +215,9 @@ def _quantized_grouped_ffn(w1, w2, w3, xb, weights, idx, act, ctx, interpret,
     Returns (out (B,T,dim), overflow count).
     """
     from deepseek_tpu.ops.activations import glu_act
-    from deepseek_tpu.ops.pallas.qmm import _group_sums, _perm_x, qmm_grouped
+    from deepseek_tpu.ops.pallas.qmm import (
+        _group_sums, _group_sums_perm, _perm_x, qmm_grouped,
+    )
     from deepseek_tpu.quant.qtensor import (
         KNibbleTensor, Q2KTensor, Q2KTurboTensor, Q3KTensor, Q3KTurboTensor,
     )
@@ -266,10 +268,18 @@ def _quantized_grouped_ffn(w1, w2, w3, xb, weights, idx, act, ctx, interpret,
             gq(w3, tile_expert, xin.reshape(G, TB, dim), s16_tiles=s16x),
             act)
     m = h.shape[-1]
+    # rowperm w13 (KNibbleTensor.rowperm): h is already in `_perm_x`
+    # order per half — skip the activation permute, group-sum over the
+    # permuted layout instead
+    rp = bool(getattr(wp, "rowperm", 0)) and w13 is not None
     s16h = None
     if need_s16:
-        s16h = _group_sums(h.reshape(G * TB, m), m).reshape(G, TB, m // 16)
-    hin = _perm_x(h.reshape(G * TB, m), m) if kq else h.reshape(G * TB, m)
+        gs = _group_sums_perm if rp else _group_sums
+        s16h = gs(h.reshape(G * TB, m), m).reshape(G, TB, m // 16)
+    if kq and not rp:
+        hin = _perm_x(h.reshape(G * TB, m), m)
+    else:
+        hin = h.reshape(G * TB, m)
     y = gq(w2, tile_expert, hin.reshape(G, TB, m), s16_tiles=s16h)
 
     y = jnp.where(keep[:, None],

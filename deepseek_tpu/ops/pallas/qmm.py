@@ -238,6 +238,20 @@ def _group_sums(x, n: int):
     return x.reshape(*x.shape[:-1], n // 16, 16).sum(axis=-1)
 
 
+def _group_sums_perm(x, n: int):
+    """Per-16-group sums (natural group order) of activations already in
+    stride-16 PERMUTED order: natural group g's members sit at permuted
+    positions {o*(n/16)+g}, so the sum runs over 16 contiguous lane
+    slabs. Written as 16 static lane slices + adds: the equivalent
+    reshape (…, 16, n/16).sum(-2) forced a pathological XLA relayout on
+    chip (8L nibble decode 682 -> 365 tok/s, round-5 A/B)."""
+    n16 = n // 16
+    out = x[..., :n16]
+    for o in range(1, 16):
+        out = out + x[..., o * n16:(o + 1) * n16]
+    return out
+
+
 def _fp8_body(x_ref, w_ref, s_ref, o_ref, *, b0: int, b1: int):
     w = w_ref[...].astype(jnp.float32)                      # (td, n)
     # load the whole block, then squeeze on the VALUE: a ref slice whose
@@ -542,9 +556,10 @@ def _squeeze_body(body):
     return f
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "pair_major"))
+@functools.partial(jax.jit, static_argnames=("interpret", "pair_major",
+                                             "x_prepermuted"))
 def qmm_experts(qt, idx, x, interpret: bool = False,
-                pair_major: bool = False):
+                pair_major: bool = False, x_prepermuted: bool = False):
     """Gathered-expert matmul for MoE decode (matmul_expert analogue,
     infer.cpp:423-469).
 
@@ -579,11 +594,20 @@ def qmm_experts(qt, idx, x, interpret: bool = False,
     B, k, n = x.shape
     x = x.astype(jnp.float32)
     s16 = None
-    if isinstance(qt, (Q2KTurboTensor, KNibbleTensor)):
-        s16 = _group_sums(x, n).reshape(B * k, 1, n // 16)
-    if isinstance(qt, (Q2KTensor, Q3KTensor, Q3KTurboTensor,
-                       KNibbleTensor)):
-        x = _perm_x(x, n)       # Q2 turbo consumes NATURAL order
+    if x_prepermuted:
+        # x already in stride-16 permuted order (produced by a rowperm
+        # weight table — see KNibbleTensor.rowperm); only layouts that
+        # consume permuted activations qualify
+        assert isinstance(qt, (Q2KTensor, Q3KTensor, Q3KTurboTensor,
+                               KNibbleTensor)), type(qt)
+        if isinstance(qt, KNibbleTensor):
+            s16 = _group_sums_perm(x, n).reshape(B * k, 1, n // 16)
+    else:
+        if isinstance(qt, (Q2KTurboTensor, KNibbleTensor)):
+            s16 = _group_sums(x, n).reshape(B * k, 1, n // 16)
+        if isinstance(qt, (Q2KTensor, Q3KTensor, Q3KTurboTensor,
+                           KNibbleTensor)):
+            x = _perm_x(x, n)       # Q2 turbo consumes NATURAL order
     N = B * k
     x = x.reshape(N, 1, n)                     # pair-flat: see _squeeze_body
     idx = idx.reshape(N)
@@ -686,3 +710,229 @@ def qmm_experts(qt, idx, x, interpret: bool = False,
         out_shape=oshape, interpret=interpret,
     )(idx.astype(jnp.int32), *args, *fields)
     return out.reshape(B, k, d)
+
+
+# ---------------------------------------------------------------------------
+# fused expert FFN chain (single-token MoE decode)
+# ---------------------------------------------------------------------------
+
+# combined working-set budget for the fused expert-chain kernel (both
+# phases' pipelines coexist; each phase gets half). Default 48 MB —
+# measured on-chip at V3 expert shapes (probe_fused_ffn, round 5):
+# 48 MB picks td13=512/td2=1024 -> 326 us (760 GB/s of layout bytes, 93%
+# of roofline, 1.14x the 3-dispatch chain); 32 MB drops td13 to 256 and
+# LOSES to the chain (414 us); 96 MB (td13=1024) fails the scoped-VMEM
+# compile. DSEEK_FFN_VMEM_MB overrides for A/Bs.
+_FFN_VMEM_MB = int(os.environ.get("DSEEK_FFN_VMEM_MB", "48"))
+
+
+def _ffn_tile(rows: int, n: int, budget_mb: float) -> int:
+    """Largest ladder tile that divides ``rows`` within the VMEM budget
+    (the fused kernel keeps BOTH weight pipelines resident, so each phase
+    gets roughly half the usual budget). 0 if nothing divides."""
+    for td in (1024, 512, 256, 128):
+        if rows % td == 0 and td * n * 6 <= budget_mb * 1024 * 1024:
+            return td
+    return 0
+
+
+def expert_ffn_fusable(qt13, qt2) -> bool:
+    """Static predicate for the fused expert-chain kernel: both tables in
+    the nibble layout, w13 row-permuted (KNibbleTensor.rowperm — h leaves
+    phase 1 in the activation order phase 2 consumes), ladder tiles that
+    divide both row counts, and 128-lane-clean plane widths."""
+    # OPT-IN (DSEEK_FUSED_FFN=1): measured end-to-end NEUTRAL at V3
+    # decode (405 vs 404 tok/s) and ~-2.5% at V2-Lite-8L (672 vs 690
+    # mean) despite the kernel-level win (PERFORMANCE.md round-5 write-up:
+    # the 3-dispatch chain's glue is already hidden by program-level
+    # overlap on stream-bound decode). Kept for hardware/workloads where
+    # dispatch overhead is NOT hidden; correctness is test- and
+    # smoke-pinned either way.
+    if not os.environ.get("DSEEK_FUSED_FFN"):
+        return False
+    if not (isinstance(qt13, KNibbleTensor) and isinstance(qt2, KNibbleTensor)):
+        return False
+    if qt13.rowperm != 2:
+        return False
+    m2, n = qt13.shape[-2], qt13.shape[-1]
+    d, mh = qt2.shape[-2], qt2.shape[-1]
+    if m2 != 2 * mh or mh % 256 != 0 or n % 256 != 0:
+        return False
+    half = _FFN_VMEM_MB / 2
+    return _ffn_tile(m2, n, half) > 0 and _ffn_tile(d, mh, half) > 0
+
+
+@functools.partial(jax.jit, static_argnames=("act", "interpret"))
+def qmm_expert_ffn(qt13, qt2, idx, x, wts, act, interpret: bool = False):
+    """Single-dispatch fused MoE expert chain for one-token decode:
+
+        y = sum_p wts[p] * ( glu(x @ w1_e(p).T, x @ w3_e(p).T) @ w2_e(p).T )
+
+    (reference runs the whole expert in one loop pass, infer.cpp:853-878;
+    the 3-kernel formulation here cost one launch per projection plus an
+    HBM round trip of h and an XLA segment-sum).
+
+    qt13 (E, 2m, n) KNibbleTensor with rowperm=2 — its outputs land in
+    `_perm_x` order per half, so the intermediate h never needs a lane
+    permute; qt2 (E, d, m) KNibbleTensor (natural rows, permuted-column
+    planes). idx (N,) int32 expert ids, x (1, n) NATURAL activations,
+    wts (N,) f32 routing weights (dead pairs carry 0).
+
+    Grid (w13-tiles then w2-tiles OUTER, pairs inner — the same pair-minor
+    order as the 3-kernel chain, so the DMA pipeline never stalls on a
+    per-pair phase switch): the w13 phase streams every pair's tiles into
+    a VMEM h2 scratch, the phase boundary computes GLU + the per-16 group
+    sums of h per pair (once, at each pair's first w2 visit), and the w2
+    phase accumulates the wts-weighted output into a single resident
+    (J2, 1, td2) output block — h and the per-pair partials never touch
+    HBM. During the w13 phase the w2 index map is held constant (and vice
+    versa), so Mosaic's repeat-map DMA elision keeps weight traffic at
+    exactly one pass per pair.
+    Returns (1, d) f32 — the combined mixture (no segment-sum needed).
+    """
+    TRACE_COUNTS["qmm_expert_ffn"] += 1
+    from deepseek_tpu.config import ActivationType
+    from deepseek_tpu.ops.activations import glu_act
+
+    assert expert_ffn_fusable(qt13, qt2)
+    m2, n = qt13.shape[-2], qt13.shape[-1]
+    mh = m2 // 2
+    d = qt2.shape[-2]
+    N = int(idx.shape[0])
+    half = _FFN_VMEM_MB / 2
+    td13 = _ffn_tile(m2, n, half)
+    td2 = _ffn_tile(d, mh, half)
+    J13, J2 = m2 // td13, d // td2
+    n16, mh16 = n // 16, mh // 16
+    has_c13 = qt13.c is not None
+    has_c2 = qt2.c is not None
+    off13, off2 = float(qt13.off), float(qt2.off)
+
+    x2 = x.reshape(1, n).astype(jnp.float32)
+    xp = _perm_x(x2, n)
+    s16x = _group_sums(x2, n)
+
+    def x_map(j, p, idx):
+        return (0, 0)
+
+    def w13_map(j, p, idx):
+        # held at the last-visited tile during the w2 phase (map repeat ->
+        # DMA elided; pair N-1's last tile was the final phase-1 fetch)
+        pp = jnp.where(j < J13, p, N - 1)
+        return (idx[pp], jnp.minimum(j, J13 - 1), 0)
+
+    def w2_map(j, p, idx):
+        # held at pair 0's first tile during the w13 phase (one early
+        # prefetch that phase 2 immediately uses)
+        pp = jnp.where(j < J13, 0, p)
+        return (idx[pp], jnp.maximum(j - J13, 0), 0)
+
+    in_specs = [
+        pl.BlockSpec((1, n), x_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, n16), x_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),              # wts, whole
+        pl.BlockSpec((1, td13, n // 2), w13_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, td13, n16), w13_map, memory_space=pltpu.VMEM),
+    ]
+    args = [xp, s16x, wts.astype(jnp.float32), qt13.p, qt13.a]
+    if has_c13:
+        in_specs.append(pl.BlockSpec((1, td13, n16), w13_map,
+                                     memory_space=pltpu.VMEM))
+        args.append(qt13.c)
+    in_specs += [
+        pl.BlockSpec((1, td2, mh // 2), w2_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, td2, mh16), w2_map, memory_space=pltpu.VMEM),
+    ]
+    args += [qt2.p, qt2.a]
+    if has_c2:
+        in_specs.append(pl.BlockSpec((1, td2, mh16), w2_map,
+                                     memory_space=pltpu.VMEM))
+        args.append(qt2.c)
+
+    # one (1, 1, td2) output block per w2 tile row: for a fixed jj the
+    # pair sweep revisits the SAME block (map repeat -> buffer persists,
+    # accumulation across pairs is plain static stores); the block flushes
+    # once, when jj advances. Held at block 0 during the w13 phase.
+    out_spec = pl.BlockSpec(
+        (1, 1, td2),
+        lambda j, p, idx: (jnp.maximum(j - J13, 0), 0, 0),
+        memory_space=pltpu.VMEM)
+
+    def knib_row(x_row, s16_row, pref, aref, cref, off):
+        pu = pref[0].astype(jnp.int32)
+        u = jnp.concatenate([pu & 0xF, pu >> 4], axis=-1).astype(jnp.float32)
+        af = aref[0].astype(jnp.float32)
+        w = pltpu.repeat(af, 16, axis=1) * u
+        acc = jax.lax.dot_general(
+            x_row, w, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        corr = af * off if off else None
+        if cref is not None:
+            cf = cref[0].astype(jnp.float32)
+            corr = cf if corr is None else corr + cf
+        if corr is not None:
+            acc = acc - jax.lax.dot_general(
+                s16_row, corr, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        return acc
+
+    def body(idx_ref, x_ref, s16x_ref, wts_ref, *refs):
+        k13 = 3 if has_c13 else 2
+        k2 = 3 if has_c2 else 2
+        f13 = refs[:k13]
+        f2 = refs[k13:k13 + k2]
+        o_ref = refs[k13 + k2]
+        h2_scr, h_scr, s16h_scr = refs[k13 + k2 + 1:]
+        j = pl.program_id(0)
+        p = pl.program_id(1)
+
+        @pl.when(j < J13)
+        def _w13_phase():
+            acc = knib_row(x_ref[...], s16x_ref[...], f13[0], f13[1],
+                           f13[2] if has_c13 else None, off13)
+            h2_scr[j, p] = acc                               # (1, td13)
+
+        @pl.when(j >= J13)
+        def _w2_phase():
+            jj = j - J13
+
+            @pl.when(jj == 0)
+            def _glu():
+                h2 = jnp.concatenate([h2_scr[i, p] for i in range(J13)],
+                                     axis=-1)                # (1, 2m)
+                g = glu_act(h2[:, :mh], h2[:, mh:], act)
+                g = g.astype(jnp.float32) * wts_ref[p]       # fold routing wt
+                h_scr[p] = g
+                # natural per-16 group sums of the PERMUTED h: group g's
+                # members sit at permuted positions {o*(m/16)+g} — 16
+                # static lane slabs summed (exact, no matmul)
+                s = g[:, :mh16]
+                for o in range(1, 16):
+                    s = s + g[:, o * mh16:(o + 1) * mh16]
+                s16h_scr[p] = s
+
+            acc = knib_row(h_scr[p], s16h_scr[p], f2[0], f2[1],
+                           f2[2] if has_c2 else None, off2)
+
+            @pl.when(p == 0)
+            def _init():
+                o_ref[...] = acc[None]
+
+            @pl.when(p > 0)
+            def _acc():
+                o_ref[...] = o_ref[...] + acc[None]
+
+    out = pl.pallas_call(
+        body,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=(J13 + J2, N),
+            in_specs=in_specs, out_specs=out_spec,
+            scratch_shapes=[
+                pltpu.VMEM((J13, N, 1, td13), jnp.float32),
+                pltpu.VMEM((N, 1, mh), jnp.float32),
+                pltpu.VMEM((N, 1, mh16), jnp.float32),
+            ]),
+        out_shape=jax.ShapeDtypeStruct((J2, 1, td2), jnp.float32),
+        interpret=interpret,
+    )(idx.astype(jnp.int32), *args)
+    return out.reshape(1, d)

@@ -273,6 +273,15 @@ class KNibbleTensor:
     a: jax.Array           # (..., out, in//16) bf16 = d*sc per 16-group
     c: object = None       # (..., out, in//16) bf16 min term, or None
     off: int = 0           # u = q + off (static)
+    # rowperm > 0: the OUT rows are stored stride-16 permuted, per
+    # contiguous half (rowperm = number of halves; 2 for a fused [w1;w3]
+    # table). A matmul against this tensor produces outputs already in
+    # `_perm_x` order per half — exactly what a downstream K-quant kernel
+    # wants as its activation input. Set by loader.rowperm_expert_w13 for
+    # expert FFN tables so the fused expert-chain kernel (qmm_expert_ffn)
+    # and the w2 kernels skip the activation permute. dequant() restores
+    # natural row order.
+    rowperm: int = 0
 
     @property
     def shape(self) -> Tuple[int, ...]:
@@ -291,10 +300,20 @@ class KNibbleTensor:
         w = a16 * (u.astype(dtype) - float(self.off))
         if self.c is not None:
             w = w - jnp.concatenate([self.c.astype(dtype)] * 16, axis=-1)
-        return jnp.take(w, jnp.asarray(stride16_inv_perm(2 * n2)), axis=-1)
+        w = jnp.take(w, jnp.asarray(stride16_inv_perm(2 * n2)), axis=-1)
+        if self.rowperm:
+            # restore natural row order: permuted position o*(mh/16)+g of
+            # each half holds natural row g*16+o — the inverse is the
+            # (16, mh/16) -> (mh/16, 16) reshape-transpose per half
+            rows = w.shape[-2]
+            mh = rows // self.rowperm
+            lead = w.shape[:-2]
+            w = w.reshape(*lead, self.rowperm, 16, mh // 16, w.shape[-1])
+            w = w.swapaxes(-3, -2).reshape(*lead, rows, w.shape[-1])
+        return w
 
 
-_register(KNibbleTensor, ["p", "a", "c"], ["off"])
+_register(KNibbleTensor, ["p", "a", "c"], ["off", "rowperm"])
 
 
 def q2k_to_nibble(qt: Q2KTensor) -> KNibbleTensor:

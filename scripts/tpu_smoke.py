@@ -114,6 +114,47 @@ def main():
         ok &= check(f"q2k-nibble expert slot {s}", got[0, s],
                     xk[0, s] @ deq[idx[0, s]].T)
 
+    # fused expert FFN chain (w13 -> GLU -> w2 -> weighted combine in ONE
+    # kernel; rowperm w13 layout). Real Mosaic exercises the two-phase
+    # grid, dynamic-index scratch stores, SMEM f32 weights and the
+    # resident accumulated output block — interpret mode cannot.
+    from deepseek_tpu.config import ActivationType
+    from deepseek_tpu.models.loader import _rowperm_qt
+    from deepseek_tpu.ops.activations import glu_act
+    from deepseek_tpu.ops.pallas.qmm import expert_ffn_fusable, qmm_expert_ffn
+    import os
+    os.environ["DSEEK_FUSED_FFN"] = "1"    # opt-in kernel, still smoke-pinned
+    Ef, mhf, nf, df = 8, 256, 2048, 512
+    w13f = rnd((Ef, 2 * mhf, nf), seed=21) * 0.1
+    w2f = rnd((Ef, df, mhf), seed=22) * 0.1
+    raw13 = np.stack([kquant.quantize_q3_k(w13f[e]) for e in range(Ef)])
+    raw2 = np.stack([kquant.quantize_q3_k(w2f[e]) for e in range(Ef)])
+    f13 = repack.repack_q3k(raw13, 2 * mhf, nf)
+    f2 = repack.repack_q3k(raw2, df, mhf)
+    nt13 = _rowperm_qt(q3k_to_nibble(Q3KTensor(
+        qs=jnp.asarray(f13[0]), hm=jnp.asarray(f13[1]),
+        sc=jnp.asarray(f13[2]), d=jnp.asarray(f13[3]))), 2, undo=False)
+    nt2 = q3k_to_nibble(Q3KTensor(
+        qs=jnp.asarray(f2[0]), hm=jnp.asarray(f2[1]),
+        sc=jnp.asarray(f2[2]), d=jnp.asarray(f2[3])))
+    assert expert_ffn_fusable(nt13, nt2)
+    fidx = jnp.asarray([5, 1, 5, 7], jnp.int32)
+    fwts = jnp.asarray([0.5, 1.0, 0.0, 0.25], jnp.float32)
+    xf = rnd((1, nf), seed=23) * 0.2
+    got = np.asarray(qmm_expert_ffn(
+        nt13, nt2, fidx, jnp.asarray(xf), fwts, ActivationType.SILU))[0]
+    d13n = np.asarray(nt13.dequant())
+    d2n = np.asarray(nt2.dequant())
+    want = np.zeros((df,), np.float64)
+    for p in range(4):
+        e = int(fidx[p])
+        hh = np.asarray(glu_act(
+            jnp.asarray(xf[0] @ d13n[e, :mhf].T),
+            jnp.asarray(xf[0] @ d13n[e, mhf:].T), ActivationType.SILU),
+            np.float64)
+        want += float(fwts[p]) * (hh @ d2n[e].T)
+    ok &= check("fused expert FFN chain", got, want, tol=3e-2)
+
     # flash-decode attention (bf16 + int8 caches) vs jnp formulation
     from deepseek_tpu.models.kvcache import dequant_rows, quantize_rows
     from deepseek_tpu.ops.attention import decode_attn_mla
