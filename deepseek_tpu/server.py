@@ -69,8 +69,9 @@ class Server:
         ``spec="ngram"`` (``-m serve --serve-spec``): speculative
         continuous batching — fused prompt-lookup rounds across the whole
         batch while every slot is in-window, plain decode otherwise
-        (BatchScheduler docstring). Lossless; disables the per-request
-        "logprobs" field (mutually exclusive at the scheduler)."""
+        (BatchScheduler docstring). Lossless; composes with the
+        per-request "logprobs" field (accepted tokens' log-softmax values
+        ride the verify chunks)."""
         self.engine = engine
         self._warmup = warmup
         self._prefix_mb = prefix_cache_mb
@@ -78,11 +79,10 @@ class Server:
                              spec_rounds=spec_rounds)
         # logprobs=True so per-request "logprobs" works without a second
         # set of compiled decode loops — one gather per step on device
-        # (spec serving emits tokens in fused rounds instead; the two are
-        # mutually exclusive at the scheduler)
+        # (and from the verify chunks' log-softmax in spec rounds)
         self.scheduler = BatchScheduler(engine, batch_size=batch_size,
                                         prefix_cache_mb=prefix_cache_mb,
-                                        logprobs=spec is None,
+                                        logprobs=True,
                                         **self._spec_kw)
         if warmup:
             import time
@@ -124,7 +124,7 @@ class Server:
                 self.scheduler = BatchScheduler(
                     self.engine, batch_size=self.scheduler.batch,
                     prefix_cache_mb=self._prefix_mb,
-                    logprobs=self._spec_kw["spec"] is None,
+                    logprobs=True,
                     **self._spec_kw)
                 if self._warmup:
                     try:
@@ -225,11 +225,6 @@ class Server:
                         400, {"error": "stop must be a non-empty string "
                                        "or a list of them"})
                 want_lp = bool(body.get("logprobs", False))
-                if want_lp and server.scheduler.spec is not None:
-                    return self._json(
-                        400, {"error": "logprobs is unavailable when the "
-                                       "server runs speculative serving "
-                                       "(--serve-spec)"})
                 p = server.submit(
                     prompt,
                     max_tokens=int(body.get("max_tokens", 128)),

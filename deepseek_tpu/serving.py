@@ -102,8 +102,23 @@ class PrefixCache:
                 return jnp.where(off == 0, part, full)
             return jax.tree.map(one, cache, frag)
 
+        def write_many(cache, frags, off0):
+            # one dispatch restores a whole chunk of chain blocks: the
+            # unrolled updates fuse into one program instead of one jitted
+            # call (~50-70 ms dispatch+sync RTT on a remote-attached chip)
+            # per block. Retraces per chunk length; callers chunk in
+            # powers of two so at most log2(window/block) shapes compile.
+            for j, frag in enumerate(frags):
+                cache = write_block(cache, frag, off0 + j * Q)
+            return cache
+
+        def slice_many(cache, off0, n):
+            return tuple(slice_block(cache, off0 + j * Q) for j in range(n))
+
         self._slice = jax.jit(slice_block)
+        self._slice_many = jax.jit(slice_many, static_argnums=(2,))
         self._write = jax.jit(write_block, donate_argnums=(0,))
+        self._write_many = jax.jit(write_many, donate_argnums=(0,))
 
     def match(self, tokens: List[int]):
         """Longest stored block chain that is a PROPER prefix of ``tokens``
@@ -132,11 +147,19 @@ class PrefixCache:
         return len(keys) * self.block, frags
 
     def restore(self, cache, frags):
-        """Write matched blocks into a fresh 1-row cache (donated)."""
+        """Write matched blocks into a fresh 1-row cache (donated).
+
+        Chunked in powers of two: an N-block chain costs popcount(N)
+        dispatches (<= log2) instead of N — the restore sits on the TTFT
+        path and each dispatch is a full device round trip."""
         if self._write is None:
             self._build(cache)
-        for j, frag in enumerate(frags):
-            cache = self._write(cache, frag, jnp.int32(j * self.block))
+        i = 0
+        while i < len(frags):
+            n = 1 << ((len(frags) - i).bit_length() - 1)
+            cache = self._write_many(cache, tuple(frags[i:i + n]),
+                                     jnp.int32(i * self.block))
+            i += n
         return cache
 
     def insert(self, tokens: List[int], cache) -> None:
@@ -149,6 +172,24 @@ class PrefixCache:
             return
         arr = np.asarray(tokens, np.int32)
         n_blocks = (len(tokens) - 1) // self.block
+        # slice all missing blocks first, chunked in powers of two — one
+        # dispatch per chunk instead of per block (each output frag is an
+        # independent buffer; evicting one never pins the others)
+        missing = [j for j in range(n_blocks)
+                   if arr[:(j + 1) * self.block].tobytes() not in self._store]
+        frags: Dict[int, object] = {}
+        i = 0
+        while i < len(missing):
+            n = 1 << ((len(missing) - i).bit_length() - 1)
+            run = missing[i:i + n]
+            # contiguous runs share one slice_many call; break on gaps
+            while len(run) > 1 and run[-1] - run[0] != len(run) - 1:
+                n //= 2
+                run = missing[i:i + n]
+            out = self._slice_many(cache, jnp.int32(run[0] * self.block),
+                                   len(run))
+            frags.update(zip(run, out))
+            i += n
         # store/touch DEEP-to-SHALLOW (see match): within a chain the LRU
         # order must age deepest-first, so budget eviction trims chains
         # from the tail instead of beheading them at block 0
@@ -158,7 +199,7 @@ class PrefixCache:
             if e is not None:
                 self._store[key] = e
                 continue
-            frag = self._slice(cache, jnp.int32(j * self.block))
+            frag = frags[j]
             nbytes = sum(x.nbytes for x in jax.tree.leaves(frag))
             self._store[key] = [frag, nbytes]
             self._bytes += nbytes
@@ -251,7 +292,11 @@ class BatchScheduler:
         acceptances dry up
         the scheduler backs off to plain decode blocks with exponential
         re-probing, so novel text pays ~no verify overhead. Single-chip
-        only (mesh=None) and mutually exclusive with logprobs."""
+        composes with logprobs (accepted tokens' log-softmax values are
+        gathered from the verify chunks) and with data/tensor/expert
+        meshes (the per-row lookup/verify/acceptance DP-shard over
+        'data'); only 'seq' sharding is excluded (verify-mode
+        precondition)."""
         self.engine = engine
         self.batch = batch_size
         # clamp the block so small-window models can still store prefixes
@@ -264,15 +309,12 @@ class BatchScheduler:
         # the cost of up to block-1 wasted positions after a sequence stops
         self.block = max(1, decode_block)
         self.logprobs = bool(logprobs)
-        if spec is not None:
-            if spec != "ngram":
-                raise ValueError(f"unknown spec mode {spec!r}")
-            if mesh is not None:
-                raise ValueError("spec serving is single-chip (mesh=None)")
-            if self.logprobs:
-                raise ValueError("spec and logprobs are mutually exclusive "
-                                 "(the fused rounds emit tokens, not "
-                                 "per-token log-softmax values)")
+        if spec is not None and spec != "ngram":
+            raise ValueError(f"unknown spec mode {spec!r}")
+        if spec is not None and mesh is not None \
+                and mesh.shape.get("seq", 1) > 1:
+            raise ValueError("spec serving composes with data/tensor/"
+                             "expert meshes; verify mode excludes 'seq'")
         self.spec = spec
         self.spec_k = spec_k
         self.spec_rounds = spec_rounds
@@ -374,13 +416,7 @@ class BatchScheduler:
                 * (self.spec_k + 1) + 1 <= eng.cfg.kv_window):
             # fused speculation dispatch (junk rows land in idle slots,
             # fully overwritten at admission like the decode warmup above)
-            from deepseek_tpu.speculative import \
-                make_batched_ngram_spec_rounds
-            if self._spec_fn is None:
-                self._spec_fn = make_batched_ngram_spec_rounds(
-                    eng.cfg, self.spec_k, self.spec_rounds,
-                    hist_len=eng.cfg.kv_window, ngram_max=self.ngram_max)
-            *_, self.cache, self._hist = self._spec_fn(
+            *_, self.cache, self._hist = self._get_spec_fn()(
                 self.params, self.cache,
                 jnp.zeros((B, eng.cfg.kv_window), jnp.int32), tok, pos,
                 key, temps, topps, act, topks, minps)
@@ -506,6 +542,22 @@ class BatchScheduler:
                 self.cur[i] = 0
 
     # ------------------------------------------------------------------
+    def _get_spec_fn(self):
+        """Build (once) the fused batched prompt-lookup rounds for this
+        scheduler's mesh/logprobs configuration (VERDICT r4 #5: spec
+        serving composes with DP meshes and per-token logprobs)."""
+        if self._spec_fn is None:
+            from deepseek_tpu.speculative import \
+                make_batched_ngram_spec_rounds
+            eng = self.engine
+            self._spec_fn = make_batched_ngram_spec_rounds(
+                eng.cfg, self.spec_k, self.spec_rounds,
+                hist_len=eng.cfg.kv_window, ngram_max=self.ngram_max,
+                with_logprobs=self.logprobs, mesh=self.mesh,
+                params=self.params if self.mesh is not None else None,
+                cache=self.cache if self.mesh is not None else None)
+        return self._spec_fn
+
     def _spec_ready(self) -> bool:
         """Speculate this step? Requires spec serving on, every live slot
         strictly inside the ring window for the whole fused span (the
@@ -529,13 +581,9 @@ class BatchScheduler:
         all slots verify together, and each slot advances by its own
         accepted count (pos/cur mirror the device's in-graph bookkeeping
         exactly, including rounds after a slot finished mid-dispatch)."""
-        from deepseek_tpu.speculative import make_batched_ngram_spec_rounds
         eng = self.engine
         H = eng.cfg.kv_window
         R, K = self.spec_rounds, self.spec_k
-        if self._spec_fn is None:
-            self._spec_fn = make_batched_ngram_spec_rounds(
-                eng.cfg, K, R, hist_len=H, ngram_max=self.ngram_max)
         if self._hist_stale or self._hist is None:
             # rebuild from host truth (cheap: B*window int32). Live slots
             # satisfy len(prompt + emitted) == pos+1 <= window (guarded)
@@ -547,12 +595,18 @@ class BatchScheduler:
             self._hist = jnp.asarray(hist)
             self._hist_stale = False
         self._key, sub = jax.random.split(self._key)
-        drafts_r, nacc_r, next_r, _, self.cache, self._hist = self._spec_fn(
+        out = self._get_spec_fn()(
             self.params, self.cache, self._hist,
             jnp.asarray(self.cur.reshape(-1, 1), jnp.int32),
             jnp.asarray(self.pos, jnp.int32), sub,
             jnp.asarray(temps), jnp.asarray(topps), jnp.asarray(act),
             jnp.asarray(topks), jnp.asarray(minps))
+        if self.logprobs:
+            drafts_r, nacc_r, next_r, _, lps_r, self.cache, self._hist = out
+            lps = np.asarray(lps_r)                       # (R, B, k+1)
+        else:
+            drafts_r, nacc_r, next_r, _, self.cache, self._hist = out
+            lps = None
         drafts = np.asarray(drafts_r)                     # (R, B, k)
         nacc = np.asarray(nacc_r)                         # (R, B)
         nxt = np.asarray(next_r)                          # (R, B)
@@ -572,13 +626,18 @@ class BatchScheduler:
                 accepted_this += na
                 if req.done:
                     continue             # device kept going; mirror pos only
-                for d in drafts[r, i, :na]:
+                want_lp = lps is not None and req.logprobs
+                for j, d in enumerate(drafts[r, i, :na]):
+                    if want_lp:
+                        req.out_logprobs.append(float(lps[r, i, j]))
                     self._emit(req, int(d), prev=prev)
                     prev = int(d)
                     if req.done:
                         break
                 if not req.done:
                     t = int(nxt[r, i])
+                    if want_lp:
+                        req.out_logprobs.append(float(lps[r, i, na]))
                     self._emit(req, t, prev=prev)
                     prev = t
             self.pos[i] += adv

@@ -188,7 +188,9 @@ def _accept_pointmass(ps, drafts, spec_k: int, key):
 def make_batched_ngram_spec_rounds(cfg: ModelConfig, spec_k: int,
                                    rounds: int, hist_len: int,
                                    ngram_max: int = 3, ngram_min: int = 1,
-                                   jit: bool = True):
+                                   jit: bool = True,
+                                   with_logprobs: bool = False,
+                                   mesh=None, params=None, cache=None):
     """Prompt-lookup speculation for the CONTINUOUS-BATCHING scheduler:
     every live slot drafts from its own history and all slots verify in
     ONE fused dispatch per round via the per-row-position verify mode
@@ -211,13 +213,32 @@ def make_batched_ngram_spec_rounds(cfg: ModelConfig, spec_k: int,
 
     Returns ``fn(params, ct, hist (B,H) i32, tok (B,1), pos0 (B,), key,
     temperature (B,), top_p (B,), active (B,), top_k (B,), min_p (B,))
-    -> (drafts (R,B,k), n_acc (R,B), next (R,B), matched (R,B), ct,
-    hist)`` with the target cache and hist donated. Per round r the host
-    emits drafts[r,b,:n_acc[r,b]] then next[r,b] and advances pos[b] by
-    n_acc[r,b]+1 (active rows).
+    -> (drafts (R,B,k), n_acc (R,B), next (R,B), matched (R,B)[, lps
+    (R,B,k+1)], ct, hist)`` with the target cache and hist donated. Per
+    round r the host emits drafts[r,b,:n_acc[r,b]] then next[r,b] and
+    advances pos[b] by n_acc[r,b]+1 (active rows).
+
+    ``with_logprobs`` adds ``lps``: raw log-softmax of each emitted token
+    from the verify chunk's logits (no temperature — the serving API's
+    logprobs convention): lps[r,b,i] scores the i-th token round r emits
+    (drafts for i < n_acc, the bonus/residual token at i == n_acc). The
+    speculative path therefore composes with ``logprobs=True`` requests
+    (VERDICT r4 #5b).
+
+    ``mesh``: run every fused round under shard_map over the device mesh —
+    the batch (hist/tok/pos/sampling params) DP-shards over 'data' and
+    params/cache follow the standard sharding rules; the per-row lookup,
+    verify chunk and acceptance are all row-local so nothing else changes
+    (VERDICT r4 #5a). Verify mode excludes seq/context parallelism
+    (models/deepseek._forward_impl), so the mesh must have seq == 1.
     """
+    ctx = None
+    if mesh is not None:
+        from deepseek_tpu.models.deepseek import _spmd_parts
+        ctx, pspec, cspec, P = _spmd_parts(cfg, mesh, params, cache)
+        assert ctx.sp == 1, "spec serving mesh must not shard 'seq'"
     fwd_t = functools.partial(_forward_impl, cfg=cfg, prefill=True,
-                              logits_mode="all")
+                              logits_mode="all", ctx=ctx)
     H = hist_len
     lookup = jax.vmap(
         lambda h, n: _ngram_lookup(h, n, H, ngram_max, ngram_min))
@@ -225,6 +246,9 @@ def make_batched_ngram_spec_rounds(cfg: ModelConfig, spec_k: int,
     def fn(params, ct, hist, tok, pos0, key, temperature, top_p,
            active, top_k, min_p):
         pos0 = jnp.asarray(pos0, jnp.int32)
+        if ctx is not None and ctx.dp > 1:
+            # replicated key in, independent acceptance noise per DP shard
+            key = jax.random.fold_in(key, jax.lax.axis_index("data"))
         B = tok.shape[0]
         off = jnp.arange(spec_k, dtype=jnp.int32)[None, :]
 
@@ -254,22 +278,49 @@ def make_batched_ngram_spec_rounds(cfg: ModelConfig, spec_k: int,
             emitted = jnp.where(
                 jnp.arange(spec_k + 1, dtype=jnp.int32)[None, :]
                 == n_acc[:, None], nxt[:, None], emitted)
+            if with_logprobs:
+                # raw log-softmax of the emitted tokens, gathered from the
+                # verify chunk's own logits rows — zero extra forwards
+                lsm = jax.nn.log_softmax(
+                    lg_all.astype(jnp.float32), axis=-1)         # (B,k+1,V)
+                lp = jnp.take_along_axis(
+                    lsm, emitted[:, :, None], axis=2)[:, :, 0]   # (B, k+1)
+            else:
+                lp = jnp.zeros((), jnp.float32)
             hist = jax.vmap(
                 lambda h, e, o: jax.lax.dynamic_update_slice(h, e, (o,))
             )(hist, emitted, hlen)
             adv = jnp.where(active, n_acc + 1, 0)
             tok = jnp.where(active[:, None], nxt[:, None], tok)
             return (ct, hist, tok, pos + adv, key), \
-                (drafts, n_acc, nxt, matched)
+                (drafts, n_acc, nxt, matched, lp)
 
-        (ct, hist, _, _, _), (drafts_r, nacc_r, next_r, match_r) = \
+        (ct, hist, _, _, _), (drafts_r, nacc_r, next_r, match_r, lps_r) = \
             jax.lax.scan(one_round, (ct, hist, tok, pos0, key),
                          length=rounds)
+        if with_logprobs:
+            return drafts_r, nacc_r, next_r, match_r, lps_r, ct, hist
         return drafts_r, nacc_r, next_r, match_r, ct, hist
 
+    if mesh is None:
+        if jit:
+            fn = jax.jit(fn, donate_argnums=(1, 2))
+        return fn
+
+    npad = 2 if with_logprobs else 1   # (R,B,k+1) lps rides before ct/hist
+    outs = ((P(None, "data"), P(None, "data"), P(None, "data"),
+             P(None, "data"))
+            + ((P(None, "data"),) if with_logprobs else ())
+            + (cspec, P("data")))
+    inner = jax.shard_map(
+        fn, mesh=mesh,
+        in_specs=(pspec, cspec, P("data"), P("data"), P("data"), P(),
+                  P("data"), P("data"), P("data"), P("data"), P("data")),
+        out_specs=outs, check_vma=False)
+    del npad
     if jit:
-        fn = jax.jit(fn, donate_argnums=(1, 2))
-    return fn
+        inner = jax.jit(inner, donate_argnums=(1, 2))
+    return inner
 
 
 def make_ngram_spec_rounds(cfg: ModelConfig, spec_k: int, rounds: int,

@@ -1,3 +1,5 @@
+import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -521,9 +523,78 @@ def test_spec_serving_warmup_and_admission_interleave(engine):
 
 def test_spec_rejects_bad_combos(engine):
     with pytest.raises(ValueError):
-        BatchScheduler(engine, batch_size=2, spec="ngram", logprobs=True)
-    with pytest.raises(ValueError):
         BatchScheduler(engine, batch_size=2, spec="medusa")
+    if len(jax.devices()) >= 8:
+        from deepseek_tpu.parallel import make_mesh
+        with pytest.raises(ValueError):
+            BatchScheduler(engine, batch_size=2, spec="ngram",
+                           mesh=make_mesh(data=2, seq=2))
+
+
+def test_spec_serving_with_logprobs(engine_spec):
+    """VERDICT r4 #5b: spec='ngram' composes with logprobs — accepted
+    tokens' raw log-softmax values come from the verify chunks and match
+    an independent re-score of the full sequence."""
+    engine = engine_spec
+    seed = engine.tokenizer.encode("ab ab ab", bos=True)
+    cont, _ = engine.generate(seed, num_steps=48, temperature=0.0)
+    p = seed + cont[:32]
+    n = 10
+
+    base = BatchScheduler(engine, batch_size=2, spec="ngram",
+                          spec_k=4, spec_rounds=2)
+    r0 = Request(prompt_tokens=list(p), max_new_tokens=n, temperature=0.0)
+    base.submit(r0)
+    base.run()
+
+    sched = BatchScheduler(engine, batch_size=2, spec="ngram",
+                           spec_k=4, spec_rounds=2, logprobs=True)
+    r = Request(prompt_tokens=list(p), max_new_tokens=n, temperature=0.0,
+                logprobs=True)
+    sched.submit(r)
+    sched.run()
+    assert sched.spec_stats["accepted"] >= 1   # the spec path actually ran
+
+    assert r.out_tokens == r0.out_tokens       # logprobs change nothing
+    assert len(r.out_logprobs) == len(r.out_tokens)
+    assert all(lp <= 0.0 for lp in r.out_logprobs)
+
+    seq = list(p) + r.out_tokens
+    cache = engine.new_cache(batch=1)
+    _, _, lps, _ = engine.hydrate(cache, seq[:-1], 0,
+                                  target_tokens=seq[1:])
+    want = np.asarray(lps)[len(p) - 1:]
+    np.testing.assert_allclose(r.out_logprobs, want, atol=2e-2)
+
+
+def test_spec_serving_dp_mesh_matches_unsharded(engine_spec):
+    """VERDICT r4 #5a: spec='ngram' continuous batching over a data-
+    sharded mesh — greedy outputs match the single-device spec scheduler,
+    and the fused rounds actually dispatch."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from deepseek_tpu.parallel import make_mesh
+
+    engine = engine_spec
+    seed = engine.tokenizer.encode("ab ab ab", bos=True)
+    cont, _ = engine.generate(seed, num_steps=48, temperature=0.0)
+    prompts = [seed + cont[:32], seed + cont[:24]]
+    n = 10
+
+    def run(mesh):
+        sched = BatchScheduler(engine, batch_size=2, spec="ngram",
+                               spec_k=4, spec_rounds=2, mesh=mesh)
+        reqs = [Request(prompt_tokens=list(p), max_new_tokens=n,
+                        temperature=0.0) for p in prompts]
+        for r in reqs:
+            sched.submit(r)
+        sched.run()
+        assert sched.spec_stats["dispatches"] >= 1
+        return [r.out_tokens for r in reqs]
+
+    want = run(None)
+    got = run(make_mesh(data=2, tensor=2))
+    assert got == want
 
 
 def test_spec_serving_composes_with_prefix_cache(engine_spec):
@@ -544,3 +615,40 @@ def test_spec_serving_composes_with_prefix_cache(engine_spec):
         sched.run()
         assert r.out_tokens == want
     assert sched.prefix_cache.stats["hits"] == 1
+
+
+def test_prefix_restore_dispatch_count_is_logarithmic(engine):
+    """VERDICT r4 #7: restoring an N-block chain must cost O(log N) jitted
+    dispatches (power-of-2 chunked write_many), not one per block — each
+    dispatch is a full device round trip on the TTFT path. Also pins that
+    the chunked restore equals the block-by-block restore exactly."""
+    from deepseek_tpu.serving import PrefixCache
+
+    prompt = engine.tokenizer.encode(
+        "one two three four five six seven eight nine ten eleven twelve",
+        bos=True)[:20]               # within the 32-slot ring window
+    pc = PrefixCache(block_tokens=2, budget_mb=8.0)
+    cache = engine.new_cache()
+    cache, _, _, _ = engine.hydrate(cache, prompt, 0)
+    pc.insert(prompt, cache)
+    reused, frags = pc.match(prompt)
+    n_blocks = len(frags)
+    assert n_blocks >= 5                      # needs a non-power-of-2 chain
+
+    calls = {"many": 0}
+    real_many = pc._write_many
+
+    def counting_many(c, fr, off):
+        calls["many"] += 1
+        return real_many(c, fr, off)
+
+    pc._write_many = counting_many
+    restored = pc.restore(engine.new_cache(), frags)
+    assert calls["many"] == bin(n_blocks).count("1")   # popcount dispatches
+
+    # equality vs the one-block-per-dispatch path
+    ref = engine.new_cache()
+    for j, frag in enumerate(frags):
+        ref = pc._write(ref, frag, jnp.int32(j * pc.block))
+    for a, b in zip(jax.tree.leaves(restored), jax.tree.leaves(ref)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
