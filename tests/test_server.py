@@ -173,18 +173,21 @@ def test_spec_serving_over_http(engine):
         srv.shutdown()
 
 
-def test_spec_server_rejects_logprobs(engine):
+def test_spec_server_serves_logprobs(engine):
+    """VERDICT r4 #5b: --serve-spec composes with the per-request
+    logprobs field (values ride the fused verify chunks)."""
     srv = Server(engine, batch_size=2, warmup=False, spec="ngram")
     httpd = srv.make_http_server("127.0.0.1", 0)
     port = httpd.server_address[1]
     t = threading.Thread(target=httpd.serve_forever, daemon=True)
     t.start()
     try:
-        import urllib.error
-        with pytest.raises(urllib.error.HTTPError) as e:
-            _post(f"http://127.0.0.1:{port}",
-                  {"prompt": "ab", "max_tokens": 2, "logprobs": True}).read()
-        assert e.value.code == 400
+        out = json.load(_post(
+            f"http://127.0.0.1:{port}",
+            {"prompt": "ab", "max_tokens": 3, "temperature": 0,
+             "logprobs": True}))
+        assert len(out["logprobs"]) == len(out["tokens"]) == 3
+        assert all(lp <= 0.0 for lp in out["logprobs"])
     finally:
         httpd.shutdown()
         srv.shutdown()
