@@ -237,6 +237,21 @@ def main():
         print(f"v3 slice bench failed: {e!r}", file=sys.stderr)
         v3_tok_s, v3_gb_s = 0.0, 0.0
 
+    # --- V3 slice, Q2_K WIRE bytes through the nibble runtime: the
+    # reference's published number is DeepSeek-V3 *Q2_K*, so this is the
+    # format-for-format comparable config (0.75 B/w active; measured 72%
+    # of the HBM roofline in PERFORMANCE.md — the BASELINE >= 0.70 gate)
+    try:
+        v3q2params = random_fused_params(v3cfg, "q2_k_nibble")
+        jax.block_until_ready(jax.tree.leaves(v3q2params))
+        v3q2params = align_param_layouts(v3q2params, v3cfg)
+        v3q2_tok_s, v3q2_gb_s = measure_decode(v3cfg, v3q2params, backend,
+                                               n_blocks=8)
+        del v3q2params
+    except Exception as e:  # pragma: no cover - defensive
+        print(f"v3 q2k slice bench failed: {e!r}", file=sys.stderr)
+        v3q2_tok_s, v3q2_gb_s = 0.0, 0.0
+
     # Headline = the DeepSeek-V3-proportioned slice (VERDICT r4 #3): the
     # reference's one published number IS DeepSeek-V3, so rounds are
     # compared on that workload's proportions. Fall back to the V2-Lite-8L
@@ -283,6 +298,11 @@ def main():
             # noaux_tc), deepest 1-chip slice: 1 dense + 1 MoE layer
             "v3slice_tok_per_s": round(v3_tok_s, 1),
             "v3slice_active_GB_per_s": round(v3_gb_s, 2),
+            # Q2_K wire bytes through the nibble runtime (the reference's
+            # published format) at the same V3 slice
+            "v3slice_q2k_nibble_tok_per_s": round(v3q2_tok_s, 1),
+            "v3slice_q2k_nibble_roofline_frac": round(v3q2_gb_s / HBM_GB_S,
+                                                      3),
             "v3slice_layers": (v3cfg.n_layers
                                if v3_tok_s and v3cfg is not None else 0),
             "backend": backend,

@@ -739,6 +739,14 @@ class Engine:
         R = 4
         dry_dispatches = 0
         backoff_blocks = 4             # plain decode blocks per dry phase
+        # acceptance EMA: all-miss dispatches are not the only losing
+        # regime — SUB-BREAKEVEN acceptance (alpha below ~0.15-0.35
+        # depending on depth) keeps paying verify-chunk overhead without
+        # ever going fully dry (measured on chip, round 5: a 0.127-alpha
+        # workload ran at 0.75x plain under the all-miss-only rule). Two
+        # dispatches of EMA below the floor enter the same backoff.
+        ALPHA_FLOOR = 0.15
+        alpha_ema = None
         plain_block = self.decode_block if self.decode_block > 1 else 8
         plain = None
 
@@ -776,6 +784,7 @@ class Engine:
                 backoff_blocks = min(backoff_blocks * 2, 64)
                 hist = None            # stale after plain decode; rebuilt
                 dry_dispatches = 1     # one more all-miss -> dry again
+                alpha_ema = None       # fresh probe: re-measure acceptance
                 continue
             if fused is None:
                 from deepseek_tpu.speculative import make_ngram_spec_rounds
@@ -788,8 +797,12 @@ class Engine:
                 fused = self._fns[key]
             if hist is None:
                 seq = prompt_tokens + out_tokens   # len == pos + 1 <= H
-                hist = jnp.zeros((1, H), jnp.int32).at[0, :len(seq)].set(
-                    jnp.asarray(seq, jnp.int32))
+                # build host-side: a device .at[:len].set compiles one XLA
+                # program PER DISTINCT LENGTH (~1 s each on a remote-
+                # attached chip — measured round 5, bench_ngram_real)
+                buf = np.zeros((1, H), np.int32)
+                buf[0, :len(seq)] = seq
+                hist = jnp.asarray(buf)
                 hlen = jnp.int32(len(seq))
             self._key, sub = jax.random.split(self._key)
             drafts_r, nacc_r, next_r, match_r, cache, hist, hlen = fused(
@@ -817,7 +830,10 @@ class Engine:
                 stopped = emit(token)
                 if stopped or len(out_tokens) >= max_new:
                     break
-            if accepted_this == 0:
+            disp_alpha = accepted_this / (R * spec_k)
+            alpha_ema = disp_alpha if alpha_ema is None \
+                else 0.6 * alpha_ema + 0.4 * disp_alpha
+            if accepted_this == 0 or alpha_ema < ALPHA_FLOOR:
                 dry_dispatches += 1
             else:
                 dry_dispatches = 0

@@ -209,14 +209,23 @@ class PrefixCache:
 
     def warmup(self, sample_cache) -> None:
         """Precompile the slice + restore shapes against a throwaway copy
-        of ``sample_cache`` (which is left untouched)."""
+        of ``sample_cache`` (which is left untouched) — including the
+        power-of-2 chunk shapes of slice_many/write_many: a first long-
+        chain admission otherwise compiles them INLINE on the serving
+        path (~1 s per shape on a remote-attached chip; measured losing
+        the whole prefix-cache win at the V3 slice, round 5)."""
         if self.block > sample_cache.window:
             return
         if self._slice is None:
             self._build(sample_cache)
         frag = self._slice(sample_cache, jnp.int32(0))
         blank = jax.tree.map(jnp.zeros_like, sample_cache)
-        _ = self._write(blank, frag, jnp.int32(0))
+        blank = self._write(blank, frag, jnp.int32(0))
+        n = 1
+        while n <= min(8, sample_cache.window // self.block):
+            frags = self._slice_many(sample_cache, jnp.int32(0), n)
+            blank = self._write_many(blank, frags, jnp.int32(0))
+            n *= 2
 
     @property
     def stats(self) -> Dict[str, int]:
@@ -325,6 +334,8 @@ class BatchScheduler:
         self._spec_dry = 0              # consecutive zero-accept dispatches
         self._spec_backoff = 4          # plain dispatches per dry phase
         self._spec_plain_left = 0
+        self._spec_alpha_ema = None     # acceptance EMA (engine ALPHA_FLOOR
+        self._spec_alpha_floor = 0.15   # rationale, engine.generate_ngram)
         self.spec_stats = {"rounds": 0, "drafted": 0, "accepted": 0,
                            "dispatches": 0, "plain_fallbacks": 0}
         self.mesh = mesh
@@ -572,6 +583,8 @@ class BatchScheduler:
         if self._spec_plain_left > 0:
             self._spec_plain_left -= 1
             self.spec_stats["plain_fallbacks"] += 1
+            if self._spec_plain_left == 0:
+                self._spec_alpha_ema = None   # fresh probe re-measures
             return False
         return True
 
@@ -642,7 +655,12 @@ class BatchScheduler:
                     prev = t
             self.pos[i] += adv
             self.cur[i] = int(nxt[R - 1, i])
-        if accepted_this == 0:
+        n_live = sum(1 for req in self.slots
+                     if req is not None and not req.done)
+        disp_alpha = accepted_this / max(1, R * K * n_live)
+        self._spec_alpha_ema = disp_alpha if self._spec_alpha_ema is None \
+            else 0.6 * self._spec_alpha_ema + 0.4 * disp_alpha
+        if accepted_this == 0 or self._spec_alpha_ema < self._spec_alpha_floor:
             self._spec_dry += 1
             if self._spec_dry >= 2:
                 # dry spell: plain blocks with exponential re-probing (one
