@@ -94,7 +94,7 @@ Serve mode options:
   --no-warmup                 skip startup precompile of serving shapes
   --prefix-cache <MB>         HBM budget for prompt-prefix KV reuse across
                               requests (default 64; 0 disables)
-  --serve-spec                speculative continuous batching: fused prompt-
+  --serve-spec [ngram|mtp]    speculative continuous batching: fused prompt-
                               lookup rounds across the whole batch (lossless;
                               backs off to plain decode on novel text)
 """
@@ -140,7 +140,7 @@ class Args:
         self.batch = 4
         self.warmup = True
         self.prefix_cache_mb = 64.0
-        self.serve_spec = False
+        self.serve_spec = None
 
 
 def parse_mode_flags(args: Args, argv: List[str]) -> Args:
@@ -215,7 +215,12 @@ def parse_mode_flags(args: Args, argv: List[str]) -> Args:
         elif a == "--prefix-cache":
             args.prefix_cache_mb = float(val())
         elif a == "--serve-spec":
-            args.serve_spec = True
+            # optional mode operand: ngram (default) | mtp
+            if i + 1 < len(argv) and argv[i + 1] in ("ngram", "mtp"):
+                i += 1
+                args.serve_spec = argv[i]
+            else:
+                args.serve_spec = "ngram"
         else:
             _die(f"unknown flag {a}")
         i += 1
@@ -534,7 +539,7 @@ def main(argv: Optional[List[str]] = None):
         from deepseek_tpu.server import Server
         Server(engine, batch_size=args.batch, warmup=args.warmup,
                prefix_cache_mb=args.prefix_cache_mb,
-               spec="ngram" if args.serve_spec else None,
+               spec=args.serve_spec,
                spec_k=args.spec_k,
                ).serve_forever(args.host, args.port)
     else:

@@ -1373,7 +1373,8 @@ def make_forward(cfg: ModelConfig, *, prefill: bool = False,
 def make_decode_loop(cfg: ModelConfig, n_steps: int, *, jit: bool = True,
                      mesh=None, params=None, cache=None,
                      active_bucket: Optional[int] = None,
-                     with_logprobs: bool = False):
+                     with_logprobs: bool = False,
+                     with_hidden: bool = False):
     """Fused multi-token decode: one dispatch runs ``n_steps`` forward+sample
     iterations as a lax.scan with the feedback token staying on device.
 
@@ -1400,12 +1401,13 @@ def make_decode_loop(cfg: ModelConfig, n_steps: int, *, jit: bool = True,
 
     ctx = None
     if mesh is not None:
+        assert not with_hidden, "with_hidden decode loop is single-host"
         ctx, pspec, cspec, P = _spmd_parts(cfg, mesh, params, cache)
 
     def make_loop(cfg):
         fwd = functools.partial(
             _forward_impl, cfg=cfg, prefill=False, logits_mode="last",
-            ctx=ctx, active_bucket=active_bucket)
+            ctx=ctx, active_bucket=active_bucket, with_hidden=with_hidden)
 
         def loop(params, cache, tok, pos0, key, temperature, top_p,
                  active=None, top_k=0, min_p=0.0):
@@ -1417,11 +1419,18 @@ def make_decode_loop(cfg: ModelConfig, n_steps: int, *, jit: bool = True,
 
             B = tok.shape[0]
             logits0 = jnp.zeros((B, cfg.vocab_size), jnp.float32)
+            hid0 = jnp.zeros((B, 1, cfg.dim), jnp.float32)
 
             def body(carry, i):
-                cache, tok, key, _ = carry
-                logits, cache = fwd(params, cache, tok, pos0 + i,
-                                    active=active)
+                cache, tok, key, _, _ = carry
+                if with_hidden:
+                    logits, hid, cache = fwd(params, cache, tok, pos0 + i,
+                                             active=active)
+                    hid = hid.astype(jnp.float32)
+                else:
+                    logits, cache = fwd(params, cache, tok, pos0 + i,
+                                        active=active)
+                    hid = hid0
                 key, sub = jax.random.split(key)
                 nxt = sample_token(logits, sub, temperature, top_p,
                                    top_k=top_k, min_p=min_p)
@@ -1431,18 +1440,21 @@ def make_decode_loop(cfg: ModelConfig, n_steps: int, *, jit: bool = True,
                         lsm, nxt[:, None], axis=1)[:, 0].astype(jnp.float32)
                 else:
                     lp = jnp.zeros((), jnp.float32)
-                # the last step's logits ride the CARRY: emitting them as a
-                # scan output would materialize an (n_steps, B, V) stack
+                # the last step's logits (and hidden, for the MTP drafter)
+                # ride the CARRY: emitting them as a scan output would
+                # materialize an (n_steps, B, V) stack
                 return (cache, nxt[:, None], key,
-                        logits.astype(jnp.float32)), (nxt, lp)
+                        logits.astype(jnp.float32), hid), (nxt, lp)
 
-            (cache, _, _, logits_last), (tokens, lps) = jax.lax.scan(
-                body, (cache, tok, key, logits0),
-                jnp.arange(n_steps, dtype=jnp.int32))
+            (cache, _, _, logits_last, hid_last), (tokens, lps) = \
+                jax.lax.scan(body, (cache, tok, key, logits0, hid0),
+                             jnp.arange(n_steps, dtype=jnp.int32))
+            out = (jnp.swapaxes(tokens, 0, 1), logits_last)
             if with_logprobs:
-                return (jnp.swapaxes(tokens, 0, 1), logits_last,
-                        jnp.swapaxes(lps, 0, 1), cache)
-            return jnp.swapaxes(tokens, 0, 1), logits_last, cache
+                out += (jnp.swapaxes(lps, 0, 1),)
+            if with_hidden:
+                out += (hid_last,)
+            return out + (cache,)
 
         return loop
 
@@ -1455,7 +1467,8 @@ def make_decode_loop(cfg: ModelConfig, n_steps: int, *, jit: bool = True,
             return make_decode_loop(cfg, n_steps, jit=True, mesh=m,
                                     params=ex_params, cache=ex_cache,
                                     active_bucket=active_bucket,
-                                    with_logprobs=with_logprobs)
+                                    with_logprobs=with_logprobs,
+                                    with_hidden=with_hidden)
         return (_gspmd_kernel_gate(cfg, build, build_mesh) if jit
                 else build(cfg))
 

@@ -62,7 +62,14 @@ def _mtp_impl(params: ModelParams, cache, tokens, h, pos0,
                 impl=impl).astype(dtype)
 
     pos0 = jnp.asarray(pos0, jnp.int32)
-    if prefill:
+    if prefill and pos0.ndim == 1:
+        # VERIFY MODE (mirrors _forward_impl): per-row chunk starts — the
+        # batched MTP re-hydration writes each slot's (token, hidden)
+        # pairs at its own position (speculative.make_batched_mtp_spec_
+        # rounds). Caller guards pos0 + T <= kv_window per row.
+        pos_vec = pos0[:, None] + jnp.arange(T, dtype=jnp.int32)   # (B, T)
+        cache_start, kv_len, kv_sink = pos0, None, None
+    elif prefill:
         pos_vec = pos0 + jnp.arange(T, dtype=jnp.int32)
         cache_start, kv_len, kv_sink = pos0, None, None
     else:

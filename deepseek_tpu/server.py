@@ -69,7 +69,9 @@ class Server:
         ``spec="ngram"`` (``-m serve --serve-spec``): speculative
         continuous batching — fused prompt-lookup rounds across the whole
         batch while every slot is in-window, plain decode otherwise
-        (BatchScheduler docstring). Lossless; composes with the
+        (BatchScheduler docstring). ``spec="mtp"`` (``--serve-spec mtp``)
+        drafts with the checkpoint's MTP module instead (requires
+        ``convert --mtp`` weights). Both lossless; both compose with the
         per-request "logprobs" field (accepted tokens' log-softmax values
         ride the verify chunks)."""
         self.engine = engine

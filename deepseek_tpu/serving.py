@@ -286,7 +286,10 @@ class BatchScheduler:
         ``out_tokens``. One gather per step on device; the extra host
         transfer is (B, block) f32.
 
-        ``spec="ngram"`` enables SPECULATIVE CONTINUOUS BATCHING: while
+        ``spec="ngram"`` / ``spec="mtp"`` enable SPECULATIVE CONTINUOUS
+        BATCHING (mtp drafts with the checkpoint's multi-token-prediction
+        module — per-slot hidden states and a batched drafter cache ride
+        the scheduler; make_batched_mtp_spec_rounds): while
         every live slot sits inside the ring window, decode dispatches are
         replaced by fused prompt-lookup speculation rounds — each slot
         drafts ``spec_k`` tokens from its own history and all slots verify
@@ -318,12 +321,19 @@ class BatchScheduler:
         # the cost of up to block-1 wasted positions after a sequence stops
         self.block = max(1, decode_block)
         self.logprobs = bool(logprobs)
-        if spec is not None and spec != "ngram":
+        if spec is not None and spec not in ("ngram", "mtp"):
             raise ValueError(f"unknown spec mode {spec!r}")
-        if spec is not None and mesh is not None \
+        if spec == "ngram" and mesh is not None \
                 and mesh.shape.get("seq", 1) > 1:
             raise ValueError("spec serving composes with data/tensor/"
                              "expert meshes; verify mode excludes 'seq'")
+        if spec == "mtp":
+            if engine.params.mtp is None:
+                raise ValueError("spec='mtp' needs a checkpoint with an "
+                                 "MTP module (convert --mtp)")
+            if mesh is not None:
+                raise ValueError("spec='mtp' serving is single-chip (the "
+                                 "MTP drafter runs with NULL_CTX)")
         self.spec = spec
         self.spec_k = spec_k
         self.spec_rounds = spec_rounds
@@ -340,6 +350,15 @@ class BatchScheduler:
                            "dispatches": 0, "plain_fallbacks": 0}
         self.mesh = mesh
         self.cache = engine.new_cache(batch=batch_size)
+        self._cm = None                 # batched MTP drafter cache
+        self._h = None                  # (B,1,dim) f32 last hidden per slot
+        self._fwd_hid = None            # 1-row decode fwd with hidden
+        if spec == "mtp":
+            from deepseek_tpu.models.mtp import init_mtp_cache
+            self._cm = init_mtp_cache(engine.cfg, batch=batch_size)
+            import numpy as _np
+            self._h = _np.zeros((batch_size, 1, engine.cfg.dim),
+                                _np.float32)
         self.params = engine.params
         if mesh is not None:
             from deepseek_tpu.parallel import shard_cache, shard_params
@@ -384,7 +403,8 @@ class BatchScheduler:
                 params=self.engine.params if self.mesh is not None else None,
                 cache=self.cache if self.mesh is not None else None,
                 active_bucket=bucket if bucket < self.batch else None,
-                with_logprobs=self.logprobs)
+                with_logprobs=self.logprobs,
+                with_hidden=self.spec == "mtp")
         return self._loops[bucket]
 
     def warmup(self) -> None:
@@ -427,11 +447,20 @@ class BatchScheduler:
                 * (self.spec_k + 1) + 1 <= eng.cfg.kv_window):
             # fused speculation dispatch (junk rows land in idle slots,
             # fully overwritten at admission like the decode warmup above)
-            *_, self.cache, self._hist = self._get_spec_fn()(
-                self.params, self.cache,
-                jnp.zeros((B, eng.cfg.kv_window), jnp.int32), tok, pos,
-                key, temps, topps, act, topks, minps)
-            self._hist_stale = True
+            if self.spec == "mtp":
+                out = self._get_spec_fn()(
+                    self.params, self.cache, self._cm, tok,
+                    jnp.zeros((B, 1, eng.cfg.dim), jnp.float32), pos,
+                    key, temps, topps, act, topks, minps)
+                self._cm = out[-1]
+                self.cache = out[-2]
+                self._h = np.array(out[-3], np.float32)
+            else:
+                *_, self.cache, self._hist = self._get_spec_fn()(
+                    self.params, self.cache,
+                    jnp.zeros((B, eng.cfg.kv_window), jnp.int32), tok, pos,
+                    key, temps, topps, act, topks, minps)
+                self._hist_stale = True
         # admission shapes: throwaway 1-row hydrates covering the padded
         # chunk modes ("none" then final "last"; a short tail compiles
         # "all"), then the slot merge
@@ -489,6 +518,25 @@ class BatchScheduler:
         if self.prefix_cache is not None:
             self.prefix_cache.insert(toks, p.cache)
         self._hist_stale = True          # new slot history (spec serving)
+        if self.spec == "mtp":
+            # seed the MTP drafter: hidden of the LAST prompt position
+            # (one decode-mode re-feed of the final token — identical
+            # cache rewrite, hidden rides out), and a zeroed drafter-cache
+            # slot (stale pairs from the previous occupant would only cost
+            # acceptance, but cheap to clear exactly)
+            from deepseek_tpu.models import make_forward
+            from deepseek_tpu.models.mtp import init_mtp_cache
+            if self._fwd_hid is None:
+                self._fwd_hid = make_forward(
+                    eng.cfg, prefill=False, logits_mode="none",
+                    with_hidden=True)
+            _, hid, p.cache = self._fwd_hid(
+                eng.params, p.cache,
+                jnp.asarray([[toks[-1]]], jnp.int32),
+                jnp.int32(len(toks) - 1))
+            self._h[p.slot] = np.asarray(hid[0], np.float32)
+            self._cm = self._merge_slot(
+                self._cm, init_mtp_cache(eng.cfg, batch=1), p.slot)
         self.cache = self._merge_slot(self.cache, p.cache, p.slot)
         token = eng.sampler.sample(logits, p.req.temperature, p.req.top_p,
                                    p.req.top_k, p.req.min_p)
@@ -558,15 +606,22 @@ class BatchScheduler:
         scheduler's mesh/logprobs configuration (VERDICT r4 #5: spec
         serving composes with DP meshes and per-token logprobs)."""
         if self._spec_fn is None:
-            from deepseek_tpu.speculative import \
-                make_batched_ngram_spec_rounds
             eng = self.engine
-            self._spec_fn = make_batched_ngram_spec_rounds(
-                eng.cfg, self.spec_k, self.spec_rounds,
-                hist_len=eng.cfg.kv_window, ngram_max=self.ngram_max,
-                with_logprobs=self.logprobs, mesh=self.mesh,
-                params=self.params if self.mesh is not None else None,
-                cache=self.cache if self.mesh is not None else None)
+            if self.spec == "mtp":
+                from deepseek_tpu.speculative import \
+                    make_batched_mtp_spec_rounds
+                self._spec_fn = make_batched_mtp_spec_rounds(
+                    eng.cfg, self.spec_k, self.spec_rounds,
+                    with_logprobs=self.logprobs)
+            else:
+                from deepseek_tpu.speculative import \
+                    make_batched_ngram_spec_rounds
+                self._spec_fn = make_batched_ngram_spec_rounds(
+                    eng.cfg, self.spec_k, self.spec_rounds,
+                    hist_len=eng.cfg.kv_window, ngram_max=self.ngram_max,
+                    with_logprobs=self.logprobs, mesh=self.mesh,
+                    params=self.params if self.mesh is not None else None,
+                    cache=self.cache if self.mesh is not None else None)
         return self._spec_fn
 
     def _spec_ready(self) -> bool:
@@ -597,7 +652,7 @@ class BatchScheduler:
         eng = self.engine
         H = eng.cfg.kv_window
         R, K = self.spec_rounds, self.spec_k
-        if self._hist_stale or self._hist is None:
+        if self.spec == "ngram" and (self._hist_stale or self._hist is None):
             # rebuild from host truth (cheap: B*window int32). Live slots
             # satisfy len(prompt + emitted) == pos+1 <= window (guarded)
             hist = np.zeros((self.batch, H), np.int32)
@@ -608,18 +663,35 @@ class BatchScheduler:
             self._hist = jnp.asarray(hist)
             self._hist_stale = False
         self._key, sub = jax.random.split(self._key)
-        out = self._get_spec_fn()(
-            self.params, self.cache, self._hist,
-            jnp.asarray(self.cur.reshape(-1, 1), jnp.int32),
-            jnp.asarray(self.pos, jnp.int32), sub,
-            jnp.asarray(temps), jnp.asarray(topps), jnp.asarray(act),
-            jnp.asarray(topks), jnp.asarray(minps))
-        if self.logprobs:
-            drafts_r, nacc_r, next_r, _, lps_r, self.cache, self._hist = out
-            lps = np.asarray(lps_r)                       # (R, B, k+1)
+        if self.spec == "mtp":
+            out = self._get_spec_fn()(
+                self.params, self.cache, self._cm,
+                jnp.asarray(self.cur.reshape(-1, 1), jnp.int32),
+                jnp.asarray(self._h), jnp.asarray(self.pos, jnp.int32),
+                sub, jnp.asarray(temps), jnp.asarray(topps),
+                jnp.asarray(act), jnp.asarray(topks), jnp.asarray(minps))
+            if self.logprobs:
+                (drafts_r, nacc_r, next_r, lps_r, h_dev, self.cache,
+                 self._cm) = out
+                lps = np.asarray(lps_r)                   # (R, B, k+1)
+            else:
+                drafts_r, nacc_r, next_r, h_dev, self.cache, self._cm = out
+                lps = None
+            self._h = np.array(h_dev, np.float32)   # writable host copy
         else:
-            drafts_r, nacc_r, next_r, _, self.cache, self._hist = out
-            lps = None
+            out = self._get_spec_fn()(
+                self.params, self.cache, self._hist,
+                jnp.asarray(self.cur.reshape(-1, 1), jnp.int32),
+                jnp.asarray(self.pos, jnp.int32), sub,
+                jnp.asarray(temps), jnp.asarray(topps), jnp.asarray(act),
+                jnp.asarray(topks), jnp.asarray(minps))
+            if self.logprobs:
+                (drafts_r, nacc_r, next_r, _, lps_r, self.cache,
+                 self._hist) = out
+                lps = np.asarray(lps_r)                   # (R, B, k+1)
+            else:
+                drafts_r, nacc_r, next_r, _, self.cache, self._hist = out
+                lps = None
         drafts = np.asarray(drafts_r)                     # (R, B, k)
         nacc = np.asarray(nacc_r)                         # (R, B)
         nxt = np.asarray(next_r)                          # (R, B)
@@ -729,12 +801,12 @@ class BatchScheduler:
             jnp.asarray(self.pos, jnp.int32), sub,
             jnp.asarray(temps), jnp.asarray(topps), jnp.asarray(act),
             jnp.asarray(topks), jnp.asarray(minps))
-        if self.logprobs:
-            toks_dev, _, lps_dev, self.cache = out
-            lps = np.asarray(lps_dev)                   # (B, block)
-        else:
-            toks_dev, _, self.cache = out
-            lps = None
+        toks_dev = out[0]
+        self.cache = out[-1]
+        lps = np.asarray(out[2]) if self.logprobs else None   # (B, block)
+        if self.spec == "mtp":
+            self._h = np.array(out[3 if self.logprobs else 2],
+                               np.float32)              # writable (B,1,dim)
         toks = np.asarray(toks_dev)                     # (B, block)
 
         for i, req in enumerate(self.slots):

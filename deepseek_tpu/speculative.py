@@ -490,3 +490,104 @@ def make_mtp_spec_rounds(cfg: ModelConfig, spec_k: int, rounds: int,
     if jit:
         fn = jax.jit(fn, donate_argnums=(1, 2))
     return fn
+
+
+def make_batched_mtp_spec_rounds(cfg: ModelConfig, spec_k: int, rounds: int,
+                                 jit: bool = True,
+                                 with_logprobs: bool = False):
+    """MTP self-speculation for the CONTINUOUS-BATCHING scheduler
+    (VERDICT r4 #5c): every live slot drafts with the checkpoint's MTP
+    layer from its own hidden state and all slots verify in one fused
+    dispatch per round — the batched sibling of make_mtp_spec_rounds,
+    built on the same per-row verify mode as the batched n-gram rounds.
+
+    Per-slot sampling params ride along; acceptance is the exact
+    arXiv 2211.17192 rule per row (vmapped _accept with the drafter's
+    full q distributions), so greedy and sampled slots coexist. After
+    each verify the MTP cache re-hydrates from TRUE hidden states at
+    per-row positions (_mtp_impl verify mode) — draft quality never
+    drifts. ``active`` freezes a row exactly like the n-gram variant.
+
+    Returns ``fn(params, ct, cm, tok (B,1), h_cur (B,1,dim) f32,
+    pos0 (B,), key, temperature (B,), top_p (B,), active (B,),
+    top_k (B,), min_p (B,)) -> (drafts (R,B,k), n_acc (R,B), next (R,B)
+    [, lps (R,B,k+1)], h_cur (B,1,dim), ct, cm)`` with the target cache
+    and MTP cache donated. ``lps`` follows the batched-ngram logprobs
+    convention. Single-chip (the MTP drafter runs with NULL_CTX —
+    models/mtp.py docstring); the scheduler rejects spec="mtp" + mesh.
+    """
+    from deepseek_tpu.models.mtp import _mtp_impl
+
+    fwd_t = functools.partial(_forward_impl, cfg=cfg, prefill=True,
+                              logits_mode="all", with_hidden=True)
+    mtp_step = functools.partial(_mtp_impl, cfg=cfg, prefill=False)
+    mtp_pre = functools.partial(_mtp_impl, cfg=cfg, prefill=True)
+
+    def fn(params, ct, cm, tok, h_cur, pos0, key, temperature, top_p,
+           active, top_k, min_p):
+        pos0 = jnp.asarray(pos0, jnp.int32)
+        B = tok.shape[0]
+
+        def one_round(carry, _):
+            ct, cm, tok, h_cur, pos, key = carry
+
+            def dstep(c, j):
+                cm, t, hh, k2 = c
+                lg, hh2, cm = mtp_step(params, cm, t, hh, pos - 1 + j)
+                lg0 = lg[:, 0]
+                q = nucleus_dist(lg0, temperature, top_p, top_k, min_p)
+                k2, sub = jax.random.split(k2)
+                d = sample_token(lg0, sub, temperature, top_p,
+                                 top_k=top_k, min_p=min_p)
+                return (cm, d[:, None], hh2.astype(jnp.float32), k2), (d, q)
+
+            (cm, _, _, key), (drafts_k, qs_k) = jax.lax.scan(
+                dstep, (cm, tok, h_cur, key),
+                jnp.arange(spec_k, dtype=jnp.int32))
+            drafts = drafts_k.T.astype(jnp.int32)          # (B, k)
+            qs = jnp.swapaxes(qs_k, 0, 1)                  # (B, k, V)
+
+            chunk = jnp.concatenate([tok, drafts], axis=1)  # (B, k+1)
+            lg_all, h_all, ct = fwd_t(params, ct, chunk, pos)  # verify mode
+            key, ka = jax.random.split(key)
+            ps = nucleus_dist(lg_all, temperature[:, None], top_p[:, None],
+                              top_k[:, None], min_p[:, None])  # (B,k+1,V)
+            n_acc, nxt = jax.vmap(_accept, in_axes=(0, 0, 0, None, 0))(
+                ps, qs, drafts, spec_k, jax.random.split(ka, B))
+
+            # re-hydrate MTP pairs (chunk[j+1], h_all[j]) at each row's own
+            # positions from the TRUE hiddens (garbage past n_acc is
+            # rewritten next round, exactly as in the single-seq loop)
+            pair_toks = jnp.concatenate([drafts, nxt[:, None]], axis=1)
+            _, _, cm = mtp_pre(params, cm, pair_toks,
+                               h_all.astype(jnp.float32), pos)
+
+            if with_logprobs:
+                lsm = jax.nn.log_softmax(lg_all.astype(jnp.float32), -1)
+                emitted = jnp.concatenate([drafts, drafts[:, -1:]], axis=1)
+                emitted = jnp.where(
+                    jnp.arange(spec_k + 1, dtype=jnp.int32)[None, :]
+                    == n_acc[:, None], nxt[:, None], emitted)
+                lp = jnp.take_along_axis(
+                    lsm, emitted[:, :, None], axis=2)[:, :, 0]
+            else:
+                lp = jnp.zeros((), jnp.float32)
+
+            h_next = jnp.take_along_axis(
+                h_all.astype(jnp.float32), n_acc[:, None, None], axis=1)
+            adv = jnp.where(active, n_acc + 1, 0)
+            tok = jnp.where(active[:, None], nxt[:, None].astype(jnp.int32),
+                            tok)
+            h_cur = jnp.where(active[:, None, None], h_next, h_cur)
+            return (ct, cm, tok, h_cur, pos + adv, key), \
+                (drafts, n_acc, nxt, lp)
+
+        (ct, cm, _, h_cur, _, _), (dr, na, nx, lps) = jax.lax.scan(
+            one_round, (ct, cm, tok, h_cur, pos0, key), length=rounds)
+        if with_logprobs:
+            return dr, na, nx, lps, h_cur, ct, cm
+        return dr, na, nx, h_cur, ct, cm
+
+    if jit:
+        fn = jax.jit(fn, donate_argnums=(1, 2))
+    return fn

@@ -652,3 +652,76 @@ def test_prefix_restore_dispatch_count_is_logarithmic(engine):
         ref = pc._write(ref, frag, jnp.int32(j * pc.block))
     for a, b in zip(jax.tree.leaves(restored), jax.tree.leaves(ref)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.fixture(scope="module")
+def engine_mtp(tmp_path_factory):
+    """MTP-equipped checkpoint with a window wide enough for fused spec
+    spans (the batched MTP rounds need pos + R*(k+1) + 1 < window)."""
+    import os
+
+    from deepseek_tpu import convert as cv
+    from tests.util_hf import hf_config, hf_weights, write_hf_dir
+
+    cfg = hf_config(dim=64, hidden=96, q_lora=48, kv_lora=32, nope=16,
+                    rope=16, v_dim=16, layers=2, vocab=300)
+    cfg["rope_scaling"]["original_max_position_embeddings"] = 128  # window
+    d = str(tmp_path_factory.mktemp("srvmtp"))
+    hf_dir = os.path.join(d, "hf")
+    write_hf_dir(hf_dir, cfg, hf_weights(cfg, seed=9, scale=0.15, mtp=True))
+    out = os.path.join(d, "ck")
+    cv.convert(hf_dir, out, quant="fp32", use_mla=True)
+    return Engine(out, seed=0, prefill_chunk=8, decode_block=1)
+
+
+def test_mtp_serving_greedy_matches_plain(engine_mtp):
+    """VERDICT r4 #5c: spec='mtp' continuous batching is lossless — greedy
+    outputs through the MTP-drafting scheduler are token-identical to the
+    plain scheduler across slot reuse, and the fused rounds dispatch."""
+    engine = engine_mtp
+    prompts = [engine.tokenizer.encode(t, bos=True)
+               for t in ("ab", "ba xy", "q")]
+    n = 10
+
+    want = []
+    for p in prompts:
+        out, _ = engine.generate(p, num_steps=n, temperature=0.0)
+        want.append(out)
+
+    sched = BatchScheduler(engine, batch_size=2, spec="mtp",
+                           spec_k=2, spec_rounds=2)
+    reqs = [Request(prompt_tokens=list(p), max_new_tokens=n,
+                    temperature=0.0) for p in prompts]
+    for r in reqs:
+        sched.submit(r)
+    sched.run()
+    for r, expect in zip(reqs, want):
+        assert r.out_tokens == expect, (r.out_tokens, expect)
+    assert sched.spec_stats["dispatches"] >= 1
+
+
+def test_mtp_serving_with_logprobs(engine_mtp):
+    """spec='mtp' composes with per-token logprobs (verify-chunk gather)."""
+    engine = engine_mtp
+    p = engine.tokenizer.encode("ab", bos=True)
+    n = 8
+    sched = BatchScheduler(engine, batch_size=2, spec="mtp",
+                           spec_k=2, spec_rounds=2, logprobs=True)
+    r = Request(prompt_tokens=list(p), max_new_tokens=n, temperature=0.0,
+                logprobs=True)
+    sched.submit(r)
+    sched.run()
+    assert len(r.out_logprobs) == len(r.out_tokens)
+    assert all(lp <= 0.0 for lp in r.out_logprobs)
+
+    seq = list(p) + r.out_tokens
+    cache = engine.new_cache(batch=1)
+    _, _, lps, _ = engine.hydrate(cache, seq[:-1], 0,
+                                  target_tokens=seq[1:])
+    want = np.asarray(lps)[len(p) - 1:]
+    np.testing.assert_allclose(r.out_logprobs, want, atol=2e-2)
+
+
+def test_mtp_serving_rejects_without_module(engine):
+    with pytest.raises(ValueError):
+        BatchScheduler(engine, batch_size=2, spec="mtp")
