@@ -421,7 +421,13 @@ def _rowperm_layer(lp: LayerParams, undo: bool = False) -> LayerParams:
     import os
 
     from deepseek_tpu.quant.qtensor import KNibbleTensor
-    if os.environ.get("DSEEK_NO_ROWPERM") and not undo:  # A/B kill switch
+    # OPT-IN with the fused expert-chain kernel it exists for
+    # (DSEEK_FUSED_FFN=1): the x_prepermuted w2 path it forces on batched
+    # decode measured -15% at B=8 (1380 vs 1620 tok/s, round-5 A/B) while
+    # single-seq decode is neutral — production defaults stay on the
+    # natural layout. ``undo`` always runs (sharded unfuse must restore
+    # natural rows whenever a permuted table exists).
+    if not os.environ.get("DSEEK_FUSED_FFN") and not undo:
         return lp
     rep = {}
     for f in ("w13s", "w13"):

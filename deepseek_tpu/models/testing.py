@@ -265,13 +265,17 @@ def _direct_qtensor(key_gen, shape, quant: str):
 
 def _mark_rowperm(qt):
     """Declare a synthesized expert [w1;w3] table row-permuted (the fused
-    decode layout, loader._rowperm_layer). The planes are random, so no
-    actual permutation is needed — the flag selects the fused expert-chain
+    decode layout, loader._rowperm_layer; opt-in via DSEEK_FUSED_FFN like
+    the production layout). The planes are random, so no actual
+    permutation is needed — the flag selects the fused expert-chain
     kernel path and the permuted-h handling downstream."""
     import dataclasses
+    import os
 
     from deepseek_tpu.quant.qtensor import KNibbleTensor
-    if isinstance(qt, KNibbleTensor) and qt.p.shape[-2] % 32 == 0:
+    if (os.environ.get("DSEEK_FUSED_FFN")
+            and isinstance(qt, KNibbleTensor)
+            and qt.p.shape[-2] % 32 == 0):
         return dataclasses.replace(qt, rowperm=2)
     return qt
 

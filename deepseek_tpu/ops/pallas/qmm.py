@@ -238,18 +238,23 @@ def _group_sums(x, n: int):
     return x.reshape(*x.shape[:-1], n // 16, 16).sum(axis=-1)
 
 
+def _unperm_x(x, n: int):
+    """Inverse of _perm_x (same cheap reshape/swapaxes transpose)."""
+    lead = x.shape[:-1]
+    n16 = n // 16
+    return x.reshape(*lead, 16, n16).swapaxes(-1, -2).reshape(*lead, n)
+
+
 def _group_sums_perm(x, n: int):
     """Per-16-group sums (natural group order) of activations already in
-    stride-16 PERMUTED order: natural group g's members sit at permuted
-    positions {o*(n/16)+g}, so the sum runs over 16 contiguous lane
-    slabs. Written as 16 static lane slices + adds: the equivalent
-    reshape (…, 16, n/16).sum(-2) forced a pathological XLA relayout on
-    chip (8L nibble decode 682 -> 365 tok/s, round-5 A/B)."""
-    n16 = n // 16
-    out = x[..., :n16]
-    for o in range(1, 16):
-        out = out + x[..., o * n16:(o + 1) * n16]
-    return out
+    stride-16 PERMUTED order: un-permute with the cheap transpose pattern
+    and reduce naturally — the SAME one-transpose cost as the natural
+    path's _perm_x. Two rejected formulations (round-5 chip A/Bs): the
+    direct reshape (…, 16, n/16).sum(-2) lowered to a pathological
+    relayout (8L decode 682 -> 365 tok/s), and 16 static lane slices +
+    adds cost batched decode 15% (B=8: 1382 vs 1620 tok/s — sub-128-lane
+    slice padding)."""
+    return _group_sums(_unperm_x(x, n), n)
 
 
 def _fp8_body(x_ref, w_ref, s_ref, o_ref, *, b0: int, b1: int):

@@ -109,11 +109,12 @@ def test_qmm_experts_prepermuted_chain_matches_natural():
                                rtol=2e-4, atol=2e-4)
 
 
-def test_engine_fused_kernel_greedy_parity(tmp_path):
+def test_engine_fused_kernel_greedy_parity(tmp_path, monkeypatch):
     """Engine-level: the nibble runtime (rowperm + fused kernel path in
     interpret mode) produces the same greedy tokens and near-identical
     perplexity as the XLA dequant path on the same checkpoint."""
     import os
+    monkeypatch.setenv("DSEEK_FUSED_FFN", "1")   # opt-in layout + kernel
 
     from deepseek_tpu import convert as cv
     from deepseek_tpu.engine import Engine
