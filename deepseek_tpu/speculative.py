@@ -307,17 +307,15 @@ def make_batched_ngram_spec_rounds(cfg: ModelConfig, spec_k: int,
             fn = jax.jit(fn, donate_argnums=(1, 2))
         return fn
 
-    npad = 2 if with_logprobs else 1   # (R,B,k+1) lps rides before ct/hist
     outs = ((P(None, "data"), P(None, "data"), P(None, "data"),
              P(None, "data"))
-            + ((P(None, "data"),) if with_logprobs else ())
+            + ((P(None, "data"),) if with_logprobs else ())  # lps
             + (cspec, P("data")))
     inner = jax.shard_map(
         fn, mesh=mesh,
         in_specs=(pspec, cspec, P("data"), P("data"), P("data"), P(),
                   P("data"), P("data"), P("data"), P("data"), P("data")),
         out_specs=outs, check_vma=False)
-    del npad
     if jit:
         inner = jax.jit(inner, donate_argnums=(1, 2))
     return inner
