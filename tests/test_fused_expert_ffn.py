@@ -160,3 +160,13 @@ def _engine_fused_body(out, out_xla, p_xla, dataclasses, Engine,
     assert out_k == out_xla
     p_k = e_k.perplexity(prompt + out_k)[0]
     np.testing.assert_allclose(p_k, p_xla, rtol=2e-2)
+
+    # GROUPED prefill with the rowperm layout: a chunk > _PAIR_PREFILL_
+    # MAX_PAIRS pairs takes _quantized_grouped_ffn's rp branch (h stays
+    # permuted, s16 via the un-permute transpose) — ppl must match the
+    # small-chunk run on the same tokens
+    e_g = Engine(out, seed=0, prefill_chunk=64, decode_block=1,
+                 kquant_runtime="nibble")
+    e_g.cfg = dataclasses.replace(e_g.cfg, kernel_impl="pallas")
+    p_g = e_g.perplexity(prompt + out_k)[0]
+    np.testing.assert_allclose(p_g, p_k, rtol=2e-3)
