@@ -83,7 +83,12 @@ class _BenchEngine:
 def main():
     import jax.numpy as jnp  # noqa: F401
 
-    pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+    argv = list(sys.argv[1:])
+    if "--spec" in argv:                  # drop --spec's optional operand
+        ai = argv.index("--spec")
+        if ai + 1 < len(argv) and argv[ai + 1] in ("ngram", "mtp"):
+            del argv[ai + 1]
+    pos = [a for a in argv if not a.startswith("--")]
     slots = int(pos[0]) if len(pos) > 0 else 8
     n_req = int(pos[1]) if len(pos) > 1 else 16
     max_tok = int(pos[2]) if len(pos) > 2 else 64
@@ -231,6 +236,22 @@ def main():
     # B*R*(alpha*k+1) tokens where a plain dispatch emits B*block.
     if "--spec" in sys.argv:
         K, R = 4, 2
+        # optional mode operand: --spec [ngram|mtp]
+        ai = sys.argv.index("--spec")
+        spec_mode = (sys.argv[ai + 1]
+                     if ai + 1 < len(sys.argv)
+                     and sys.argv[ai + 1] in ("ngram", "mtp") else "ngram")
+        if spec_mode == "mtp":
+            if "--v3" in sys.argv:
+                print("spec mtp: skipped at the V3 slice (a synthesized "
+                      "MoE MTP block at dim 7168/E=256 is ~22 GB bf16)")
+                return
+            import dataclasses
+            sys.path.insert(0, "scripts")
+            from bench_spec import synth_mtp
+            eng.params = dataclasses.replace(eng.params,
+                                             mtp=synth_mtp(cfg))
+            jax.block_until_ready(jax.tree.leaves(eng.params.mtp))
 
         def run_sched(prompts, **kw):
             sched = BatchScheduler(eng, batch_size=slots,
@@ -253,7 +274,7 @@ def main():
         assert all(a.out_tokens == b.out_tokens
                    for a, b in zip(reqs_p0, reqs_p)), \
             "plain decode must be deterministic (methodology check)"
-        tp_sn, reqs_s, ssn = run_sched(novel, spec="ngram", spec_k=K,
+        tp_sn, reqs_s, ssn = run_sched(novel, spec=spec_mode, spec_k=K,
                                        spec_rounds=R)
         # greedy agreement vs plain decode: token-identity is pinned on
         # CPU f32 (tests/test_serving.py); on-chip bf16 the verify and
@@ -273,7 +294,8 @@ def main():
         full = sum(1 for a, b in zip(agr, reqs_p)
                    if a == len(b.out_tokens))
         stn = ssn.spec_stats
-        print(f"spec serving (novel text): plain {tp_pn:.0f} tok/s | spec "
+        print(f"spec serving [{spec_mode}] (novel text): plain "
+              f"{tp_pn:.0f} tok/s | spec "
               f"{tp_sn:.0f} tok/s ({tp_sn/max(tp_pn,1e-9):.2f}x backoff "
               f"bound; {stn['dispatches']} spec dispatches, "
               f"{stn['plain_fallbacks']} plain fallbacks); greedy "
@@ -284,7 +306,7 @@ def main():
         # mechanical dispatch costs at full occupancy (steady state, no
         # admissions in flight): medians over repeated timed steps
         def steady(spec):
-            kw = dict(spec="ngram", spec_k=K, spec_rounds=R) if spec else {}
+            kw = dict(spec=spec_mode, spec_k=K, spec_rounds=R) if spec else {}
             sched = BatchScheduler(eng, batch_size=slots,
                                    decode_block=block, **kw)
             sched.warmup()
@@ -296,8 +318,10 @@ def main():
                 sched.step()
             if spec:
                 # measuring the DISPATCH cost: hold the dry-spell backoff
-                # far below its threshold so every timed step speculates
+                # (and the acceptance-EMA floor) far out of reach so every
+                # timed step speculates
                 sched._spec_dry = -10 ** 9
+                sched._spec_alpha_floor = -1.0
             ts = step_times(sched, 12)
             for req in sched.slots:          # stop the unbounded requests
                 if req is not None:
