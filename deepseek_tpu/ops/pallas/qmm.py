@@ -796,7 +796,6 @@ def qmm_expert_ffn(qt13, qt2, idx, x, wts, act, interpret: bool = False):
     Returns (1, d) f32 — the combined mixture (no segment-sum needed).
     """
     TRACE_COUNTS["qmm_expert_ffn"] += 1
-    from deepseek_tpu.config import ActivationType
     from deepseek_tpu.ops.activations import glu_act
 
     assert expert_ffn_fusable(qt13, qt2)

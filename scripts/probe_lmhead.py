@@ -11,12 +11,10 @@ Usage: python scripts/probe_lmhead.py [bf16|nibble]
 
 import dataclasses
 import sys
-import time
 
 sys.path.insert(0, ".")
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from deepseek_tpu.utils.compile_cache import enable_compile_cache
