@@ -725,3 +725,21 @@ def test_mtp_serving_with_logprobs(engine_mtp):
 def test_mtp_serving_rejects_without_module(engine):
     with pytest.raises(ValueError):
         BatchScheduler(engine, batch_size=2, spec="mtp")
+
+
+def test_mtp_serving_sampled_runs(engine_mtp):
+    """Sampled slots through the batched MTP rounds: valid tokens, correct
+    count (the vmapped full-q acceptance path at temperature > 0)."""
+    engine = engine_mtp
+    sched = BatchScheduler(engine, batch_size=2, spec="mtp",
+                           spec_k=2, spec_rounds=2)
+    reqs = [Request(prompt_tokens=engine.tokenizer.encode(t, bos=True),
+                    max_new_tokens=8, temperature=0.8, top_p=0.9)
+            for t in ("ab", "xy")]
+    for r in reqs:
+        sched.submit(r)
+    sched.run()
+    for r in reqs:
+        assert 1 <= len(r.out_tokens) <= 8
+        assert all(0 <= t < engine.cfg.vocab_size for t in r.out_tokens)
+    assert sched.spec_stats["dispatches"] >= 1
