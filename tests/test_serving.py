@@ -743,3 +743,52 @@ def test_mtp_serving_sampled_runs(engine_mtp):
         assert 1 <= len(r.out_tokens) <= 8
         assert all(0 <= t < engine.cfg.vocab_size for t in r.out_tokens)
     assert sched.spec_stats["dispatches"] >= 1
+
+
+def test_serving_mixed_workload_soak(engine_spec):
+    """Integration soak: one spec='ngram' scheduler with logprobs enabled
+    digests a mixed queue — greedy, sampled, stop-sequence, logprobs
+    requests of different lengths — across repeated slot reuse. Greedy
+    requests must match their individual runs token-for-token; everything
+    terminates; stats stay consistent."""
+    engine = engine_spec
+    seed = engine.tokenizer.encode("ab ab ab", bos=True)
+    cont, _ = engine.generate(seed, num_steps=32, temperature=0.0)
+    echo = seed + cont[:24]
+
+    sched = BatchScheduler(engine, batch_size=2, spec="ngram", spec_k=3,
+                           spec_rounds=2, logprobs=True,
+                           prefix_cache_mb=4.0, prefix_block=4)
+    reqs = []
+    for i in range(10):
+        kind = i % 4
+        if kind == 0:      # greedy echo (speculation-friendly)
+            r = Request(prompt_tokens=list(echo), max_new_tokens=6,
+                        temperature=0.0)
+        elif kind == 1:    # sampled
+            r = Request(prompt_tokens=engine.tokenizer.encode(
+                f"x{i}", bos=True), max_new_tokens=5, temperature=0.9,
+                top_p=0.9, top_k=8)
+        elif kind == 2:    # greedy + logprobs
+            r = Request(prompt_tokens=list(echo), max_new_tokens=4,
+                        temperature=0.0, logprobs=True)
+        else:              # greedy + stop (likely no match; exercises scan)
+            r = Request(prompt_tokens=engine.tokenizer.encode(
+                f"y{i}", bos=True), max_new_tokens=5, temperature=0.0,
+                stop=["\x00zz"])
+        sched.submit(r)
+        reqs.append(r)
+    sched.run()
+
+    want6, _ = engine.generate(list(echo), num_steps=6, temperature=0.0)
+    want4, _ = engine.generate(list(echo), num_steps=4, temperature=0.0)
+    for i, r in enumerate(reqs):
+        assert r.done
+        assert 1 <= len(r.out_tokens) <= 6
+        if i % 4 == 0:
+            assert r.out_tokens == want6
+        if i % 4 == 2:
+            assert r.out_tokens == want4[:len(r.out_tokens)]
+            assert len(r.out_logprobs) == len(r.out_tokens)
+    st = sched.spec_stats
+    assert st["accepted"] <= st["drafted"]
