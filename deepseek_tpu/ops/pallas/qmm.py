@@ -788,9 +788,10 @@ def qmm_expert_ffn(qt13, qt2, idx, x, wts, act, interpret: bool = False):
     per-pair phase switch): the w13 phase streams every pair's tiles into
     a VMEM h2 scratch, the phase boundary computes GLU + the per-16 group
     sums of h per pair (once, at each pair's first w2 visit), and the w2
-    phase accumulates the wts-weighted output into a single resident
-    (J2, 1, td2) output block — h and the per-pair partials never touch
-    HBM. During the w13 phase the w2 index map is held constant (and vice
+    phase accumulates the wts-weighted output into map-revisited
+    (1, 1, td2) output blocks (for a fixed tile row the pair sweep
+    revisits the same block, so accumulation is plain static stores; one
+    flush per tile row) — h and the per-pair partials never touch HBM. During the w13 phase the w2 index map is held constant (and vice
     versa), so Mosaic's repeat-map DMA elision keeps weight traffic at
     exactly one pass per pair.
     Returns (1, d) f32 — the combined mixture (no segment-sum needed).
