@@ -75,7 +75,12 @@ def measure_decode(cfg: ModelConfig, params, backend: str, batch: int = 1,
     from deepseek_tpu.models.deepseek import make_decode_loop
 
     cache = init_cache(cfg, batch=batch)
-    block = 32 if backend != "cpu" else 4
+    # 128-step fused blocks: the per-dispatch host/enqueue overhead is
+    # ~3 ms at V3 scale, so block 32 -> 128 measured +4% single-stream
+    # (401.9 -> 418.5 tok/s, plateau at 128; round-5 A/B). This is the
+    # reference's own workload shape (tg128, README.md:24-26) — serving
+    # keeps smaller blocks for admission interleave and stop latency.
+    block = 128 if backend != "cpu" else 4
     loop = make_decode_loop(cfg, block)
     key = jax.random.PRNGKey(0)
     args = (jnp.float32(0.0), jnp.float32(1.0))
@@ -91,7 +96,7 @@ def measure_decode(cfg: ModelConfig, params, backend: str, batch: int = 1,
         tok = toks[:, -1:]
         _ = int(np.asarray(tok)[0, 0])
 
-    n_blocks = n_blocks or (8 if backend != "cpu" else 2)
+    n_blocks = n_blocks or (2 if backend != "cpu" else 2)
     n_steps = n_blocks * block
     pos0 = 2 * block
     t0 = time.perf_counter()
@@ -133,6 +138,50 @@ def main():
     backend = jax.default_backend()
     layers = 8 if backend != "cpu" else 2
     cfg = bench_config(layers)
+    import dataclasses
+
+    # --- HEADLINE FIRST, on a fresh allocator (measuring it after the
+    # --- V2-Lite sweeps cost ~3% to HBM/allocator state — round-5 A/B)
+    # --- DeepSeek-V3-proportioned slice (dim 7168, 128 heads, 256 routed
+    # experts, k=8 noaux_tc; models.testing.deepseek_v3_proportions): the
+    # deepest slice of the reference's headline model that fits one v5e —
+    # 1 dense + 1 MoE layer in Q3_K nibble (~10.1 GB)
+    v3cfg = None
+    try:
+        from deepseek_tpu.models.loader import align_param_layouts
+        from deepseek_tpu.models.testing import (
+            deepseek_v3_proportions, random_fused_params,
+        )
+        v3cfg = deepseek_v3_proportions(
+            n_layers=2 if backend != "cpu" else 1, first_k_dense_replace=1,
+            **({} if backend != "cpu" else dict(
+                dim=512, hidden_dim=1024, n_heads=4, vocab_size=2048,
+                n_routed_experts=16, moe_intermediate_size=256,
+                q_lora_rank=256, kv_lora_rank=256)))
+        v3params = random_fused_params(v3cfg, "q3_k_nibble")
+        jax.block_until_ready(jax.tree.leaves(v3params))
+        v3params = align_param_layouts(v3params, v3cfg)
+        v3_tok_s, v3_gb_s = measure_decode(v3cfg, v3params, backend,
+                                           n_blocks=2)
+        del v3params
+    except Exception as e:  # pragma: no cover - defensive
+        print(f"v3 slice bench failed: {e!r}", file=sys.stderr)
+        v3_tok_s, v3_gb_s = 0.0, 0.0
+
+    # --- V3 slice, Q2_K WIRE bytes through the nibble runtime: the
+    # reference's published number is DeepSeek-V3 *Q2_K*, so this is the
+    # format-for-format comparable config (0.75 B/w active; measured 72%
+    # of the HBM roofline in PERFORMANCE.md — the BASELINE >= 0.70 gate)
+    try:
+        v3q2params = random_fused_params(v3cfg, "q2_k_nibble")
+        jax.block_until_ready(jax.tree.leaves(v3q2params))
+        v3q2params = align_param_layouts(v3q2params, v3cfg)
+        v3q2_tok_s, v3q2_gb_s = measure_decode(v3cfg, v3q2params, backend,
+                                               n_blocks=2)
+        del v3q2params
+    except Exception as e:  # pragma: no cover - defensive
+        print(f"v3 q2k slice bench failed: {e!r}", file=sys.stderr)
+        v3q2_tok_s, v3q2_gb_s = 0.0, 0.0
 
     # --- bf16 (round-1 comparable) ---
     from deepseek_tpu.models.testing import random_params
@@ -188,7 +237,7 @@ def main():
         qparams = fuse_projections(qparams, kcfg, consume=True)
         jax.block_until_ready(jax.tree.leaves(qparams))
         b8_tok_s, _ = measure_decode(kcfg, qparams, backend, batch=8,
-                                     n_blocks=4)
+                                     n_blocks=1)
         del qparams
     except Exception as e:  # pragma: no cover - defensive
         print(f"batched bench failed: {e!r}", file=sys.stderr)
@@ -205,52 +254,11 @@ def main():
         qparams = fuse_projections(qparams, fcfg, consume=True)
         jax.block_until_ready(jax.tree.leaves(qparams))
         full_tok_s, full_gb_s = measure_decode(fcfg, qparams, backend,
-                                               n_blocks=8)
+                                               n_blocks=2)
         del qparams
     except Exception as e:  # pragma: no cover - defensive
         print(f"full-depth bench failed: {e!r}", file=sys.stderr)
         full_tok_s, full_gb_s = 0.0, 0.0
-
-    # --- DeepSeek-V3-proportioned slice (dim 7168, 128 heads, 256 routed
-    # experts, k=8 noaux_tc; models.testing.deepseek_v3_proportions): the
-    # deepest slice of the reference's headline model that fits one v5e —
-    # 1 dense + 1 MoE layer in Q3_K nibble (~10.1 GB)
-    v3cfg = None
-    try:
-        from deepseek_tpu.models.loader import align_param_layouts
-        from deepseek_tpu.models.testing import (
-            deepseek_v3_proportions, random_fused_params,
-        )
-        v3cfg = deepseek_v3_proportions(
-            n_layers=2 if backend != "cpu" else 1, first_k_dense_replace=1,
-            **({} if backend != "cpu" else dict(
-                dim=512, hidden_dim=1024, n_heads=4, vocab_size=2048,
-                n_routed_experts=16, moe_intermediate_size=256,
-                q_lora_rank=256, kv_lora_rank=256)))
-        v3params = random_fused_params(v3cfg, "q3_k_nibble")
-        jax.block_until_ready(jax.tree.leaves(v3params))
-        v3params = align_param_layouts(v3params, v3cfg)
-        v3_tok_s, v3_gb_s = measure_decode(v3cfg, v3params, backend,
-                                           n_blocks=8)
-        del v3params
-    except Exception as e:  # pragma: no cover - defensive
-        print(f"v3 slice bench failed: {e!r}", file=sys.stderr)
-        v3_tok_s, v3_gb_s = 0.0, 0.0
-
-    # --- V3 slice, Q2_K WIRE bytes through the nibble runtime: the
-    # reference's published number is DeepSeek-V3 *Q2_K*, so this is the
-    # format-for-format comparable config (0.75 B/w active; measured 72%
-    # of the HBM roofline in PERFORMANCE.md — the BASELINE >= 0.70 gate)
-    try:
-        v3q2params = random_fused_params(v3cfg, "q2_k_nibble")
-        jax.block_until_ready(jax.tree.leaves(v3q2params))
-        v3q2params = align_param_layouts(v3q2params, v3cfg)
-        v3q2_tok_s, v3q2_gb_s = measure_decode(v3cfg, v3q2params, backend,
-                                               n_blocks=8)
-        del v3q2params
-    except Exception as e:  # pragma: no cover - defensive
-        print(f"v3 q2k slice bench failed: {e!r}", file=sys.stderr)
-        v3q2_tok_s, v3q2_gb_s = 0.0, 0.0
 
     # Headline = the DeepSeek-V3-proportioned slice (VERDICT r4 #3): the
     # reference's one published number IS DeepSeek-V3, so rounds are

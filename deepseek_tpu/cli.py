@@ -84,6 +84,8 @@ TPU options:
                               (~2x packed) at 5-6 bits/weight — deep
                               models that don't fit the turbo layout
   --chunk <int>               prefill chunk size (default 256)
+  --block N                   decode tokens per fused dispatch (default 32;
+                              128 measured +4% single-stream at V3 scale)
   --seed <int>                sampler seed
   --yarn                      apply YaRN rope scaling (reference parses but
                               never applies it; opt-in quality improvement)
@@ -141,6 +143,7 @@ class Args:
         self.warmup = True
         self.prefix_cache_mb = 64.0
         self.serve_spec = None
+        self.block = 32          # decode tokens per fused dispatch
 
 
 def parse_mode_flags(args: Args, argv: List[str]) -> Args:
@@ -192,6 +195,8 @@ def parse_mode_flags(args: Args, argv: List[str]) -> Args:
             args.scan_layers = False
         elif a == "--chunk":
             args.chunk = int(val())
+        elif a == "--block":
+            args.block = int(val())
         elif a == "--seed":
             args.seed = int(val())
         elif a == "--yarn":
@@ -516,6 +521,7 @@ def main(argv: Optional[List[str]] = None):
         kv_cache_dtype=args.kv_dtype,
         seed=args.seed if args.seed is not None else int(time.time() * 1000) % (1 << 31),
         prefill_chunk=args.chunk,
+        decode_block=args.block,
         use_yarn=args.yarn,
         kquant_runtime=("turbo" if args.kquant_turbo
                         else "nibble" if args.kquant_nibble else None),
