@@ -268,7 +268,7 @@ class BatchScheduler:
                  prefix_cache_mb: float = 0.0, prefix_block: int = 64,
                  logprobs: bool = False, spec: Optional[str] = None,
                  spec_k: int = 4, spec_rounds: int = 3,
-                 ngram_max: int = 3):
+                 ngram_max: int = 3, idle_block: int = 0):
         """``mesh``: run the fused decode block over a device mesh — the
         batch DP-shards over 'data' (with TP/EP/seq per the mesh axes) and
         per-slot sampling params shard with it. Admissions hydrate through
@@ -320,6 +320,14 @@ class BatchScheduler:
         # per-dispatch round trip (~tens of ms on remote-attached chips) at
         # the cost of up to block-1 wasted positions after a sequence stops
         self.block = max(1, decode_block)
+        # idle-queue block escalation: with no admission in flight and an
+        # empty queue, decode dispatches may run ``idle_block`` steps
+        # instead of ``block`` — per-dispatch host overhead is ~3 ms at
+        # V3 scale, so 128-step blocks measured +4% single-stream
+        # (PERFORMANCE.md round 5). Escalation requires every live slot
+        # to have >= idle_block tokens left and room in the ring window
+        # (block overshoot would otherwise waste positions); 0 disables.
+        self.idle_block = idle_block if idle_block > self.block else 0
         self.logprobs = bool(logprobs)
         if spec is not None and spec not in ("ngram", "mtp"):
             raise ValueError(f"unknown spec mode {spec!r}")
@@ -378,7 +386,7 @@ class BatchScheduler:
         # the expert pair list truncates to bucket*k (deepseek._ffn
         # active_bucket), so a partially-idle batch pays per-pair program
         # cost only for ~its live rows
-        self._loops: Dict[int, object] = {}
+        self._loops: Dict[tuple, object] = {}
         self._merge = None  # jitted donated slot merge
 
     # ------------------------------------------------------------------
@@ -393,19 +401,41 @@ class BatchScheduler:
                 or any(s is not None for s in self.slots))
 
     # ------------------------------------------------------------------
-    def _loop_for(self, bucket: int):
-        """The fused decode loop for one power-of-2 occupancy bucket
-        (compiled lazily on first use unless warmup() precompiled it)."""
-        if bucket not in self._loops:
+    def _loop_for(self, bucket: int, block: Optional[int] = None):
+        """The fused decode loop for one power-of-2 occupancy bucket and
+        block length (compiled lazily on first use unless warmup()
+        precompiled it)."""
+        block = block or self.block
+        key = (bucket, block)
+        if key not in self._loops:
             from deepseek_tpu.models.deepseek import make_decode_loop
-            self._loops[bucket] = make_decode_loop(
-                self.engine.cfg, self.block, mesh=self.mesh,
+            self._loops[key] = make_decode_loop(
+                self.engine.cfg, block, mesh=self.mesh,
                 params=self.engine.params if self.mesh is not None else None,
                 cache=self.cache if self.mesh is not None else None,
                 active_bucket=bucket if bucket < self.batch else None,
                 with_logprobs=self.logprobs,
                 with_hidden=self.spec == "mtp")
-        return self._loops[bucket]
+        return self._loops[key]
+
+    def _pick_block(self) -> int:
+        """Idle-queue escalation: the long block only when nothing is
+        waiting, every live slot has that many tokens left, and the whole
+        span stays inside the ring window for every slot."""
+        ib = self.idle_block
+        if not ib or self.pending is not None or self.queue:
+            return self.block
+        window = self.engine.cfg.kv_window
+        live = False
+        for i, req in enumerate(self.slots):
+            if req is None or req.done:
+                continue
+            live = True
+            if req.max_new_tokens - len(req.out_tokens) < ib:
+                return self.block
+            if self.pos[i] + ib > window:
+                return self.block
+        return ib if live else self.block
 
     def warmup(self) -> None:
         """Precompile every serving hot shape BEFORE accepting traffic:
@@ -436,10 +466,11 @@ class BatchScheduler:
         bucket = 1
         while True:
             b = min(bucket, B)
-            out = self._loop_for(b)(
-                self.params, self.cache, tok, pos, key, temps, topps, act,
-                topks, minps)
-            self.cache = out[-1]
+            for blk in ({self.block, self.idle_block or self.block}):
+                out = self._loop_for(b, blk)(
+                    self.params, self.cache, tok, pos, key, temps, topps,
+                    act, topks, minps)
+                self.cache = out[-1]
             if b >= B:
                 break
             bucket *= 2
@@ -794,8 +825,9 @@ class BatchScheduler:
         while bucket < n_active:
             bucket *= 2
         bucket = min(bucket, self.batch)
+        blk = self._pick_block()
         self._key, sub = jax.random.split(self._key)
-        out = self._loop_for(bucket)(
+        out = self._loop_for(bucket, blk)(
             self.params, self.cache,
             jnp.asarray(self.cur.reshape(-1, 1), jnp.int32),
             jnp.asarray(self.pos, jnp.int32), sub,
@@ -816,7 +848,7 @@ class BatchScheduler:
                 # garbage-cache attention reads minimal
                 continue
             prev = int(self.cur[i])
-            for j in range(self.block):
+            for j in range(blk):
                 token = int(toks[i, j])
                 if req.logprobs and lps is not None:
                     req.out_logprobs.append(float(lps[i, j]))
@@ -824,7 +856,7 @@ class BatchScheduler:
                 prev = token
                 if req.done:
                     break
-            self.pos[i] += self.block
+            self.pos[i] += blk
             self.cur[i] = prev
 
     def run(self) -> List[Request]:

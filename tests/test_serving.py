@@ -62,7 +62,7 @@ def test_warmup_precompiles_without_corrupting_state(engine):
     sched = BatchScheduler(engine, batch_size=2)
     sched.warmup()
     # every power-of-2 occupancy bucket loop is compiled up front
-    assert set(sched._loops) == {1, 2}
+    assert set(sched._loops) == {(1, sched.block), (2, sched.block)}
     assert sched._merge is not None
     for p in prompts:
         sched.submit(Request(
@@ -792,3 +792,38 @@ def test_serving_mixed_workload_soak(engine_spec):
             assert len(r.out_logprobs) == len(r.out_tokens)
     st = sched.spec_stats
     assert st["accepted"] <= st["drafted"]
+
+
+def test_idle_block_escalation_matches_plain(engine):
+    """idle_block escalation: with an empty queue the scheduler runs long
+    decode blocks; outputs must be token-identical to the small-block
+    scheduler, and escalation must actually engage (and de-escalate when
+    a queue forms or a slot nears its budget)."""
+    toks = engine.tokenizer.encode("hello world", bos=True)
+    want, _ = engine.generate(toks, num_steps=12, temperature=0.0)
+
+    sched = BatchScheduler(engine, batch_size=2, decode_block=2,
+                           idle_block=8)
+    r = Request(prompt_tokens=list(toks), max_new_tokens=12,
+                temperature=0.0)
+    sched.submit(r)
+    picked = []
+    real_pick = sched._pick_block
+    sched._pick_block = lambda: picked.append(real_pick()) or picked[-1]
+    while sched.has_work:
+        sched.step()
+    assert r.out_tokens == want
+    assert 8 in picked                    # escalated while idle
+    # de-escalated once the slot neared its budget (ignore trailing picks
+    # from the empty-batch teardown step)
+    assert 2 in picked[picked.index(8) + 1:]
+
+    # queued work disables escalation
+    sched2 = BatchScheduler(engine, batch_size=1, decode_block=2,
+                            idle_block=8)
+    sched2.submit(Request(prompt_tokens=list(toks), max_new_tokens=12,
+                          temperature=0.0))
+    sched2.submit(Request(prompt_tokens=list(toks), max_new_tokens=4,
+                          temperature=0.0))
+    sched2.step()                          # admits first; second queued
+    assert sched2.queue and sched2._pick_block() == 2
